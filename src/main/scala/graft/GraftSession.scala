@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build sessions so Verify / Bench / tests agree on the
+  * semantics-relevant configs (UTC, AQE, ns-timestamp handling).
+  */
+object GraftSession {
+  def build(master: String, shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS); Spark has no ns type, so
+      // read as long and convert in Tables.events (micros, lossless for
+      // this data; DuckDB truncates to micros the same way).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
