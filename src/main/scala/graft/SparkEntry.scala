@@ -10,7 +10,8 @@ import graft.operators._
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    AggQueries, JoinQueries, WindowSetQueries, MergeQueries)
+    AggQueries, JoinQueries, WindowSetQueries, MergeQueries,
+    DedupQueries, AnnQueries, TextQueries, EventQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -30,7 +30,9 @@ object Tables {
     import org.apache.spark.sql.types.LongType
     val raw = t(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // integer division: `/` on longs is double division in Spark and
+      // loses precision above 2^53 (epoch-ns values are ~1.7e18)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.Exprs._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Deduplication operators for training-data pipelines: exact
+  * (fingerprint groupBy), MinHash+LSH banding, SimHash signatures,
+  * n-gram Jaccard via inverted-index join, embedding-cosine near-dup.
+  *
+  * Scale shape: every variant avoids the O(N²) all-pairs comparison —
+  * candidates come from equality joins on band keys / shared shingles /
+  * LSH buckets, which shuffle-partition by key and scale linearly in
+  * candidate count. Only verified candidates pay the full similarity
+  * computation.
+  */
+object DedupQueries extends QueryModule {
+
+  // Exact dedup: canonical-form fingerprint → group, keep min id.
+  private val dd1 = Q(
+    "q_dd1_dedup_exact",
+    "exact dedup via canonical md5 fingerprint groupBy (hash-groupBy dedup)",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      doc.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), cnt.as("n_docs"))
+        .select(col("keep_id"), col("n_docs"))
+        .orderBy(col("keep_id"))
+    },
+    Some("""
+      SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+      FROM (SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+            FROM documents)
+      GROUP BY fp ORDER BY keep_id"""))
+
+  // MinHash + LSH: word-bigram shingles, k=8 salted-md5 minima,
+  // 4 bands × 2 rows, Jaccard-verified at ≥ 0.7. (Char n-grams are
+  // degenerate on a small-vocab corpus — nearly all pairs collide;
+  // word shingles keep the banded candidate set near the true-dup set.)
+  private val dd2 = Q(
+    "q_dd2_minhash_lsh",
+    "MinHash+LSH near-dup: shingle → 8-perm signature → banded candidates → Jaccard verify",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      val sh = wordShingles(doc, "doc_id", "text", 2).cache()
+      val sig = minhashSignature(sh, "doc_id", 8)
+      val bands = lshBands(sig, "doc_id", 8, 2)
+      val a = bands.select(col("doc_id").as("da"), col("band"), col("band_key"))
+      val b = bands.select(col("doc_id").as("db"), col("band").as("band_b"), col("band_key").as("band_key_b"))
+      val cand = a.join(b,
+          col("band") === col("band_b") && col("band_key") === col("band_key_b") &&
+          col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(cnt.as("n"))
+      val sa = sh.select(col("doc_id").as("da"), col("shingle"))
+      val sb = sh.select(col("doc_id").as("db2"), col("shingle").as("shingle_b"))
+      val inter = cand
+        .join(sa, "da")
+        .join(sb, col("db") === col("db2") && col("shingle") === col("shingle_b"))
+        .groupBy(col("da"), col("db")).agg(cnt.as("ninter"))
+      val jac = inter
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          (col("ninter").cast(DoubleType) / (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+      jac.filter(col("jaccard") >= 0.7).orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, list_extract(w, i) || ' ' || list_extract(w, i + 1) AS shingle
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM toks WHERE len(w) >= 2)),
+      sig AS (
+        SELECT doc_id,
+          min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+          min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+          min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+          min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.da, c.db, count(*) AS ninter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.da
+        JOIN sh sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
+        GROUP BY c.da, c.db)
+      SELECT i.da AS doc_a, i.db AS doc_b,
+             CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.da
+      JOIN sizes sb ON sb.doc_id = i.db
+      WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.7
+      ORDER BY 1, 2"""))
+
+  // SimHash 16-bit signatures (integer-exact, oracle-checkable).
+  private val dd3 = {
+    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    val voteCols = (0 until 16).map(j =>
+      s"sum(CASE WHEN substring(md5(tok), ${j + 1}, 1) IN $hexHigh THEN 1 ELSE -1 END) AS v$j").mkString(", ")
+    val packed = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    Q(
+      "q_dd3_simhash",
+      "16-bit SimHash signature per document (token votes from md5 hex digits)",
+      (s, d) => simhash16(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+          FROM documents),
+        votes AS (SELECT doc_id, $voteCols FROM tok GROUP BY doc_id)
+        SELECT doc_id, $packed AS simhash FROM votes ORDER BY doc_id"""))
+  }
+
+  // n-gram Jaccard near-dup: word bigrams, inverted-index candidate join
+  // bucketed by (lang, source), verified at ≥ 0.3.
+  private val dd4 = Q(
+    "q_dd4_ngram_jaccard",
+    "word-bigram Jaccard similarity via shared-shingle inverted-index join",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      val bg = wordShingles(doc, "doc_id", "text", 2)
+        .join(doc.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        .cache()
+      val sizes = bg.groupBy(col("doc_id")).agg(cnt.as("n"))
+      val a = bg.select(col("doc_id").as("da"), col("lang"), col("source"), col("shingle"))
+      val b = bg.select(col("doc_id").as("db"), col("lang").as("lang_b"),
+        col("source").as("source_b"), col("shingle").as("shingle_b"))
+      val inter = a.join(b,
+          col("lang") === col("lang_b") && col("source") === col("source_b") &&
+          col("shingle") === col("shingle_b") && col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(cnt.as("ninter"))
+      inter
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          (col("ninter").cast(DoubleType) / (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, source, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents),
+      bg AS (
+        SELECT DISTINCT doc_id, lang, source,
+               list_extract(w, i) || ' ' || list_extract(w, i + 1) AS shingle
+        FROM (SELECT doc_id, lang, source, w, unnest(range(1, len(w))) AS i
+              FROM toks WHERE len(w) >= 2)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ninter
+        FROM bg a JOIN bg b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.da AS doc_a, i.db AS doc_b,
+             CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.da
+      JOIN sizes sb ON sb.doc_id = i.db
+      WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.3
+      ORDER BY 1, 2"""))
+
+  // Embedding-cosine near-dup at threshold 0.8. The all-pairs form here
+  // is the verification stage; at scale candidates come from
+  // VectorFunctions.hyperplaneBucket LSH first (see AnnQueries).
+  private val dd5 = Q(
+    "q_dd5_embedding_dup",
+    "embedding cosine near-dup pairs (threshold 0.8)",
+    (s, d) => {
+      graft.functions.VecExpressions.register(s)
+      val e = Tables.embeddings(s, d)
+      // precompute norms once per vector; the pair loop is then a
+      // single codegen'd dot product per candidate
+      val withNorm = e.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      val a = withNorm.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = withNorm.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("va") < col("vb"))
+        .select(col("va"), col("vb"),
+          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= 0.8)
+        .select(col("va").as("vec_a"), col("vb").as("vec_b"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some("""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+      ORDER BY 1, 2"""))
+
+  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5)
+}

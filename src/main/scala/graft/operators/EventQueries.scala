@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.Exprs._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Event-table operators: time-bucketed rollups, gap-based
+  * sessionization, as-of (latest-prior-event) joins. These are the
+  * batch twins of the streaming module (graft.streaming) — same
+  * semantics, same column names, so a pipeline can switch between
+  * readStream and read without query changes.
+  */
+object EventQueries extends QueryModule {
+
+  private val ev1 = Q(
+    "q_ev1_hourly_rollup",
+    "tumbling-hour rollup by event_type with exact sums",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      e.groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+        .agg(cnt.as("n"),
+          round(sum(dec6(col("value"))), 4).cast(DoubleType).as("sum_value"),
+          countDistinct(col("user_id")).cast(LongType).as("n_users"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    Some("""
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value,
+             count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // Gap-based sessionization (30-min gap) via lag + cumulative sum.
+  // Gap compare in integer microseconds on both sides — a seconds-level
+  // truncation would classify boundary gaps differently across engines.
+  private val ev2 = Q(
+    "q_ev2_sessionize",
+    "sessionization: 30-min-gap sessions via lag + running sum window",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(cnt.as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          round(sum(dec6(col("value"))), 4).cast(DoubleType).as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, event_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+      FROM sessions GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // As-of join: for each purchase, the latest signup at-or-before it
+  // (conditional running max — no shuffle beyond the per-user window).
+  private val ev3 = Q(
+    "q_ev3_asof_last_signup",
+    "as-of join: latest prior signup per purchase via conditional running-max window",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_signup_ts",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, ts, last_signup_ts FROM (
+        SELECT event_id, user_id, ts, event_type,
+               max(CASE WHEN event_type = 'signup' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        FROM events)
+      WHERE event_type = 'purchase' ORDER BY event_id"""))
+
+  override val all: Seq[Q] = Seq(ev1, ev2, ev3)
+}
