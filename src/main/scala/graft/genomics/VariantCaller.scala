@@ -1,0 +1,54 @@
+package graft.genomics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** D2 — "80% rule" variant caller.
+  *
+  * Re-expresses `database/sql/consensus_sequence.sql:78-137` (also
+  * `gisaid.sql:170-254`): cross join sequences × (tiny, broadcast)
+  * variant mutation definitions (`'C913T'` = original, 1-indexed
+  * position, mutated base), classify the sample base at each defining
+  * position:
+  *   '-' original base, '+' mutated base, '?' N/unknown, '!' other,
+  * then per sample: variant confirmed iff confirmed ≥ 0.8 × |defs|,
+  * callable iff (confirmed + original + weird) ≥ 0.8 × |defs|.
+  */
+object VariantCaller {
+
+  /** Per (sample × def) classification states. */
+  def states(sequences: DataFrame, defs: DataFrame, idCol: String, seqCol: String,
+      mutCol: String): DataFrame = {
+    val d = defs.select(
+      upper(substring(col(mutCol), 1, 1)).as("original"),
+      expr(s"cast(substring($mutCol, 2, char_length($mutCol) - 2) as int)").as("position"),
+      upper(substring(col(mutCol), -1, 1)).as("mutated"))
+    sequences.select(col(idCol), col(seqCol))
+      .crossJoin(broadcast(d))
+      .withColumn("base", upper(expr(s"substring($seqCol, position, 1)")))
+      .withColumn("mutation_state",
+        when(col("base") === col("original"), "-")
+          .when(col("base") === col("mutated"), "+")
+          .when(col("base") === "N", "?")
+          .otherwise("!"))
+      .drop(seqCol)
+  }
+
+  /** Per-sample call: (id, confirmed, original, unknown, weird,
+    * is_variant, callable) with the 0.8 threshold. */
+  def call(sequences: DataFrame, defs: DataFrame, idCol: String, seqCol: String,
+      mutCol: String, threshold: Double = 0.8): DataFrame = {
+    val nDefs = defs.count() // tiny definition table (≤ ~30 rows)
+    states(sequences, defs, idCol, seqCol, mutCol)
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("mutation_state") === "+", 1L).otherwise(0L)).as("confirmed"),
+        sum(when(col("mutation_state") === "-", 1L).otherwise(0L)).as("original"),
+        sum(when(col("mutation_state") === "?", 1L).otherwise(0L)).as("unknown"),
+        sum(when(col("mutation_state") === "!", 1L).otherwise(0L)).as("weird"))
+      .withColumn("is_variant", col("confirmed") >= lit(threshold * nDefs))
+      .withColumn("callable",
+        (col("confirmed") + col("original") + col("weird")) >= lit(threshold * nDefs))
+  }
+}

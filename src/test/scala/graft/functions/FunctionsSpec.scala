@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  test("vec_dot matches the higher-order-function dot product") {
+    import spark.implicits._
+    VecExpressions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val Array(fast, slow) = df.select(
+      dot(col("a"), col("b")), dotHof(col("a"), col("b"))).head().toSeq.toArray
+    assert(fast == slow && fast == 32.0)
+  }
+
+  test("cosine of identical vectors is 1.0") {
+    import spark.implicits._
+    VecExpressions.register(spark)
+    val df = Seq(Tuple1(Array(0.5f, -0.25f, 1.5f))).toDF("v")
+    val c = df.select(cosine(col("v"), col("v"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("langId picks marker-dominant language; und when none") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze und das haus",
+      "zzz qqq xxx").toDF("text")
+    val out = df.select(langId(col("text"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint canonicalizes case/punct/whitespace") {
+    import spark.implicits._
+    val df = Seq("Hello,  World!", "hello world").toDF("t")
+    val fps = df.select(fingerprint(col("t"))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("simhash: identical docs share signature; disjoint docs differ") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta"))
+      .toDF("id", "text")
+    val sh = simhash16(df, "id", "text").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("minhash signature: near-identical docs collide on bands") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "q r s t u v w x y z")).toDF("id", "text")
+    val sh = wordShingles(df, "id", "text", 2)
+    val sig = minhashSignature(sh, "id", 8)
+    val bands = lshBands(sig, "id", 8, 2)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(r => (r.getInt(1), r.getString(2))).toSet).toMap
+    assert(bands(1L) == bands(2L))
+    assert(bands(1L).intersect(bands(3L)).isEmpty)
+  }
+
+  test("wordShingles builds n-grams in order") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val out = wordShingles(df, "id", "text", 2).select("shingle").as[String].collect().toSet
+    assert(out == Set("a b", "b c"))
+  }
+
+  test("qualityScore is in [0,1] and 0 for empty") {
+    import spark.implicits._
+    val df = Seq("", "a reasonable length sentence with several plain words here").toDF("t")
+    val out = df.select(qualityScore(col("t"))).as[Double].collect()
+    assert(out(0) == 0.0 && out(1) > 0.0 && out(1) <= 1.0)
+  }
+
+  test("hyperplaneBucket groups identical vectors") {
+    import spark.implicits._
+    val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val df = Seq(Tuple1(Array(1.0f, 1.0f)), Tuple1(Array(1.0f, 1.0f)), Tuple1(Array(-1.0f, -1.0f)))
+      .toDF("v")
+    val out = df.select(hyperplaneBucket(col("v"), planes)).as[Long].collect()
+    assert(out(0) == out(1) && out(0) != out(2))
+  }
+}
