@@ -18,6 +18,9 @@ object GraftSession {
       // read as long and convert in Tables.events (micros, lossless for
       // this data; DuckDB truncates to micros the same way).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Viollier CSVs are windows-1252 (S2); Spark 4 restricts csv
+      // charsets to a short list unless legacy java charsets are on
+      .config("spark.sql.legacy.javaCharsets", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** M6 — staging-table build + atomic swap.
+  *
+  * The reference's bulk GISAID import writes a staging table, then
+  * atomically renames it over the live one
+  * (`database/R/automation/auto_import_gisaid.R:56-76`). On a
+  * file-based engine the same contract is: write the full new table to
+  * a staging path, then atomically move it over the live path. Readers
+  * either see the complete old table or the complete new one, never a
+  * partial write. (On an object store / production catalog this is a
+  * partition-pointer or catalog swap; the contract is identical.)
+  */
+object TableIO {
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Write df to `<path>.staging`, then atomically swap it in. The
+    * previous table is kept at `<path>.prev` until the next swap
+    * (cheap rollback, mirroring the reference keeping the old table
+    * until vacuum). */
+  def writeAtomicSwap(df: DataFrame, path: String): Unit = {
+    val live = Paths.get(path)
+    val staging = Paths.get(path + ".staging")
+    val prev = Paths.get(path + ".prev")
+    deleteRecursively(staging)
+    df.write.mode("overwrite").parquet(staging.toString)
+    deleteRecursively(prev)
+    if (Files.exists(live)) Files.move(live, prev, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, live, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Roll back to the previous table version if one exists. */
+  def rollback(path: String): Boolean = {
+    val live = Paths.get(path)
+    val prev = Paths.get(path + ".prev")
+    if (!Files.exists(prev)) false
+    else {
+      deleteRecursively(live)
+      Files.move(prev, live, StandardCopyOption.ATOMIC_MOVE)
+      true
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+}

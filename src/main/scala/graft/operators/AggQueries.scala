@@ -353,6 +353,28 @@ object AggQueries extends QueryModule {
              CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER (PARTITION BY order_year) AS DOUBLE) AS share
       FROM yearly ORDER BY 1, 2"""))
 
+  // A10: grouped "first()"-style dedup collapse. Spark's first() is
+  // order-dependent; min_by gives the deterministic equivalent of the
+  // reference's summarize(first(...)) (ref import_viollier_test_data.R).
+  private val a10 = Q(
+    "q_a10_grouped_first",
+    "A10 grouped first-value collapse via min_by (ref import_viollier_test_data.R)",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      o.groupBy(col("o_custkey"))
+        .agg(
+          expr("min_by(o_orderstatus, o_orderkey)").as("first_status"),
+          expr("min_by(o_orderpriority, o_orderkey)").as("first_priority"),
+          min(col("o_orderkey")).as("first_orderkey"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey,
+             arg_min(o_orderstatus, o_orderkey) AS first_status,
+             arg_min(o_orderpriority, o_orderkey) AS first_priority,
+             min(o_orderkey) AS first_orderkey
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
   // A11: character histogram via explode of single-char split
   // (ref gisaid.sql:160-166 base-frequency histogram over genomes).
   private val a11 = Q(
@@ -373,5 +395,5 @@ object AggQueries extends QueryModule {
       GROUP BY ch ORDER BY ch"""))
 
   override val all: Seq[Q] =
-    Seq(a1, a2, p2, p4, p5, p6, p7, a4, a5, a6, a7, a8, a9, a11)
+    Seq(a1, a2, p2, p4, p5, p6, p7, a4, a5, a6, a7, a8, a9, a10, a11)
 }

@@ -102,6 +102,29 @@ object JoinQueries extends QueryModule {
         ON o.day = s.day
       ORDER BY 1"""))
 
+  // J3: right outer (ref fgcz_pacbio_experiment.sql:76-78, 91-93).
+  private val j3 = Q(
+    "q_j3_join_right_outer",
+    "J3 right outer join keeping unmatched right rows (ref fgcz_pacbio_experiment.sql:76-78)",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.filter(col("o_totalprice") > 350000)
+        .join(c, col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(
+          oneIf(col("o_orderkey").isNotNull).as("n_big_orders"),
+          cnt.as("n_rows"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey,
+             sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS n_big_orders,
+             count(*) AS n_rows
+      FROM (SELECT * FROM orders WHERE o_totalprice > 350000) o
+      RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey ORDER BY c_custkey"""))
+
   // J5: left semi = EXISTS (ref spectrum :49-55, app.sql:46-50).
   private val j5 = Q(
     "q_j5_semi_join",
@@ -261,5 +284,5 @@ object JoinQueries extends QueryModule {
       ORDER BY 1"""))
 
   override val all: Seq[Q] =
-    Seq(j1, j2, j4, j5, j6, j6b, j7, j9, j11, j12)
+    Seq(j1, j2, j3, j4, j5, j6, j6b, j7, j9, j11, j12)
 }

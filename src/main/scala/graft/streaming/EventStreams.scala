@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming twins of the batch event operators.
+  *
+  * The reference has no true streaming — every "live" behavior is a
+  * polling incremental-batch loop (`core/Looper.java`,
+  * `automation_base.R:15-25`; SURVEY §2.11). Here the same pipelines
+  * are expressed against `readStream` so a deployment can run them
+  * either as scheduled batch (`Trigger.AvailableNow` replacing the
+  * polling loops) or continuously. Event-time watermarks bound state;
+  * the column names match graft.operators.EventQueries so switching
+  * read ↔ readStream needs no query changes.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Tumbling-hour rollup by event_type with a 1-hour watermark —
+    * streaming twin of q_ev1_hourly_rollup. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming exact dedup on a key within the watermark horizon
+    * (the streaming form of M2 insert-if-absent). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates(keyCols :+ "ts")
+
+  /** Gap-based sessionization with custom keyed state — the streaming
+    * twin of q_ev2_sessionize (30-min gap), via
+    * flatMapGroupsWithState with event-time timeout. Emits a session
+    * when a gap closes it; open sessions stay in state.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Timestamp, Timestamp, Long), Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Timestamp, Timestamp, Long)]) =>
+          val out = Seq.newBuilder[Session]
+          var cur = state.getOption
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            cur match {
+              case Some((start, end, n)) if e.ts.getTime - end.getTime <= gapSeconds * 1000 =>
+                cur = Some((start, e.ts, n + 1))
+              case Some((start, end, n)) =>
+                out += Session(userId, start, end, n)
+                cur = Some((e.ts, e.ts, 1L))
+              case None =>
+                cur = Some((e.ts, e.ts, 1L))
+            }
+          }
+          if (state.hasTimedOut) {
+            cur.foreach { case (s0, e0, n) => out += Session(userId, s0, e0, n) }
+            state.remove()
+          } else {
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2.getTime + gapSeconds * 1000)
+            }
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Run any streaming transform over a bounded source and collect the
+    * complete result via a memory sink — the Trigger.AvailableNow
+    * pattern that replaces the reference's polling loops. */
+  def runAvailableNow(spark: SparkSession, out: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = out.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+/** Physical-plan audits — the 100 TB guards. A query can be correct at
+  * sf0.01 and catastrophic at scale if a dim join stops broadcasting,
+  * a filter stops reaching the parquet scan, or a projection reads the
+  * whole row. These assertions pin the plan shapes we designed for.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q_j1: dimension joins broadcast; no dim-side shuffle exchange") {
+    val p = plan("q_j1_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), "nation/region must broadcast")
+  }
+
+  test("q_a1: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q_a1_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter must reach the scan:\n$p")
+  }
+
+  test("q_a1: scan reads only referenced columns (no full-row read)") {
+    val p = plan("q_a1_agg_pricing")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q_a1: aggregation is two-phase (partial before shuffle)") {
+    val p = plan("q_a1_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial+final HashAggregate")
+  }
+
+  test("q_ann1: query side broadcasts; corpus is not shuffled for the join") {
+    val p = plan("q_ann1_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries must broadcast against the corpus scan:\n$p")
+  }
+
+  test("q_j6_best_per_group: single window pass, no self-join") {
+    val p = plan("q_j6_best_per_group")
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"))
+    assert(!p.contains("SortMergeJoin"), "the anti-join rewrite must not reappear")
+  }
+
+  test("q_j6_best_per_group: rank filter pushes a group-limit below the shuffle") {
+    // Spark 4's WindowGroupLimit turns rn=1 into a per-partition top-1
+    // before the exchange — the thing that makes this beat the
+    // reference's correlated NOT EXISTS at scale.
+    val p = plan("q_j6_best_per_group")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("q_tx2: text scan prunes to doc_id+text") {
+    val p = plan("q_tx2_quality_score")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"should not read unused columns: $readSchema")
+  }
+
+  test("whole-stage codegen covers the scalar pipeline queries") {
+    // AQE prints codegen spans only in the finalized plan — collect()
+    // executes this exact queryExecution (write/count would clone it)
+    val df = SparkEntry.queries("q_p2_case_when_buckets")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as "*(n)" prefixes in the final plan
+    assert(p.contains("*(1)"), s"scalar pipeline must stay in codegen:\n$p")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.TimestampType
+
+class EventStreamsSpec extends SparkSpec {
+
+  /** Stage the single parquet file into a directory (FileStreamSource
+    * requires one) and stream it bounded. */
+  private lazy val stagedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def eventStream() = {
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sf0001/events.parquet").schema)
+      .parquet(stagedDir)
+    // same ns→µs conversion as Tables.events
+    if (raw.schema("ts").dataType != TimestampType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  test("streaming hourly rollup equals the batch rollup") {
+    val streamed = EventStreams.runAvailableNow(
+      spark, EventStreams.hourlyRollup(eventStream()), "rollup_test", OutputMode.Append)
+      .select("hour", "event_type", "n")
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // append mode emits only windows the 1-hour watermark has passed;
+    // windows still open when the bounded source drains are withheld
+    val maxTs = Tables.events(spark, sf0001).agg(max(col("ts"))).head().getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)
+    val closedBatch = batch.filter(col("hour") + expr("interval 1 hour") <= lit(cutoff))
+    assert(streamed.exceptAll(batch.select("hour", "event_type", "n")).count() == 0)
+    assert(closedBatch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() >= closedBatch.count())
+  }
+
+  test("streaming dedup drops repeated keys") {
+    val doubled = eventStream()
+    val deduped = EventStreams.runAvailableNow(
+      spark, EventStreams.dedupStream(doubled, Seq("event_id")), "dedup_test")
+    val n = Tables.events(spark, sf0001).count()
+    assert(deduped.count() == n) // source has unique event_ids
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch session count for closed sessions") {
+    import spark.implicits._
+    val ds = eventStream().as[EventStreams.Event]
+    val sessions = EventStreams.runAvailableNow(
+      spark, EventStreams.sessionize(ds).toDF(), "sess_test")
+    // batch sessionization (same 30-min gap)
+    val batchSessions = graft.SparkEntry.queries("q_ev2_sessionize")(spark, sf0001)
+    // closed-session stream count ≤ total; every closed session must
+    // exist in the batch result with identical bounds
+    assert(sessions.count() > 0 && sessions.count() <= batchSessions.count())
+    val joined = sessions.join(batchSessions,
+      sessions("user_id") === batchSessions("user_id") &&
+      sessions("session_start") === batchSessions("session_start") &&
+      sessions("session_end") === batchSessions("session_end") &&
+      sessions("n_events") === batchSessions("n_events"))
+    assert(joined.count() == sessions.count())
+  }
+}
