@@ -1,0 +1,137 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.genomics.Annotations
+
+/** §3.3 — the Spectrum materialized-view DAG
+  * (`database/sql/spectrum/sequences_gisaid_api_based.sql`), the
+  * reference's analytic heart. Each matview is a named DataFrame
+  * function; "refresh" = rerun the job and atomically swap the output
+  * (graft.core.TableIO), replacing `refresh materialized view
+  * concurrently` (`spectrum/refreshes.sql:3-10`).
+  *
+  * Scale shape: the dedup is one window (replacing the correlated
+  * double NOT EXISTS at :60-77); dimension joins broadcast; the final
+  * tables partition naturally by (date, country) for downstream
+  * pruning.
+  */
+object SpectrumViews {
+
+  /** View 1 — `spectrum_sequence_public_meta` (:22-113).
+    *
+    * Own-sequence branch: keep sequences that are on GISAID, or
+    * best-per-ethid (min number_n, tie-break sample_name) among
+    * passing sequences (fail_reason null); privacy projection with
+    * `'UNRELEASED_ETHZ_' || ethid` naming for unreleased ones.
+    * GISAID branch: everything except our own re-uploads
+    * (`strain NOT LIKE '%-ETHZ-%'`), null-padded to the same schema.
+    */
+  def sequencePublicMeta(consensus: DataFrame, sequenceIdentifier: DataFrame,
+      viollierTest: DataFrame, gisaid: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ethid"))
+      .orderBy(col("number_n").asc, col("sample_name").asc)
+    val own = consensus
+      .filter(col("fail_reason").isNull)
+      // on-GISAID is a per-SEQUENCE property (the uploaded sample), not
+      // per ethid — joining by ethid would keep every duplicate of a
+      // released ethid (found by driving the refresh job on demo data)
+      .join(sequenceIdentifier.select(col("sample_name"), col("gisaid_id")), Seq("sample_name"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("gisaid_id").isNotNull || col("__rn") === 1)
+      .join(viollierTest.select(col("ethid"), col("order_date"), col("canton")), Seq("ethid"), "left")
+      .select(
+        coalesce(col("gisaid_id"), concat(lit("UNRELEASED_ETHZ_"), col("ethid"))).as("strain"),
+        lit("Switzerland").as("country"),
+        col("canton").as("division"),
+        col("order_date").as("date"),
+        col("pango_lineage"),
+        lit("own").as("source_branch"))
+    val foreign = gisaid
+      .filter(!col("strain").like("%-ETHZ-%"))
+      .select(
+        col("strain"),
+        col("country"),
+        col("division"),
+        col("date"),
+        col("pango_lineage"),
+        lit("gisaid").as("source_branch"))
+    own.unionByName(foreign)
+  }
+
+  /** View 2 — mutation matviews (:116-178 aa, :182-244 nuc): meta ×
+    * mutations with D16 decomposition for AA mutations. */
+  def sequenceMutations(meta: DataFrame, mutations: DataFrame, aa: Boolean): DataFrame = {
+    val joined = meta.join(mutations, Seq("strain"))
+    if (aa)
+      joined.withColumn("m", Annotations.decomposeAaMutation(col("aa_mutation")))
+        .select(col("strain"), col("country"), col("date"),
+          col("m.gene").as("gene"), col("m.position").as("position"),
+          col("m.alt_aa").as("alt"), col("aa_mutation").as("mutation"))
+    else
+      joined.select(col("strain"), col("country"), col("date"),
+        col("position"), col("mutation"))
+  }
+
+  /** View 3 — `spectrum_sequence_intensity` (:384-427): full date
+    * spine × countries, daily sequenced counts vs case counts,
+    * `group by rollup(date, region, country)`. */
+  def sequenceIntensity(meta: DataFrame, cases: DataFrame,
+      countries: DataFrame, startDate: String, endDate: String): DataFrame = {
+    val spine = meta.sparkSession.range(1)
+      .select(explode(expr(
+        s"sequence(to_date('$startDate'), to_date('$endDate'), interval 1 day)")).as("date"))
+    val spineCountries = spine.crossJoin(broadcast(countries.select(col("region"), col("country"))))
+    val sequencedDaily = meta.groupBy(col("date"), col("country"))
+      .agg(count(lit(1)).as("sequenced"))
+    val casesDaily = cases.groupBy(col("date"), col("country"))
+      .agg(sum(col("new_cases")).as("cases"))
+    spineCountries
+      .join(sequencedDaily, Seq("date", "country"), "left")
+      .join(casesDaily, Seq("date", "country"), "left")
+      .rollup(col("date"), col("region"), col("country"))
+      .agg(
+        sum(coalesce(col("sequenced"), lit(0L))).as("sequenced"),
+        sum(coalesce(col("cases"), lit(0L))).as("cases"))
+  }
+
+  /** View 4 — `spectrum_pangolin_lineage_mutation` (:435-466): counts
+    * by (region, country, date, lineage, mutation). */
+  def lineageMutationCounts(meta: DataFrame, mutations: DataFrame,
+      countries: DataFrame): DataFrame =
+    meta.join(mutations, Seq("strain"))
+      .join(broadcast(countries.select(col("region"), col("country"))), Seq("country"), "left")
+      .groupBy(col("region"), col("country"), col("date"),
+        col("pango_lineage"), col("mutation"))
+      .agg(count(lit(1)).as("n"))
+
+  /** View 5 — `spectrum_swiss_cases` (:475-488): BAG dashboard
+    * aggregation by date/canton/age group. */
+  def swissCases(bagDashboard: DataFrame): DataFrame =
+    bagDashboard
+      .withColumn("age_group",
+        when(col("altersjahr") < 10, "0-9")
+          .when(col("altersjahr") < 20, "10-19").when(col("altersjahr") < 30, "20-29")
+          .when(col("altersjahr") < 40, "30-39").when(col("altersjahr") < 50, "40-49")
+          .when(col("altersjahr") < 60, "50-59").when(col("altersjahr") < 70, "60-69")
+          .when(col("altersjahr") < 80, "70-79").otherwise("80+"))
+      .groupBy(col("fall_dt").as("date"), col("ktn").as("canton"), col("age_group"))
+      .agg(count(lit(1)).as("n_cases"))
+
+  /** The whole DAG, returning every view keyed by its reference
+    * matview name (the refresh job writes each with TableIO). */
+  def buildAll(consensus: DataFrame, sequenceIdentifier: DataFrame,
+      viollierTest: DataFrame, gisaid: DataFrame, nucMutations: DataFrame,
+      aaMutations: DataFrame, cases: DataFrame, countries: DataFrame,
+      bagDashboard: DataFrame, startDate: String, endDate: String): Map[String, DataFrame] = {
+    val meta = sequencePublicMeta(consensus, sequenceIdentifier, viollierTest, gisaid)
+    Map(
+      "spectrum_sequence_public_meta" -> meta,
+      "spectrum_sequence_mutation_aa" -> sequenceMutations(meta, aaMutations, aa = true),
+      "spectrum_sequence_mutation_nucleotide" -> sequenceMutations(meta, nucMutations, aa = false),
+      "spectrum_sequence_intensity" -> sequenceIntensity(meta, cases, countries, startDate, endDate),
+      "spectrum_pangolin_lineage_mutation" -> lineageMutationCounts(meta, nucMutations, countries),
+      "spectrum_swiss_cases" -> swissCases(bagDashboard))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.GraftSession
+import graft.analytics.SpectrumViews
+import graft.core.TableIO
+
+/** Runnable refresh job for the Spectrum matview DAG (§3.3): read the
+  * domain tables, build all six views, write each with an atomic swap
+  * — the replacement for `refresh_all_mv()`
+  * (`spectrum/refreshes.sql:14-36`).
+  *
+  * Usage: SpectrumRefresh <inDir> <outDir>   (parquet domain tables)
+  *        SpectrumRefresh --demo <outDir>    (synthesized demo tables)
+  */
+object SpectrumRefresh {
+
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
+    val t = tables(spark, inDir)
+    val views = SpectrumViews.buildAll(
+      t("consensus_sequence"), t("sequence_identifier"), t("viollier_test"),
+      t("gisaid_api_sequence"), t("nuc_mutations"), t("aa_mutations"),
+      t("ext_owid_global_cases"), t("spectrum_country"), t("bag_dashboard_meldeformular"),
+      startDate = "2021-03-01", endDate = "2021-03-31")
+    views.foreach { case (name, df) =>
+      TableIO.writeAtomicSwap(df, s"$outDir/$name")
+      println(s"[spectrum] $name rows=${TableIO.read(spark, s"$outDir/$name").count()}")
+    }
+    spark.stop()
+  }
+
+  private def tables(spark: SparkSession, inDir: String): Map[String, DataFrame] =
+    if (inDir == "--demo") demoTables(spark)
+    else Seq("consensus_sequence", "sequence_identifier", "viollier_test",
+      "gisaid_api_sequence", "nuc_mutations", "aa_mutations",
+      "ext_owid_global_cases", "spectrum_country", "bag_dashboard_meldeformular")
+      .map(n => n -> spark.read.parquet(s"$inDir/$n")).toMap
+
+  /** FIXTURES.md-shaped deterministic demo tables (seed-free: derived
+    * from modular arithmetic over ids). */
+  private def demoTables(spark: SparkSession): Map[String, DataFrame] = {
+    import spark.implicits._
+    import java.sql.Date
+    val n = 500
+    val consensus = (0 until n).map { i =>
+      val ethid = 160000L + i / 2 // every other ethid duplicated
+      (s"${ethid}_p${i % 7}_${('A' + i % 8).toChar}${i % 12 + 1}", ethid,
+        (i * 37) % 500, if (i % 11 == 0) "degraded" else null,
+        Seq("B.1.1.7", "B.1.617.2", "BA.1")(i % 3))
+    }.toDF("sample_name", "ethid", "number_n", "fail_reason", "pango_lineage")
+    val seqId = (0 until n / 4).map { i =>
+      val ethid = 160000L + i
+      (s"${ethid}_p${(i * 2) % 7}_${('A' + (i * 2) % 8).toChar}${(i * 2) % 12 + 1}",
+        s"Switzerland/ZH-ETHZ-$ethid/2021")
+    }.toDF("sample_name", "gisaid_id")
+    val viollier = (0 to n / 2).map(i => // one row per ethid (PK semantics)
+      (160000L + i, Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "BE", "VS", "GE")(i % 4)))
+      .toDF("ethid", "order_date", "canton")
+    val gisaid = (0 until n).map { i =>
+      val ours = i % 10 == 0
+      (if (ours) s"Switzerland/ZH-ETHZ-${160000 + i}/2021" else s"Germany/BY-$i/2021",
+        if (ours) "Switzerland" else "Germany", "Div",
+        Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("B.1.1.7", "BA.1")(i % 2))
+    }.toDF("strain", "country", "division", "date", "pango_lineage")
+    val nucMut = (0 until n).map(i =>
+      (s"Germany/BY-$i/2021", 913 + i % 100, Seq("T", "A", "G")(i % 3)))
+      .toDF("strain", "position", "mutation")
+    val aaMut = (0 until n).map(i =>
+      (s"Germany/BY-$i/2021", Seq("S:N501Y", "S:D614G", "N:R203K")(i % 3)))
+      .toDF("strain", "aa_mutation")
+    val cases = (1 to 28).flatMap(d => Seq(
+      (Date.valueOf(s"2021-03-$d"), "Switzerland", (d * 13L) % 300),
+      (Date.valueOf(s"2021-03-$d"), "Germany", (d * 31L) % 900)))
+      .toDF("date", "country", "new_cases")
+    val countries = Seq(("Europe", "Switzerland"), ("Europe", "Germany"))
+      .toDF("region", "country")
+    val bag = (0 until n).map(i =>
+      (Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "BE", "VS")(i % 3), (i * 7) % 95))
+      .toDF("fall_dt", "ktn", "altersjahr")
+    Map("consensus_sequence" -> consensus, "sequence_identifier" -> seqId,
+      "viollier_test" -> viollier, "gisaid_api_sequence" -> gisaid,
+      "nuc_mutations" -> nucMut, "aa_mutations" -> aaMut,
+      "ext_owid_global_cases" -> cases, "spectrum_country" -> countries,
+      "bag_dashboard_meldeformular" -> bag)
+  }
+}

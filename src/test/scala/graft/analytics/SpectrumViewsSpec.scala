@@ -1,0 +1,112 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+class SpectrumViewsSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  // FIXTURES.md-shaped miniature domain tables
+  private def fixtures: Map[String, DataFrame] = {
+    import spark.implicits._
+    val consensus = Seq(
+      // sample_name, ethid, number_n, fail_reason, pango_lineage
+      ("160001_p1_A1", 160001L, 100, null, "B.1.1.7"),
+      ("160001_p2_B2", 160001L, 50, null, "B.1.1.7"),   // better dup (lower number_n)
+      ("160002_p1_C3", 160002L, 10, null, "B.1.617.2"),
+      ("160003_p1_D4", 160003L, 10, "degraded", "None") // failed → excluded
+    ).toDF("sample_name", "ethid", "number_n", "fail_reason", "pango_lineage")
+    val seqId = Seq(
+      ("160002_p1_C3", "Switzerland/ZH-ETHZ-160002/2021") // released (per-sample link)
+    ).toDF("sample_name", "gisaid_id")
+    val viollier = Seq(
+      (160001L, Date.valueOf("2021-03-01"), "ZH"),
+      (160002L, Date.valueOf("2021-03-02"), "BE"),
+      (160003L, Date.valueOf("2021-03-03"), "VS")
+    ).toDF("ethid", "order_date", "canton")
+    val gisaid = Seq(
+      ("Germany/BY-1/2021", "Germany", "Bavaria", Date.valueOf("2021-03-01"), "B.1.1.7"),
+      ("Switzerland/ZH-ETHZ-160002/2021", "Switzerland", "Zurich", Date.valueOf("2021-03-02"), "B.1.617.2") // our re-upload → excluded
+    ).toDF("strain", "country", "division", "date", "pango_lineage")
+    val nucMut = Seq(
+      ("UNRELEASED_ETHZ_160001", 913, "T"),
+      ("Germany/BY-1/2021", 3037, "T")
+    ).toDF("strain", "position", "mutation")
+    val aaMut = Seq(
+      ("UNRELEASED_ETHZ_160001", "S:N501Y")
+    ).toDF("strain", "aa_mutation")
+    val cases = Seq(
+      (Date.valueOf("2021-03-01"), "Switzerland", 100L),
+      (Date.valueOf("2021-03-01"), "Germany", 500L)
+    ).toDF("date", "country", "new_cases")
+    val countries = Seq(("Europe", "Switzerland"), ("Europe", "Germany"))
+      .toDF("region", "country")
+    val bag = Seq(
+      (Date.valueOf("2021-03-01"), "ZH", 25),
+      (Date.valueOf("2021-03-01"), "ZH", 85),
+      (Date.valueOf("2021-03-02"), "BE", 42)
+    ).toDF("fall_dt", "ktn", "altersjahr")
+    Map("consensus" -> consensus, "seqId" -> seqId, "viollier" -> viollier,
+      "gisaid" -> gisaid, "nucMut" -> nucMut, "aaMut" -> aaMut,
+      "cases" -> cases, "countries" -> countries, "bag" -> bag)
+  }
+
+  private lazy val views = {
+    val f = fixtures
+    SpectrumViews.buildAll(f("consensus"), f("seqId"), f("viollier"), f("gisaid"),
+      f("nucMut"), f("aaMut"), f("cases"), f("countries"), f("bag"),
+      "2021-03-01", "2021-03-03")
+  }
+
+  test("meta: best-per-ethid dedup, unreleased naming, ETHZ re-upload exclusion") {
+    val meta = views("spectrum_sequence_public_meta").collect()
+    val strains = meta.map(_.getAs[String]("strain")).toSet
+    // 160001: dup resolved to one row, unreleased naming
+    assert(strains.count(_ == "UNRELEASED_ETHZ_160001") == 1)
+    // 160002: released under its gisaid_id via own branch
+    assert(strains.contains("Switzerland/ZH-ETHZ-160002/2021"))
+    // own branch contributed it; the gisaid-branch copy was excluded
+    assert(meta.count(r => r.getAs[String]("strain") == "Switzerland/ZH-ETHZ-160002/2021") == 1)
+    // failed sequence absent
+    assert(!strains.exists(_.contains("160003")))
+    // foreign strain present
+    assert(strains.contains("Germany/BY-1/2021"))
+    // 160001 (deduped) + 160002 (released) + Germany = 3
+    assert(meta.length == 3)
+  }
+
+  test("mutation views join meta and decompose AA mutations") {
+    val aa = views("spectrum_sequence_mutation_aa").collect()
+    assert(aa.length == 1)
+    assert(aa(0).getAs[String]("gene") == "S" && aa(0).getAs[Int]("position") == 501)
+    val nuc = views("spectrum_sequence_mutation_nucleotide").collect()
+    assert(nuc.length == 2)
+  }
+
+  test("intensity: spine covers all date×country cells plus rollup totals") {
+    val i = views("spectrum_sequence_intensity")
+    // detail rows: 3 days × 2 countries
+    val detail = i.filter(col("date").isNotNull && col("country").isNotNull)
+    assert(detail.count() == 6)
+    // grand total row aggregates everything
+    val total = i.filter(col("date").isNull && col("region").isNull && col("country").isNull)
+      .collect()(0)
+    assert(total.getAs[Long]("cases") == 600L)
+  }
+
+  test("lineage mutation counts by region/country/date/lineage") {
+    val lm = views("spectrum_pangolin_lineage_mutation").collect()
+    assert(lm.length == 2)
+    val german = lm.find(_.getAs[String]("country") == "Germany").get
+    assert(german.getAs[String]("pango_lineage") == "B.1.1.7" &&
+      german.getAs[String]("mutation") == "T")
+  }
+
+  test("swiss cases: age bucketing + canton/date counts") {
+    val sc = views("spectrum_swiss_cases").collect()
+    assert(sc.length == 3) // (03-01, ZH, 20-29), (03-01, ZH, 80+), (03-02, BE, 40-49)
+    val buckets = sc.map(r => (r.getAs[String]("canton"), r.getAs[String]("age_group"))).toSet
+    assert(buckets == Set(("ZH", "20-29"), ("ZH", "80+"), ("BE", "40-49")))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.genomics
+
+import graft.SparkSpec
+
+class PipeStageSpec extends SparkSpec {
+
+  private def fastaDf = {
+    import spark.implicits._
+    Seq(("s1", "ACGT"), ("s2", "TTAA"), ("s3", "GGCC")).toDF("header", "seq")
+  }
+
+  test("D11 identity tool (cat) round-trips all rows") {
+    val out = PipeStage.pipeFasta(fastaDf.repartition(2), "header", "seq", Seq("cat", "{in}"))
+      .collect().map(r => r.header -> (r.seq, r.error)).toMap
+    assert(out == Map("s1" -> (("ACGT", null)), "s2" -> (("TTAA", null)), "s3" -> (("GGCC", null))))
+  }
+
+  test("D11 transforming tool (sed) rewrites sequences") {
+    val out = PipeStage.pipeFasta(fastaDf, "header", "seq",
+      Seq("sed", "-e", "/^>/!s/A/N/g", "{in}"))
+      .collect().map(r => r.header -> r.seq).toMap
+    assert(out("s1") == "NCGT" && out("s2") == "TTNN")
+  }
+
+  test("D11 failing tool poisons only its rows with an error; threshold applies") {
+    val results = PipeStage.pipeFasta(fastaDf, "header", "seq", Seq("false"))
+    val rs = results.collect()
+    assert(rs.length == 3 && rs.forall(_.error != null))
+    val (total, failed, ok) = PipeStage.successReport(results)
+    assert(total == 3 && failed == 3 && !ok)
+    val (_, _, ok2) = PipeStage.successReport(
+      PipeStage.pipeFasta(fastaDf, "header", "seq", Seq("cat", "{in}")))
+    assert(ok2)
+  }
+
+  test("D11 missing tool is an error row, not a job failure") {
+    val rs = PipeStage.pipeFasta(fastaDf, "header", "seq", Seq("definitely_not_a_tool_xyz"))
+      .collect()
+    assert(rs.forall(_.error != null))
+  }
+}
