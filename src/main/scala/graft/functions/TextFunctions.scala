@@ -107,12 +107,15 @@ object TextFunctions {
       .distinct()
   }
 
-  /** MinHash signature: k salted-md5 minima per id, columns h0..h{k-1}. */
+  /** MinHash signature: k salted-md5 minima per id, columns h0..h{k-1},
+    * plus the shingle-set size `n` in the same aggregation pass (one
+    * shuffle covers both the signature and the Jaccard denominator). */
   def minhashSignature(shingles: DataFrame, idCol: String, k: Int): DataFrame =
     shingles.groupBy(col(idCol))
       .agg(
         min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
-        (1 until k).map(i => min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")): _*)
+        (1 until k).map(i => min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+          :+ count(lit(1)).cast("long").as("n"): _*)
 
   /** LSH band keys from a signature: bands of `rowsPerBand` hashes,
     * each hashed to one key column → exploded (id, band, band_key). */

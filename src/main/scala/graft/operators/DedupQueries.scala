@@ -47,25 +47,29 @@ object DedupQueries extends QueryModule {
     "MinHash+LSH near-dup: shingle → 8-perm signature → banded candidates → Jaccard verify",
     (s, d) => {
       val doc = Tables.documents(s, d)
+      // one cached pass builds signatures AND set sizes; the shingle
+      // table is cached separately for the verification join
       val sh = wordShingles(doc, "doc_id", "text", 2).cache()
-      val sig = minhashSignature(sh, "doc_id", 8)
+      val sig = minhashSignature(sh, "doc_id", 8).cache()
       val bands = lshBands(sig, "doc_id", 8, 2)
       val a = bands.select(col("doc_id").as("da"), col("band"), col("band_key"))
       val b = bands.select(col("doc_id").as("db"), col("band").as("band_b"), col("band_key").as("band_key_b"))
-      val cand = a.join(b,
+      // band frames are 4 rows/doc — broadcast one side, no shuffle
+      val cand = a.join(broadcast(b),
           col("band") === col("band_b") && col("band_key") === col("band_key_b") &&
           col("da") < col("db"))
         .select(col("da"), col("db")).distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(cnt.as("n"))
       val sa = sh.select(col("doc_id").as("da"), col("shingle"))
       val sb = sh.select(col("doc_id").as("db2"), col("shingle").as("shingle_b"))
-      val inter = cand
+      // candidates are few (near-dup pairs only): broadcast them into
+      // the shingle scans so the verify stage never shuffles the corpus
+      val inter = broadcast(cand)
         .join(sa, "da")
         .join(sb, col("db") === col("db2") && col("shingle") === col("shingle_b"))
         .groupBy(col("da"), col("db")).agg(cnt.as("ninter"))
       val jac = inter
-        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .join(broadcast(sig.select(col("doc_id").as("da"), col("n").as("na"))), "da")
+        .join(broadcast(sig.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           (col("ninter").cast(DoubleType) / (col("na") + col("nb") - col("ninter"))).as("jaccard"))
       jac.filter(col("jaccard") >= 0.7).orderBy(col("doc_a"), col("doc_b"))
