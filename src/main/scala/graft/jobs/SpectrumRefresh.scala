@@ -2,7 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.GraftSession
-import graft.analytics.SpectrumViews
+import graft.analytics.{Reports, SpectrumViews}
 import graft.core.TableIO
 
 /** Runnable refresh job for the Spectrum matview DAG (§3.3): read the
@@ -25,7 +25,16 @@ object SpectrumRefresh {
       t("gisaid_api_sequence"), t("nuc_mutations"), t("aa_mutations"),
       t("ext_owid_global_cases"), t("spectrum_country"), t("bag_dashboard_meldeformular"),
       startDate = "2021-03-01", endDate = "2021-03-31")
-    views.foreach { case (name, df) =>
+    // QC/report outputs refresh alongside the matviews, like the
+    // reference's refresh cycle feeding its report queries
+    val reports = Map(
+      "report_batch_qc" -> Reports.batchQc(t("consensus_sequence")),
+      "report_fail_reasons" -> Reports.failReasonRollup(t("consensus_sequence")),
+      "report_bag_sequences" -> Reports.bagSequenceReport(
+        t("consensus_sequence"), t("sequence_identifier"), completenessCol = "number_n"),
+      "report_completeness" -> Reports.completenessFunnel(
+        t("viollier_test"), t("consensus_sequence"), t("sequence_identifier")))
+    (views ++ reports).foreach { case (name, df) =>
       TableIO.writeAtomicSwap(df, s"$outDir/$name")
       println(s"[spectrum] $name rows=${TableIO.read(spark, s"$outDir/$name").count()}")
     }
@@ -49,13 +58,15 @@ object SpectrumRefresh {
       val ethid = 160000L + i / 2 // every other ethid duplicated
       (s"${ethid}_p${i % 7}_${('A' + i % 8).toChar}${i % 12 + 1}", ethid,
         (i * 37) % 500, if (i % 11 == 0) "degraded" else null,
-        Seq("B.1.1.7", "B.1.617.2", "BA.1")(i % 3))
-    }.toDF("sample_name", "ethid", "number_n", "fail_reason", "pango_lineage")
+        Seq("B.1.1.7", "B.1.617.2", "BA.1")(i % 3),
+        s"2021020${i % 5}_HWL33DRXX")
+    }.toDF("sample_name", "ethid", "number_n", "fail_reason", "pango_lineage", "sequencing_batch")
     val seqId = (0 until n / 4).map { i =>
       val ethid = 160000L + i
-      (s"${ethid}_p${(i * 2) % 7}_${('A' + (i * 2) % 8).toChar}${(i * 2) % 12 + 1}",
+      (ethid,
+        s"${ethid}_p${(i * 2) % 7}_${('A' + (i * 2) % 8).toChar}${(i * 2) % 12 + 1}",
         s"Switzerland/ZH-ETHZ-$ethid/2021")
-    }.toDF("sample_name", "gisaid_id")
+    }.toDF("ethid", "sample_name", "gisaid_id")
     val viollier = (0 to n / 2).map(i => // one row per ethid (PK semantics)
       (160000L + i, Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "BE", "VS", "GE")(i % 4)))
       .toDF("ethid", "order_date", "canton")
