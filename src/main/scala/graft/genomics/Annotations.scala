@@ -123,6 +123,42 @@ object Annotations {
           .otherwise("keep").as("action"))
   }
 
+  // D8: pairwise hamming distance with IUPAC ambiguity — two bases
+  // match if their IUPAC sets intersect (utility.R:306-313 delegates
+  // to ape/phangorn; the ambiguity semantics are standard IUPAC).
+  private val iupac: Map[Char, Set[Char]] = Map(
+    'A' -> Set('A'), 'C' -> Set('C'), 'G' -> Set('G'), 'T' -> Set('T'),
+    'R' -> Set('A', 'G'), 'Y' -> Set('C', 'T'), 'S' -> Set('G', 'C'),
+    'W' -> Set('A', 'T'), 'K' -> Set('G', 'T'), 'M' -> Set('A', 'C'),
+    'B' -> Set('C', 'G', 'T'), 'D' -> Set('A', 'G', 'T'),
+    'H' -> Set('A', 'C', 'T'), 'V' -> Set('A', 'C', 'G'),
+    'N' -> Set('A', 'C', 'G', 'T'))
+
+  /** Positions where the IUPAC sets are disjoint (gaps '-' and unknown
+    * chars are skipped, matching distance-over-known-sites semantics). */
+  def iupacHamming(a: String, b: String): Int = {
+    require(a.length == b.length, "sequences must be aligned")
+    var d = 0; var i = 0
+    while (i < a.length) {
+      val ca = Character.toUpperCase(a.charAt(i))
+      val cb = Character.toUpperCase(b.charAt(i))
+      (iupac.get(ca), iupac.get(cb)) match {
+        case (Some(sa), Some(sb)) if sa.intersect(sb).isEmpty => d += 1
+        case _ => // compatible or unknown/gap → not a difference
+      }
+      i += 1
+    }
+    d
+  }
+
+  /** Mean pairwise IUPAC-hamming distance over a small sequence set
+    * (the reference uses this interactively on bounded sets). */
+  def meanPairwiseDistance(seqs: Seq[String]): Double = {
+    val pairs = for { i <- seqs.indices; j <- (i + 1) until seqs.length }
+      yield iupacHamming(seqs(i), seqs(j))
+    if (pairs.isEmpty) 0.0 else pairs.sum.toDouble / pairs.length
+  }
+
   // D16: 'S:N501Y' → (gene, position, base-change columns).
   def decomposeAaMutation(aa: Column): Column = struct(
     split(aa, ":").getItem(0).as("gene"),

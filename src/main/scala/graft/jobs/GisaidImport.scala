@@ -1,0 +1,136 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.core.TableIO
+import graft.genomics.{Annotations, GeoRules, MutationCaller}
+import graft.operators.Upsert
+import graft.sources.Sources
+
+/** §3.1 — the GISAID API import pipeline, composed end-to-end
+  * (reference `gisaid/GisaidApiImporter.java` + `BatchProcessingWorker`):
+  *
+  *  1. read the JSON-lines feed with the schema-drift check (S5;
+  *     missing required fields abort, like the importer's email+abort)
+  *  2. per-record normalize: imprecise dates (D10), age (D10), geo
+  *     rules (D5), strain ownership + ethid (D6)
+  *  3. change detection vs the existing table (M3): new / changed /
+  *     unchanged — only new+changed proceed (UPDATE mode)
+  *  4. nucleotide mutation calling (D1) for the processed set
+  *  5. deletion set = existing − feed (M4)
+  *  6. sequence_identifier null-guarded update (M8 via coalescing upsert)
+  *  7. atomic-swap writes (M6)
+  *
+  * The reference's worker threads/bounded queue disappear: Spark
+  * partitions are the batches. Its mafft/nextclade subprocess stages
+  * slot in as PipeStage calls between steps 3 and 4 when the binaries
+  * exist (stubbed out in --demo).
+  */
+object GisaidImport {
+
+  val requiredFields = Set("covv_accession_id", "covv_virus_name", "sequence")
+  val expectedFields = Set("covv_collection_date", "covv_location",
+    "covv_patient_age", "covv_gender", "covv_lineage", "covv_subm_date")
+
+  val demoReference = "ACGTACGTACGTACGTACGTACGTACGTACGT" // 32-mer demo genome
+
+  def main(args: Array[String]): Unit = {
+    val Array(mode, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
+    val (feedPath, existing, identifiers) =
+      if (mode == "--demo") demoInputs(spark, outDir) else sys.error("only --demo wired")
+
+    // 1. extract + drift check
+    val (feed, drift) = Sources.readJsonWithDriftCheck(spark, feedPath, requiredFields, expectedFields)
+    require(!drift.fatal, s"schema drift: missing required ${drift.missingRequired}")
+    if (drift.missingExpected.nonEmpty || drift.unexpected.nonEmpty)
+      println(s"[gisaid] drift report: missingExpected=${drift.missingExpected} unexpected=${drift.unexpected}")
+
+    // 2. normalize
+    val geoRules = GeoRules.parseRules(Seq(
+      "europe/swizterland/*/*\tEurope/Switzerland/*/*", // typo-fix rule (nextstrain-style)
+      "*/ch/*/*\t*/Switzerland/*/*"))
+    val resolveGeo = GeoRules.resolveUdf(spark, geoRules)
+    val locParts = split(col("covv_location"), " / ")
+    val parsed = feed.select(
+        col("covv_accession_id").as("gisaid_epi_isl"),
+        col("covv_virus_name").as("strain"),
+        Annotations.normalizeImpreciseDate(col("covv_collection_date")).as("date"),
+        Annotations.normalizeAge(col("covv_patient_age")).as("age"),
+        resolveGeo(locParts.getItem(0), locParts.getItem(1),
+          coalesce(locParts.getItem(2), lit("")), coalesce(locParts.getItem(3), lit(""))).as("geo"),
+        col("covv_lineage").as("pango_lineage"),
+        upper(col("sequence")).as("seq_aligned"))
+      .select(col("gisaid_epi_isl"), col("strain"), col("date"), col("age"),
+        col("geo.region").as("region"), col("geo.country").as("country"),
+        col("geo.division").as("division"),
+        col("pango_lineage"), col("seq_aligned"),
+        Annotations.isOurs(col("strain")).as("is_ours"),
+        Annotations.parseEthid(col("strain")).as("ethid"))
+
+    // 3. change detection (M3) — sequences compared by content hash so
+    // the 30kb strings stay out of the comparison shuffle
+    val kinds = Upsert.changeKinds(
+      existing.withColumn("seq_hash", md5(col("seq_aligned"))).drop("seq_aligned"),
+      parsed.withColumn("seq_hash", md5(col("seq_aligned"))),
+      Seq("gisaid_epi_isl"), Seq("strain", "date", "pango_lineage", "seq_hash"))
+    val toProcess = kinds.filter(col("change_kind") =!= "unchanged").drop("seq_hash")
+    println(s"[gisaid] change kinds: " + kinds.groupBy("change_kind").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
+
+    // 4. mutation calling (D1) on the processed set
+    val mutations = MutationCaller.callTable(spark, toProcess, "gisaid_epi_isl",
+      "seq_aligned", demoReference, maskedSites = Set(5))
+
+    // 5. merged table: upsert processed records, then drop deleted ids (M4)
+    val merged = Upsert.upsert(existing, toProcess.drop("change_kind"), Seq("gisaid_epi_isl"))
+    val finalTable = Upsert.deleteMissing(merged, parsed.select("gisaid_epi_isl"), Seq("gisaid_epi_isl"))
+
+    // 6. identifier update (M8): set gisaid_id where ours and not yet
+    // set — null-guarded, an already-recorded id is never overwritten
+    val newIds = parsed.filter(col("is_ours") && col("ethid").isNotNull)
+      .select(col("ethid"), col("gisaid_epi_isl").as("gisaid_id"))
+    val mergedIds = Upsert.upsertKeepExisting(identifiers, newIds, Seq("ethid"))
+
+    // 7. atomic writes
+    Seq(
+      ("gisaid_api_sequence", finalTable.drop("seq_aligned")),
+      ("gisaid_api_sequence_mutation", mutations),
+      ("sequence_identifier", mergedIds))
+      .foreach { case (name, df) =>
+        TableIO.writeAtomicSwap(df, s"$outDir/$name")
+        println(s"[gisaid] $name rows=${TableIO.read(spark, s"$outDir/$name").count()}")
+      }
+    spark.stop()
+  }
+
+  /** Demo inputs: a JSON-lines feed (new + changed + unchanged +
+    * deleted records) and small existing tables. */
+  private def demoInputs(spark: SparkSession, outDir: String): (String, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gisaid_feed")
+    def rec(id: Int, strain: String, date: String, seq: String, lineage: String) =
+      s"""{"covv_accession_id":"EPI_ISL_$id","covv_virus_name":"$strain","covv_collection_date":"$date","covv_location":"Europe / ch / Zurich / Zurich","covv_patient_age":"${if (id % 7 == 0) "?" else (id % 90).toString}","covv_gender":"Male","covv_lineage":"$lineage","covv_subm_date":"2021-04-0${id % 9 + 1}","sequence":"$seq"}"""
+    val base = demoReference
+    val mutated = "T" + base.substring(1, 30) + "AA" // subs at 1, 31, 32
+    val lines = (1 to 200).map { i =>
+      val seq = if (i % 3 == 0) mutated else base
+      val date = if (i % 5 == 0) "2021-03" else if (i % 5 == 1) "2021" else "2021-03-15"
+      val strain = if (i % 4 == 0) s"Switzerland/ZH-ETHZ-16$i/2021" else s"Germany/BY-$i/2021"
+      rec(i, strain, date, seq, if (i % 2 == 0) "B.1.1.7" else "BA.1")
+    }
+    java.nio.file.Files.writeString(dir.resolve("provision.json"), lines.mkString("\n"))
+    // existing: ids 150..250 (so 201..250 get deleted, 1..149 are new),
+    // with id%6==0 records carrying a changed lineage
+    val existing = (150 to 250).map { i =>
+      (s"EPI_ISL_$i", s"Germany/BY-$i/2021", java.sql.Date.valueOf("2021-03-15"),
+        if (i % 6 == 0) "OLD.LINEAGE" else (if (i % 2 == 0) "B.1.1.7" else "BA.1"),
+        if (i % 3 == 0) mutated else base)
+    }.toDF("gisaid_epi_isl", "strain", "date", "pango_lineage", "seq_aligned")
+    val identifiers = Seq((16160L, "EPI_ISL_OLD", "existing"), (16200L, null, "pending"))
+      .toDF("ethid", "gisaid_id", "note")
+    (dir.resolve("provision.json").toString, existing, identifiers)
+  }
+}

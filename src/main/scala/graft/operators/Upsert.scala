@@ -40,6 +40,24 @@ object Upsert {
     }: _*)
   }
 
+  /** M8: null-guarded merge — like upsert but existing non-null values
+    * WIN (`update ... set gisaid_id = ? where gisaid_id is null`,
+    * BatchProcessingWorker.java:692-711): updates only fill holes. */
+  def upsertKeepExisting(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val e = tag(existing, "e_")
+    val u = tag(updates, "u_")
+    val cond = keys.map(k => e(s"e_$k") === u(s"u_$k")).reduce(_ && _)
+    val joined = e.join(u, cond, "full")
+    val outCols = (existing.columns ++ updates.columns.filterNot(existing.columns.contains)).toSeq
+    joined.select(outCols.map { c =>
+      val hasE = existing.columns.contains(c)
+      val hasU = updates.columns.contains(c)
+      if (hasE && hasU) coalesce(col(s"e_$c"), col(s"u_$c")).as(c)
+      else if (hasU) col(s"u_$c").as(c)
+      else col(s"e_$c").as(c)
+    }: _*)
+  }
+
   /** M2: `insert on conflict do nothing` — append only rows whose key is
     * absent (`ViollierMetadataReceiver.java:425-452`). */
   def insertIfAbsent(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =

@@ -92,6 +92,16 @@ class AnnotationsSpec extends SparkSpec {
     assert(out == Map("AY" -> "keep", "BA" -> "update", "XE" -> "add", "Q" -> "delete"))
   }
 
+  test("D8 IUPAC hamming: ambiguity-compatible bases are not differences") {
+    assert(iupacHamming("ACGT", "ACGT") == 0)
+    assert(iupacHamming("ACGT", "TCGT") == 1)
+    assert(iupacHamming("ACGT", "RCGT") == 0)  // R = A/G matches A
+    assert(iupacHamming("ACGT", "YCGT") == 1)  // Y = C/T vs A: disjoint
+    assert(iupacHamming("ACGT", "NNNN") == 0)  // N matches anything
+    assert(iupacHamming("AC-T", "ACGT") == 0)  // gap skipped
+    assert(meanPairwiseDistance(Seq("ACGT", "TCGT", "ACGT")) == 2.0 / 3)
+  }
+
   test("D16 aa mutation decomposition") {
     import spark.implicits._
     val out = Seq("S:N501Y", "ORF1a:T265I").toDF("aa")

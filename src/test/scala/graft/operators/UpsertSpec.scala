@@ -15,6 +15,15 @@ class UpsertSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "a", 10), (2, "b", 99), (3, "c", 30)))
   }
 
+  test("M8 upsertKeepExisting: existing non-null wins, holes filled, new keys appended") {
+    import spark.implicits._
+    val existing = Seq((1, "EPI_OLD"), (2, null.asInstanceOf[String])).toDF("k", "gid")
+    val updates = Seq((1, "EPI_NEW"), (2, "EPI_FILL"), (3, "EPI_3")).toDF("k", "gid")
+    val out = Upsert.upsertKeepExisting(existing, updates, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "EPI_OLD"), (2, "EPI_FILL"), (3, "EPI_3")))
+  }
+
   test("M2 insertIfAbsent keeps existing rows on conflict") {
     import spark.implicits._
     val existing = Seq((1, "keep")).toDF("k", "s")
