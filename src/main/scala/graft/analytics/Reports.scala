@@ -64,6 +64,36 @@ object Reports {
       .drop("priority_idx")
   }
 
+  /** Dashboard main view (ref `database/init.sql:783-948`,
+    * `dashboard_main_view`): canton → Grossregion recode, age-group
+    * bucketing, cases ∪ null-padded negatives (U1), armee carve-out. */
+  def dashboardMainView(cases: DataFrame, negatives: DataFrame): DataFrame = {
+    val grossregion = when(col("canton").isin("GE", "VD", "VS"), "Lake Geneva region")
+      .when(col("canton").isin("BE", "FR", "JU", "NE", "SO"), "Espace Mittelland")
+      .when(col("canton").isin("AG", "BL", "BS"), "Northwestern Switzerland")
+      .when(col("canton") === "ZH", "Zurich")
+      .when(col("canton").isin("AI", "AR", "GL", "GR", "SG", "SH", "TG"), "Eastern Switzerland")
+      .when(col("canton").isin("LU", "NW", "OW", "SZ", "UR", "ZG"), "Central Switzerland")
+      .when(col("canton") === "TI", "Ticino")
+      .otherwise("Unknown")
+    val ageGroup =
+      when(col("age") < 10, "0-9").when(col("age") < 20, "10-19")
+        .when(col("age") < 30, "20-29").when(col("age") < 40, "30-39")
+        .when(col("age") < 50, "40-49").when(col("age") < 60, "50-59")
+        .when(col("age") < 70, "60-69").when(col("age") < 80, "70-79")
+        .otherwise("80+")
+    val posBranch = cases
+      .filter(!coalesce(col("is_armee"), lit(false))) // armee carve-out (init.sql:878-880)
+      .select(col("date"), col("canton"), col("age"), lit(true).as("positive"))
+    val negBranch = negatives
+      .select(col("date"), col("canton"), lit(null).cast("int").as("age"), lit(false).as("positive"))
+    posBranch.unionByName(negBranch)
+      .withColumn("grossregion", grossregion)
+      .withColumn("age_group", when(col("age").isNull, "Unknown").otherwise(ageGroup))
+      .groupBy(col("date"), col("grossregion"), col("age_group"), col("positive"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Pipeline completeness funnel over the sample lifecycle (ref
     * quality_control.sql:46-58): one pass of stage flags. */
   def completenessFunnel(tests: DataFrame, consensus: DataFrame,

@@ -208,12 +208,24 @@ object AggQueries extends QueryModule {
         .groupBy(col("r_name"))
         .agg(
           concat_ws(";", array_sort(collect_set(col("n_name")))).as("nations"),
+          // conditional string_agg (ref viollier_plate.sql:202-205):
+          // collect_list drops the nulls the `when` produces
+          concat_ws(";", array_sort(collect_list(when(col("n_name") < "M", col("n_name")))))
+            .as("early_nations"),
+          // string_agg ordered by a DIFFERENT key (ref
+          // fgcz_pacbio_experiment.sql:86-88): sort structs by the key,
+          // then project the value
+          concat_ws(";", transform(
+            array_sort(collect_list(struct(col("n_nationkey").as("k"), col("n_name").as("v")))),
+            x => x.getField("v"))).as("nations_by_key"),
           cnt.as("n_nations"))
         .orderBy(col("r_name"))
     },
     Some("""
       SELECT r_name,
              string_agg(DISTINCT n_name, ';' ORDER BY n_name) AS nations,
+             coalesce(string_agg(CASE WHEN n_name < 'M' THEN n_name END, ';' ORDER BY n_name), '') AS early_nations,
+             string_agg(n_name, ';' ORDER BY n_nationkey) AS nations_by_key,
              count(*) AS n_nations
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name"""))
