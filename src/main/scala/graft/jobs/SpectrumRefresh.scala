@@ -1,6 +1,7 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.GraftSession
 import graft.analytics.{Reports, SpectrumViews}
 import graft.core.TableIO
@@ -33,7 +34,13 @@ object SpectrumRefresh {
       "report_bag_sequences" -> Reports.bagSequenceReport(
         t("consensus_sequence"), t("sequence_identifier"), completenessCol = "number_n"),
       "report_completeness" -> Reports.completenessFunnel(
-        t("viollier_test"), t("consensus_sequence"), t("sequence_identifier")))
+        t("viollier_test"), t("consensus_sequence"), t("sequence_identifier")),
+      "dashboard_main_view" -> Reports.dashboardMainView(
+        t("bag_dashboard_meldeformular")
+          .withColumnRenamed("fall_dt", "date").withColumnRenamed("ktn", "canton")
+          .withColumnRenamed("altersjahr", "age")
+          .withColumn("is_armee", pmod(col("age"), lit(13)) === 0),
+        t("bag_test_numbers")))
     (views ++ reports).foreach { case (name, df) =>
       TableIO.writeAtomicSwap(df, s"$outDir/$name")
       println(s"[spectrum] $name rows=${TableIO.read(spark, s"$outDir/$name").count()}")
@@ -45,7 +52,8 @@ object SpectrumRefresh {
     if (inDir == "--demo") demoTables(spark)
     else Seq("consensus_sequence", "sequence_identifier", "viollier_test",
       "gisaid_api_sequence", "nuc_mutations", "aa_mutations",
-      "ext_owid_global_cases", "spectrum_country", "bag_dashboard_meldeformular")
+      "ext_owid_global_cases", "spectrum_country", "bag_dashboard_meldeformular",
+      "bag_test_numbers")
       .map(n => n -> spark.read.parquet(s"$inDir/$n")).toMap
 
   /** FIXTURES.md-shaped deterministic demo tables (seed-free: derived
@@ -91,10 +99,13 @@ object SpectrumRefresh {
     val bag = (0 until n).map(i =>
       (Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "BE", "VS")(i % 3), (i * 7) % 95))
       .toDF("fall_dt", "ktn", "altersjahr")
+    val bagNeg = (0 until n / 2).map(i =>
+      (Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "TI", "GR")(i % 3)))
+      .toDF("date", "canton")
     Map("consensus_sequence" -> consensus, "sequence_identifier" -> seqId,
       "viollier_test" -> viollier, "gisaid_api_sequence" -> gisaid,
       "nuc_mutations" -> nucMut, "aa_mutations" -> aaMut,
       "ext_owid_global_cases" -> cases, "spectrum_country" -> countries,
-      "bag_dashboard_meldeformular" -> bag)
+      "bag_dashboard_meldeformular" -> bag, "bag_test_numbers" -> bagNeg)
   }
 }
