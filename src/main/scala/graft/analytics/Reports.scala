@@ -64,34 +64,51 @@ object Reports {
       .drop("priority_idx")
   }
 
-  /** Dashboard main view (ref `database/init.sql:783-948`,
-    * `dashboard_main_view`): canton → Grossregion recode, age-group
-    * bucketing, cases ∪ null-padded negatives (U1), armee carve-out. */
+  /** Dashboard main view (ref `database/init.sql:783-902`,
+    * `dashboard_main_view`): canton → Grossregion recode (reference
+    * labels, incl. FL), age-group bucketing for positives, union with
+    * `bag_test_numbers` where each row carries its own `age_group`
+    * (spaces stripped, `init.sql:896`) and a `negative_tests` count
+    * used as the multiplier (`init.sql:897-898` `mult`) — negatives
+    * are a counts table, NOT one row per test. Optional armee
+    * carve-out applies only when the positives input carries an
+    * `is_armee` marker (derived upstream from the
+    * `auftraggeber_armee=TRUE` comment, `bag_sequence_report.sql:14`);
+    * the reference's raw view keeps armee rows, so absence of the
+    * column means no filtering. */
   def dashboardMainView(cases: DataFrame, negatives: DataFrame): DataFrame = {
     val grossregion = when(col("canton").isin("GE", "VD", "VS"), "Lake Geneva region")
-      .when(col("canton").isin("BE", "FR", "JU", "NE", "SO"), "Espace Mittelland")
-      .when(col("canton").isin("AG", "BL", "BS"), "Northwestern Switzerland")
-      .when(col("canton") === "ZH", "Zurich")
-      .when(col("canton").isin("AI", "AR", "GL", "GR", "SG", "SH", "TG"), "Eastern Switzerland")
-      .when(col("canton").isin("LU", "NW", "OW", "SZ", "UR", "ZG"), "Central Switzerland")
-      .when(col("canton") === "TI", "Ticino")
+      .when(col("canton").isin("BE", "SO", "FR", "NE", "JU"), "Espace Mittelland")
+      .when(col("canton").isin("BS", "BL", "AG"), "Grossregion Nordwestschweiz")
+      .when(col("canton") === "ZH", "Grossregion Zurich")
+      .when(col("canton").isin("SG", "TG", "AI", "AR", "GL", "SH", "GR"), "Ostschweiz")
+      .when(col("canton").isin("UR", "SZ", "OW", "NW", "LU", "ZG"), "Central Switzerland")
+      .when(col("canton") === "TI", "Grossregion Tessin")
+      .when(col("canton") === "FL", "Fürstentum Liechtenstein")
       .otherwise("Unknown")
     val ageGroup =
-      when(col("age") < 10, "0-9").when(col("age") < 20, "10-19")
+      when(col("age").isNull, "Unknown")
+        .when(col("age") < 10, "0-9").when(col("age") < 20, "10-19")
         .when(col("age") < 30, "20-29").when(col("age") < 40, "30-39")
         .when(col("age") < 50, "40-49").when(col("age") < 60, "50-59")
         .when(col("age") < 70, "60-69").when(col("age") < 80, "70-79")
         .otherwise("80+")
-    val posBranch = cases
-      .filter(!coalesce(col("is_armee"), lit(false))) // armee carve-out (init.sql:878-880)
-      .select(col("date"), col("canton"), col("age"), lit(true).as("positive"))
-    val negBranch = negatives
-      .select(col("date"), col("canton"), lit(null).cast("int").as("age"), lit(false).as("positive"))
+    val posBase =
+      if (cases.columns.contains("is_armee"))
+        cases.filter(!coalesce(col("is_armee"), lit(false)))
+      else cases
+    val posBranch = posBase.select(
+      col("date"), col("canton"), ageGroup.as("age_group"),
+      lit(true).as("positive"), lit(1L).as("mult"))
+    val negBranch = negatives.select(
+      col("date"), col("canton"),
+      coalesce(regexp_replace(col("age_group"), " ", ""), lit("Unknown")).as("age_group"),
+      lit(false).as("positive"),
+      coalesce(col("negative_tests").cast("long"), lit(0L)).as("mult"))
     posBranch.unionByName(negBranch)
       .withColumn("grossregion", grossregion)
-      .withColumn("age_group", when(col("age").isNull, "Unknown").otherwise(ageGroup))
       .groupBy(col("date"), col("grossregion"), col("age_group"), col("positive"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("mult")).as("n"))
   }
 
   /** Pipeline completeness funnel over the sample lifecycle (ref

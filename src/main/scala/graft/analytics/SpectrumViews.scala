@@ -21,25 +21,40 @@ object SpectrumViews {
 
   /** View 1 — `spectrum_sequence_public_meta` (:22-113).
     *
-    * Own-sequence branch: keep sequences that are on GISAID, or
-    * best-per-ethid (min number_n, tie-break sample_name) among
-    * passing sequences (fail_reason null); privacy projection with
-    * `'UNRELEASED_ETHZ_' || ethid` naming for unreleased ones.
-    * GISAID branch: everything except our own re-uploads
-    * (`strain NOT LIKE '%-ETHZ-%'`), null-padded to the same schema.
+    * Released branch (:46-56): EVERY sequence whose sample is on
+    * GISAID — no fail filter, no dedup. Unreleased branch (:57-68):
+    * only when the ethid has NO released sequence at all (the NOT
+    * EXISTS matches sequence_identifier by sample_name OR ethid,
+    * :62-66), pick best-per-ethid (min number_n, tie-break
+    * sample_name) ranked over ALL of the ethid's sequences including
+    * failed ones (:68-77 cs2 has no fail filter), and the winner must
+    * itself pass (fail_reason null, :78). Privacy projection names
+    * unreleased rows `'UNRELEASED_ETHZ_' || ethid`. GISAID branch:
+    * everything except our own re-uploads (`strain NOT LIKE
+    * '%-ETHZ-%'`), null-padded to the same schema.
     */
   def sequencePublicMeta(consensus: DataFrame, sequenceIdentifier: DataFrame,
       viollierTest: DataFrame, gisaid: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("ethid"))
-      .orderBy(col("number_n").asc, col("sample_name").asc)
+    val byEthid = Window.partitionBy(col("ethid"))
+    val w = byEthid.orderBy(col("number_n").asc, col("sample_name").asc)
+    // ethids released through an identifier row matched by ethid —
+    // catches identifiers whose sample_name matches no consensus row.
+    // Keyed by ethid like the dedup window, so the shuffle is shared.
+    val releasedViaEthid = sequenceIdentifier
+      .filter(col("gisaid_id").isNotNull && col("ethid").isNotNull)
+      .select(col("ethid")).distinct()
+      .withColumn("__released_via_ethid", lit(true))
     val own = consensus
-      .filter(col("fail_reason").isNull)
-      // on-GISAID is a per-SEQUENCE property (the uploaded sample), not
-      // per ethid — joining by ethid would keep every duplicate of a
-      // released ethid (found by driving the refresh job on demo data)
+      // on-GISAID is a per-SEQUENCE property (the uploaded sample)
       .join(sequenceIdentifier.select(col("sample_name"), col("gisaid_id")), Seq("sample_name"), "left")
+      .join(releasedViaEthid, Seq("ethid"), "left")
       .withColumn("__rn", row_number().over(w))
-      .filter(col("gisaid_id").isNotNull || col("__rn") === 1)
+      .withColumn("__ethid_released",
+        max(col("gisaid_id").isNotNull).over(byEthid)
+          || coalesce(col("__released_via_ethid"), lit(false)))
+      .filter(
+        col("gisaid_id").isNotNull // released: keep all, even failed/dup
+          || (!col("__ethid_released") && col("__rn") === 1 && col("fail_reason").isNull))
       .join(viollierTest.select(col("ethid"), col("order_date"), col("canton")), Seq("ethid"), "left")
       .select(
         coalesce(col("gisaid_id"), concat(lit("UNRELEASED_ETHZ_"), col("ethid"))).as("strain"),

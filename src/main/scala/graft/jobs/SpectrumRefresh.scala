@@ -36,10 +36,9 @@ object SpectrumRefresh {
       "report_completeness" -> Reports.completenessFunnel(
         t("viollier_test"), t("consensus_sequence"), t("sequence_identifier")),
       "dashboard_main_view" -> Reports.dashboardMainView(
-        t("bag_dashboard_meldeformular")
+        withArmeeFlag(t("bag_dashboard_meldeformular"))
           .withColumnRenamed("fall_dt", "date").withColumnRenamed("ktn", "canton")
-          .withColumnRenamed("altersjahr", "age")
-          .withColumn("is_armee", pmod(col("age"), lit(13)) === 0),
+          .withColumnRenamed("altersjahr", "age"),
         t("bag_test_numbers")))
     (views ++ reports).foreach { case (name, df) =>
       TableIO.writeAtomicSwap(df, s"$outDir/$name")
@@ -47,6 +46,18 @@ object SpectrumRefresh {
     }
     spark.stop()
   }
+
+  /** Armee marker derived from data, never synthesized: the import
+    * appends `auftraggeber_armee=TRUE` to the free-text comment
+    * (`import_bag_meldeformular.R:179-192`), which downstream views
+    * test with LIKE (`bag_sequence_report.sql:14`,
+    * `viollier_plate.sql:171`). Inputs without a comment column get
+    * no flag → no carve-out. */
+  private def withArmeeFlag(bag: DataFrame): DataFrame =
+    if (bag.columns.contains("comment"))
+      bag.withColumn("is_armee",
+        coalesce(col("comment").like("%auftraggeber_armee=TRUE%"), lit(false)))
+    else bag
 
   private def tables(spark: SparkSession, inDir: String): Map[String, DataFrame] =
     if (inDir == "--demo") demoTables(spark)
@@ -97,11 +108,13 @@ object SpectrumRefresh {
     val countries = Seq(("Europe", "Switzerland"), ("Europe", "Germany"))
       .toDF("region", "country")
     val bag = (0 until n).map(i =>
-      (Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "BE", "VS")(i % 3), (i * 7) % 95))
-      .toDF("fall_dt", "ktn", "altersjahr")
-    val bagNeg = (0 until n / 2).map(i =>
-      (Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "TI", "GR")(i % 3)))
-      .toDF("date", "canton")
+      (Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "BE", "VS")(i % 3), (i * 7) % 95,
+        if (i % 13 == 0) "auftraggeber_armee=TRUE" else null))
+      .toDF("fall_dt", "ktn", "altersjahr", "comment")
+    val bagNeg = (0 until n / 2).map(i => // counts table: one row per (date, canton, age_group)
+      (Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "TI", "GR")(i % 3),
+        Seq("0 - 9", "10 - 19", "20 - 29", "80+")(i % 4), (i * 3) % 40 + 1))
+      .toDF("date", "canton", "age_group", "negative_tests")
     Map("consensus_sequence" -> consensus, "sequence_identifier" -> seqId,
       "viollier_test" -> viollier, "gisaid_api_sequence" -> gisaid,
       "nuc_mutations" -> nucMut, "aa_mutations" -> aaMut,

@@ -64,10 +64,10 @@ object AggQueries extends QueryModule {
     },
     Some("""
       SELECT o_orderpriority,
-        sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-        sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-        sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
-        sum(CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big_finished,
+        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        CAST(sum(CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_finished,
         count(*) AS n_total
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
@@ -192,7 +192,7 @@ object AggQueries extends QueryModule {
       SELECT l_orderkey % 7 AS key_mod,
         count(*) AS n,
         CAST(round(sum(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS disc_qty,
-        sum(CAST(ceil(l_extendedprice) AS BIGINT)) AS sum_ceil_price,
+        CAST(sum(CAST(ceil(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_ceil_price,
         CAST(round(sum(least(CAST(l_discount AS DECIMAL(18,4)), CAST(l_tax AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_least_rate
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
@@ -329,9 +329,9 @@ object AggQueries extends QueryModule {
         FROM lineitem GROUP BY l_orderkey)
       SELECT year(o_orderdate) AS order_year, month(o_orderdate) AS order_month,
              count(*) AS placed,
-             sum(CASE WHEN n_lines IS NOT NULL THEN 1 ELSE 0 END) AS with_lines,
-             sum(CASE WHEN n_returned > 0 THEN 1 ELSE 0 END) AS with_returns,
-             sum(CASE WHEN last_ship > o_orderdate THEN 1 ELSE 0 END) AS shipped_after_order
+             CAST(sum(CASE WHEN n_lines IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_lines,
+             CAST(sum(CASE WHEN n_returned > 0 THEN 1 ELSE 0 END) AS BIGINT) AS with_returns,
+             CAST(sum(CASE WHEN last_ship > o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS shipped_after_order
       FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 

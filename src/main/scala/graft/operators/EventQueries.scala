@@ -63,10 +63,10 @@ object EventQueries extends QueryModule {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sessions AS (
         SELECT user_id, event_id, ts, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged)
-      SELECT user_id, session_id, count(*) AS n_events,
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
              min(ts) AS session_start, max(ts) AS session_end,
              CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
       FROM sessions GROUP BY 1, 2 ORDER BY 1, 2"""))

@@ -68,10 +68,10 @@ object GenomicsQueries extends QueryModule {
                ELSE '!' END AS mutation_state
         FROM seqs CROSS JOIN defs)
       SELECT doc_id,
-        sum(CASE WHEN mutation_state = '+' THEN 1 ELSE 0 END) AS confirmed,
-        sum(CASE WHEN mutation_state = '-' THEN 1 ELSE 0 END) AS original,
-        sum(CASE WHEN mutation_state = '?' THEN 1 ELSE 0 END) AS unknown,
-        sum(CASE WHEN mutation_state = '!' THEN 1 ELSE 0 END) AS weird,
+        CAST(sum(CASE WHEN mutation_state = '+' THEN 1 ELSE 0 END) AS BIGINT) AS confirmed,
+        CAST(sum(CASE WHEN mutation_state = '-' THEN 1 ELSE 0 END) AS BIGINT) AS original,
+        CAST(sum(CASE WHEN mutation_state = '?' THEN 1 ELSE 0 END) AS BIGINT) AS unknown,
+        CAST(sum(CASE WHEN mutation_state = '!' THEN 1 ELSE 0 END) AS BIGINT) AS weird,
         (sum(CASE WHEN mutation_state = '+' THEN 1 ELSE 0 END) >= 4.0) AS is_variant,
         (sum(CASE WHEN mutation_state = '+' THEN 1 ELSE 0 END)
          + sum(CASE WHEN mutation_state = '-' THEN 1 ELSE 0 END)

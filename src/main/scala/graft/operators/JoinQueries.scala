@@ -119,7 +119,7 @@ object JoinQueries extends QueryModule {
     },
     Some("""
       SELECT c_custkey,
-             sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS n_big_orders,
+             CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_big_orders,
              count(*) AS n_rows
       FROM (SELECT * FROM orders WHERE o_totalprice > 350000) o
       RIGHT JOIN customer ON o_custkey = c_custkey

@@ -18,8 +18,8 @@ class SpectrumViewsSpec extends SparkSpec {
       ("160003_p1_D4", 160003L, 10, "degraded", "None") // failed → excluded
     ).toDF("sample_name", "ethid", "number_n", "fail_reason", "pango_lineage")
     val seqId = Seq(
-      ("160002_p1_C3", "Switzerland/ZH-ETHZ-160002/2021") // released (per-sample link)
-    ).toDF("sample_name", "gisaid_id")
+      (160002L, "160002_p1_C3", "Switzerland/ZH-ETHZ-160002/2021") // released (per-sample link)
+    ).toDF("ethid", "sample_name", "gisaid_id")
     val viollier = Seq(
       (160001L, Date.valueOf("2021-03-01"), "ZH"),
       (160002L, Date.valueOf("2021-03-02"), "BE"),
@@ -74,6 +74,50 @@ class SpectrumViewsSpec extends SparkSpec {
     assert(strains.contains("Germany/BY-1/2021"))
     // 160001 (deduped) + 160002 (released) + Germany = 3
     assert(meta.length == 3)
+  }
+
+  test("meta: a released ethid never also emits an UNRELEASED_ETHZ_ row") {
+    import spark.implicits._
+    // 160010 has a released sequence AND a better (lower number_n)
+    // unreleased one — the reference's NOT EXISTS (:60-67) drops the
+    // whole unreleased branch for that ethid (was double-counted pre-r2)
+    val consensus = Seq(
+      ("160010_p1_A1", 160010L, 100, null, "B.1.1.7"),  // released below
+      ("160010_p2_B2", 160010L, 10, null, "B.1.1.7"),   // better but unreleased
+      // 160011: identifier released via ETHID link only (sample_name
+      // matches no consensus row)
+      ("160011_p1_C3", 160011L, 20, null, "BA.1")
+    ).toDF("sample_name", "ethid", "number_n", "fail_reason", "pango_lineage")
+    val seqId = Seq(
+      (160010L, "160010_p1_A1", "Switzerland/ZH-ETHZ-160010/2021"),
+      (160011L, "160011_pX_Z9", "Switzerland/ZH-ETHZ-160011/2021")
+    ).toDF("ethid", "sample_name", "gisaid_id")
+    val viollier = Seq((160010L, Date.valueOf("2021-03-01"), "ZH"),
+      (160011L, Date.valueOf("2021-03-02"), "BE"))
+      .toDF("ethid", "order_date", "canton")
+    val gisaid = Seq.empty[(String, String, String, Date, String)]
+      .toDF("strain", "country", "division", "date", "pango_lineage")
+    val meta = SpectrumViews.sequencePublicMeta(consensus, seqId, viollier, gisaid)
+      .collect().map(_.getAs[String]("strain")).toSeq.sorted
+    // one released row for 160010, nothing unreleased for either ethid
+    assert(meta == Seq("Switzerland/ZH-ETHZ-160010/2021"))
+  }
+
+  test("meta: failed best-per-ethid row suppresses the ethid, not promotes 2nd best") {
+    import spark.implicits._
+    // ranking runs over ALL rows incl. failed (cs2 has no fail filter,
+    // :68-77): if the min-number_n row failed, the ethid emits nothing
+    val consensus = Seq(
+      ("160020_p1_A1", 160020L, 5, "degraded", "None"),
+      ("160020_p2_B2", 160020L, 50, null, "B.1.1.7")
+    ).toDF("sample_name", "ethid", "number_n", "fail_reason", "pango_lineage")
+    val seqId = Seq.empty[(Long, String, String)].toDF("ethid", "sample_name", "gisaid_id")
+    val viollier = Seq((160020L, Date.valueOf("2021-03-01"), "ZH"))
+      .toDF("ethid", "order_date", "canton")
+    val gisaid = Seq.empty[(String, String, String, Date, String)]
+      .toDF("strain", "country", "division", "date", "pango_lineage")
+    val meta = SpectrumViews.sequencePublicMeta(consensus, seqId, viollier, gisaid).collect()
+    assert(meta.isEmpty)
   }
 
   test("mutation views join meta and decompose AA mutations") {

@@ -39,14 +39,20 @@ class SkewSpec extends SparkSpec {
       (java.sql.Date.valueOf("2021-03-01"), "GE", 85, false),
       (java.sql.Date.valueOf("2021-03-01"), "ZH", 30, true) // armee → carved out
     ).toDF("date", "canton", "age", "is_armee")
-    val negatives = Seq((java.sql.Date.valueOf("2021-03-01"), "TI"))
-      .toDF("date", "canton")
+    // negatives are a counts table (init.sql:896-898): age_group has
+    // embedded spaces, negative_tests is the multiplier
+    val negatives = Seq((java.sql.Date.valueOf("2021-03-01"), "TI", "20 - 29", 7))
+      .toDF("date", "canton", "age_group", "negative_tests")
     val out = Reports.dashboardMainView(cases, negatives).collect()
       .map(r => (r.getAs[String]("grossregion"), r.getAs[String]("age_group"),
         r.getAs[Boolean]("positive"), r.getAs[Long]("n"))).toSet
     assert(out == Set(
-      ("Zurich", "20-29", true, 1L),
+      ("Grossregion Zurich", "20-29", true, 1L),
       ("Lake Geneva region", "80+", true, 1L),
-      ("Ticino", "Unknown", false, 1L)))
+      ("Grossregion Tessin", "20-29", false, 7L)))
+    // no is_armee column → reference semantics, no carve-out
+    val outNoFlag = Reports.dashboardMainView(cases.drop("is_armee"), negatives)
+      .filter(col("positive")).agg(sum(col("n"))).head().getLong(0)
+    assert(outNoFlag == 3L)
   }
 }
