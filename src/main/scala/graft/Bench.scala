@@ -3,29 +3,42 @@ package graft
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the noop
   * sink (count() can short-circuit to metadata for scans). One warmup
-  * pass amortizes JIT/codegen so the timed pass reflects steady-state
-  * executor throughput. Prints ONE JSON line.
+  * pass amortizes JIT/codegen; each query is then timed 3× and the
+  * MEDIAN reported, with the cache cleared after every execution —
+  * cached frames surviving across queries previously caused 10–20 s
+  * GC/eviction stalls landing on random queries (±2× instability).
+  * Prints ONE JSON line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
 
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      val t = try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      // query isolation: no cached block outlives its query
+      spark.catalog.clearCache()
+      t
+    }
+
+    def median(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(exec) // warmup
-    val results = names.map(n => n -> exec(n))
+    val results = names.map(n => n -> median((1 to passes).map(_ => exec(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -45,27 +45,28 @@ object AnnQueries extends QueryModule {
         FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
       WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed, no RNG state):
-    * plane[i][j] = sin(1 + i*131 + j*7) — reproducible everywhere. */
-  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
-    (0 until nPlanes).map(i => (0 until dim).map(j => math.sin(1.0 + i * 131 + j * 7)))
+  /** Shared 4-plane ±1 hyperplane set over the 64-dim embeddings
+    * (md5-derived — see [[graft.functions.VectorFunctions.md5SignPlanes]]);
+    * integer-exact, so the DuckDB oracle computes identical buckets. */
+  private[operators] val lshSigns: Seq[Seq[Int]] = md5SignPlanes(4, 64)
 
   // LSH-bucketed ANN: corpus hashed to 4-plane sign buckets; queries
-  // probe their own bucket only. Oracle: rows-only (bucket membership
-  // depends on double trig constants; semantics covered by ann1 + spec).
+  // probe their own bucket only (expected scan fraction ~1/16 of the
+  // corpus per probe). Bucket ids are BIGINT arithmetic → the oracle
+  // reproduces them exactly from the same ±1 literals.
   private val ann2 = Q(
     "q_ann2_lsh_bucketed",
     "LSH-bucketed ANN: hyperplane sign buckets, per-bucket cosine top-3",
     (s, d) => {
       graft.functions.VecExpressions.register(s)
       val e = Tables.embeddings(s, d)
-      val ps = planes(4, 64)
       val bucketed = e.select(col("vec_id"), col("embedding"),
-        hyperplaneBucket(col("embedding"), ps).as("bucket"))
+        intHyperplaneBucket(col("embedding"), lshSigns).as("bucket"))
       val q = bucketed.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
+      // the query set is O(1) (8 probes) — broadcast is scale-safe
       broadcast(q).join(bucketed, Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
@@ -75,7 +76,19 @@ object AnnQueries extends QueryModule {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     },
-    None)
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding,
+               ${intHyperplaneBucketSql("embedding", lshSigns)} AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+            FROM b WHERE vec_id < 8)
+      SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id ASC) AS rnk
+        FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
+      WHERE rnk <= 3 ORDER BY query_id, rnk"""))
 
   override val all: Seq[Q] = Seq(ann1, ann2)
 }

@@ -53,23 +53,27 @@ object DedupQueries extends QueryModule {
       val sig = minhashSignature(sh, "doc_id", 8).cache()
       val bands = lshBands(sig, "doc_id", 8, 2)
       val a = bands.select(col("doc_id").as("da"), col("band"), col("band_key"))
-      val b = bands.select(col("doc_id").as("db"), col("band").as("band_b"), col("band_key").as("band_key_b"))
-      // band frames are 4 rows/doc — broadcast one side, no shuffle
-      val cand = a.join(broadcast(b),
-          col("band") === col("band_b") && col("band_key") === col("band_key_b") &&
-          col("da") < col("db"))
+      val b = bands.select(col("doc_id").as("db"), col("band"), col("band_key"))
+      // candidate generation = self shuffle-join partitioned by
+      // (band, band_key) — the standard LSH plan: every frame here is
+      // O(corpus), so nothing carries a broadcast hint (at 1 B docs a
+      // broadcast band table is a driver OOM). AQE may still pick a
+      // runtime broadcast when a side is actually small — a runtime
+      // size decision, not a plan commitment.
+      val cand = a.join(b, Seq("band", "band_key"))
+        .filter(col("da") < col("db"))
         .select(col("da"), col("db")).distinct()
+      // verification joins shuffle-keyed by doc id / (doc id, shingle);
+      // candidate count is O(near-dup pairs), not O(N²)
       val sa = sh.select(col("doc_id").as("da"), col("shingle"))
-      val sb = sh.select(col("doc_id").as("db2"), col("shingle").as("shingle_b"))
-      // candidates are few (near-dup pairs only): broadcast them into
-      // the shingle scans so the verify stage never shuffles the corpus
-      val inter = broadcast(cand)
+      val sb = sh.select(col("doc_id").as("db"), col("shingle"))
+      val inter = cand
         .join(sa, "da")
-        .join(sb, col("db") === col("db2") && col("shingle") === col("shingle_b"))
+        .join(sb, Seq("db", "shingle"))
         .groupBy(col("da"), col("db")).agg(cnt.as("ninter"))
       val jac = inter
-        .join(broadcast(sig.select(col("doc_id").as("da"), col("n").as("na"))), "da")
-        .join(broadcast(sig.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
+        .join(sig.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sig.select(col("doc_id").as("db"), col("n").as("nb")), "db")
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           (col("ninter").cast(DoubleType) / (col("na") + col("nb") - col("ninter"))).as("jaccard"))
       jac.filter(col("jaccard") >= 0.7).orderBy(col("doc_a"), col("doc_b"))
@@ -132,23 +136,41 @@ object DedupQueries extends QueryModule {
         SELECT doc_id, $packed AS simhash FROM votes ORDER BY doc_id"""))
   }
 
-  // n-gram Jaccard near-dup: word bigrams, inverted-index candidate join
-  // bucketed by (lang, source), verified at ≥ 0.3.
+  /** Document-frequency cap for dd4's inverted index (SCALING.md): a
+    * shingle shared by more than this many docs of a (lang, source)
+    * bucket generates no candidate pairs — one hot stopword bigram
+    * would otherwise emit O(df²) pairs. Pairs that share ONLY hot
+    * shingles are missed (their Jaccard is dominated by stopwords
+    * anyway); surviving pairs are verified against the FULL shingle
+    * sets, so reported Jaccard values stay exact. */
+  private[operators] val Dd4MaxDf = 50L
+
+  // n-gram Jaccard near-dup: word bigrams, DF-capped inverted-index
+  // candidate join bucketed by (lang, source), verified at ≥ 0.3.
   private val dd4 = Q(
     "q_dd4_ngram_jaccard",
-    "word-bigram Jaccard similarity via shared-shingle inverted-index join",
+    "word-bigram Jaccard via DF-capped shared-shingle inverted-index join",
     (s, d) => {
       val doc = Tables.documents(s, d)
       val bg = wordShingles(doc, "doc_id", "text", 2)
         .join(doc.select(col("doc_id"), col("lang"), col("source")), "doc_id")
         .cache()
       val sizes = bg.groupBy(col("doc_id")).agg(cnt.as("n"))
-      val a = bg.select(col("doc_id").as("da"), col("lang"), col("source"), col("shingle"))
-      val b = bg.select(col("doc_id").as("db"), col("lang").as("lang_b"),
-        col("source").as("source_b"), col("shingle").as("shingle_b"))
-      val inter = a.join(b,
-          col("lang") === col("lang_b") && col("source") === col("source_b") &&
-          col("shingle") === col("shingle_b") && col("da") < col("db"))
+      val rare = bg.join(
+        bg.groupBy(col("lang"), col("source"), col("shingle"))
+          .agg(cnt.as("df")).filter(col("df") <= Dd4MaxDf),
+        Seq("lang", "source", "shingle"))
+      val ra = rare.select(col("doc_id").as("da"), col("lang"), col("source"), col("shingle"))
+      val rb = rare.select(col("doc_id").as("db"), col("lang"), col("source"), col("shingle"))
+      val cand = ra.join(rb, Seq("lang", "source", "shingle"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      // exact intersection over the uncapped shingle sets
+      val sa = bg.select(col("doc_id").as("da"), col("shingle"))
+      val sb = bg.select(col("doc_id").as("db"), col("shingle"))
+      val inter = cand
+        .join(sa, "da")
+        .join(sb, Seq("db", "shingle"))
         .groupBy(col("da"), col("db")).agg(cnt.as("ninter"))
       inter
         .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
@@ -158,7 +180,7 @@ object DedupQueries extends QueryModule {
         .filter(col("jaccard") >= 0.3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some("""
+    Some(s"""
       WITH toks AS (
         SELECT doc_id, lang, source, list_filter(string_split(text, ' '), t -> t <> '') AS w
         FROM documents),
@@ -168,11 +190,21 @@ object DedupQueries extends QueryModule {
         FROM (SELECT doc_id, lang, source, w, unnest(range(1, len(w))) AS i
               FROM toks WHERE len(w) >= 2)),
       sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
-      inter AS (
-        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ninter
-        FROM bg a JOIN bg b
+      rare AS (
+        SELECT bg.* FROM bg
+        JOIN (SELECT lang, source, shingle FROM bg
+              GROUP BY 1, 2, 3 HAVING count(*) <= $Dd4MaxDf) r
+          USING (lang, source, shingle)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM rare a JOIN rare b
           ON a.lang = b.lang AND a.source = b.source
-         AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         AND a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      inter AS (
+        SELECT c.da, c.db, count(*) AS ninter
+        FROM cand c
+        JOIN bg sa ON sa.doc_id = c.da
+        JOIN bg sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
         GROUP BY 1, 2)
       SELECT i.da AS doc_a, i.db AS doc_b,
              CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard
@@ -182,32 +214,45 @@ object DedupQueries extends QueryModule {
       WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.3
       ORDER BY 1, 2"""))
 
-  // Embedding-cosine near-dup at threshold 0.8. The all-pairs form here
-  // is the verification stage; at scale candidates come from
-  // VectorFunctions.hyperplaneBucket LSH first (see AnnQueries).
+  // Embedding-cosine near-dup at threshold 0.8, LSH-bucketed: pairs are
+  // generated only within a hyperplane sign bucket (equi-join on the
+  // bucket id — a shuffle join, NOT a cartesian), then verified with an
+  // exact cosine. Cosine-similar vectors collide with high probability
+  // (4 Rademacher planes ⇒ P[same bucket | cos=0.8] ≈ (1-acos(.8)/π)⁴
+  // ≈ 0.38 per table; at scale run multiple plane sets and union, same
+  // plan shape). The oracle buckets identically (integer-exact bucket
+  // ids), so results match bit-for-bit.
   private val dd5 = Q(
     "q_dd5_embedding_dup",
-    "embedding cosine near-dup pairs (threshold 0.8)",
+    "embedding cosine near-dup pairs via LSH buckets (threshold 0.8)",
     (s, d) => {
       graft.functions.VecExpressions.register(s)
       val e = Tables.embeddings(s, d)
-      // precompute norms once per vector; the pair loop is then a
-      // single codegen'd dot product per candidate
-      val withNorm = e.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
-      val a = withNorm.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = withNorm.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, col("va") < col("vb"))
+      // precompute norm + bucket once per vector; the pair loop is then
+      // a single codegen'd dot product per same-bucket candidate
+      val withB = e.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        intHyperplaneBucket(col("embedding"), AnnQueries.lshSigns).as("bucket"))
+      val a = withB.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("bucket"))
+      val b = withB.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("va") < col("vb"))
         .select(col("va"), col("vb"),
           (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
         .filter(col("cos") >= 0.8)
         .select(col("va").as("vec_a"), col("vb").as("vec_b"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
-    Some("""
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding,
+               ${intHyperplaneBucketSql("embedding", AnnQueries.lshSigns)} AS bucket
+        FROM embeddings)
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE list_cosine_similarity(a.embedding, b2.embedding) >= 0.8
       ORDER BY 1, 2"""))
 
   override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5)

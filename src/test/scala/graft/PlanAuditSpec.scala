@@ -60,6 +60,24 @@ class PlanAuditSpec extends SparkSpec {
       s"should not read unused columns: $readSchema")
   }
 
+  test("dedup family: no broadcast hints on O(corpus) frames") {
+    // dd2's band table, dd4's shingle index, and dd5's bucketed corpus
+    // all scale with N — a plan-level broadcast hint on any of them is
+    // a driver OOM at 1 B docs. AQE may still broadcast at runtime when
+    // a frame is actually small; that's a size decision, not a hint.
+    for (n <- Seq("q_dd2_minhash_lsh", "q_dd4_ngram_jaccard", "q_dd5_embedding_dup")) {
+      val qe = SparkEntry.queries(n)(spark, sf0001).queryExecution
+      assert(!qe.analyzed.toString.contains("ResolvedHint"),
+        s"$n must not carry a broadcast hint")
+    }
+  }
+
+  test("q_dd5: bucket equi-join — no cartesian over the corpus") {
+    val p = plan("q_dd5_embedding_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"embedding near-dup must join on the LSH bucket key:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     // AQE prints codegen spans only in the finalized plan — collect()
     // executes this exact queryExecution (write/count would clone it)

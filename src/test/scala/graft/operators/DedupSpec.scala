@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Dedup-family behavior tests beyond the DuckDB gate: the DF cap that
+  * keeps dd4's inverted index from going quadratic on hot shingles, and
+  * bucket agreement between dd5's LSH pre-filter and its oracle twin.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedupspec").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dd4 DF cap: an all-identical corpus generates zero candidate pairs") {
+    // 200 identical docs: every shingle has df=200 > Dd4MaxDf=50, so the
+    // capped inverted index emits NO candidates — without the cap this
+    // corpus is O(N²) = 19 900 pairs through the self-join. Exact dups
+    // are dd1's job (hash-groupBy), not the similarity join's.
+    val dir = writeDocs((0L until 200L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog", "en", "web")))
+    val out = SparkEntry.queries("q_dd4_ngram_jaccard")(spark, dir)
+    assert(out.count() == 0)
+  }
+
+  test("dd4 DF cap: rare-shingle near-dups still found; hot shingles still count in Jaccard") {
+    // 60 copies of a filler doc (df=60 > cap for its shingles) plus two
+    // docs sharing rare shingles AND one hot shingle ("common filler"):
+    // the pair must surface via its rare shingles, and its Jaccard must
+    // count the hot shingle too (verification is against FULL sets).
+    val filler = (0L until 60L).map(i => (100 + i, "common filler text block", "en", "web"))
+    val docs = filler ++ Seq(
+      (1L, "unique alpha beta gamma delta epsilon common filler", "en", "web"),
+      (2L, "unique alpha beta gamma delta zeta common filler", "en", "web"))
+    val dir = writeDocs(docs)
+    val out = SparkEntry.queries("q_dd4_ngram_jaccard")(spark, dir)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2).collect()
+    assert(out.length == 1)
+    // doc1 bigrams: 7, doc2 bigrams: 7, shared: {unique alpha, alpha
+    // beta, beta gamma, gamma delta, common filler} = 5 → 5/9
+    assert(math.abs(out.head.getAs[Double]("jaccard") - 5.0 / 9.0) < 1e-12)
+  }
+
+  test("dd5/ann2 bucket: Spark intHyperplaneBucket equals the generated DuckDB SQL literal form") {
+    import graft.functions.VectorFunctions._
+    import spark.implicits._
+    // integer-exactness: recompute the bucket in pure Scala integer
+    // arithmetic from the same signs and compare
+    val signs = AnnQueries.lshSigns
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, (0 until 64).map(j => ((i * 31 + j * 7) % 17 - 8) / 8.0f).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"), intHyperplaneBucket(col("embedding"), signs).as("b"))
+      .as[(Long, Long)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val expected = signs.zipWithIndex.map { case (p, i) =>
+        val d = v.zip(p).map { case (x, s) => math.floor(x.toDouble * 1000.0).toLong * s }.sum
+        if (d > 0) 1L << i else 0L
+      }.sum
+      assert(got(id) == expected, s"bucket mismatch for vec $id")
+    }
+  }
+}
