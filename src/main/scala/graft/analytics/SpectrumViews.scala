@@ -75,6 +75,100 @@ object SpectrumViews {
     own.unionByName(foreign)
   }
 
+  /** View 1b — `staging_spectrum_sequence_private_meta` (:274-365):
+    * the public view's own-branch dedup (identical released/unreleased
+    * semantics) but an INNER join to viollier_test and the full private
+    * projection — canton→English division, city/zip, Meldeformular
+    * age/sex/hospitalization/death/vaccination, Nextclade lineage.
+    * GISAID branch: country via spectrum_country iso lookup, Team-W
+    * originating lab exempt from the ETHZ-strain exclusion, Human
+    * hosts, dates from 2020-01-01. Dimension joins (canton, country)
+    * broadcast; the Meldeformular join keys on sample_number.
+    *
+    * The reference left-joins sequence_identifier by ethid for the
+    * display name (:333); with multiple identifier rows per ethid that
+    * would fan out — here the first (min) gisaid_id per ethid is taken,
+    * deterministic and fan-out-free. */
+  def sequencePrivateMeta(consensus: DataFrame, sequenceIdentifier: DataFrame,
+      viollierTest: DataFrame, swissCanton: DataFrame, bagMeldeformular: DataFrame,
+      nextclade: DataFrame, gisaid: DataFrame, spectrumCountry: DataFrame): DataFrame = {
+    val byEthid = Window.partitionBy(col("ethid"))
+    val w = byEthid.orderBy(col("number_n").asc, col("sample_name").asc)
+    val releasedViaEthid = sequenceIdentifier
+      .filter(col("gisaid_id").isNotNull && col("ethid").isNotNull)
+      .select(col("ethid")).distinct()
+      .withColumn("__released_via_ethid", lit(true))
+    val idByEthid = sequenceIdentifier
+      .filter(col("gisaid_id").isNotNull && col("ethid").isNotNull)
+      .groupBy(col("ethid")).agg(min(col("gisaid_id")).as("__ethid_gisaid_id"))
+    val deduped = consensus
+      .join(sequenceIdentifier.select(col("sample_name"), col("gisaid_id")), Seq("sample_name"), "left")
+      .join(releasedViaEthid, Seq("ethid"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__ethid_released",
+        max(col("gisaid_id").isNotNull).over(byEthid)
+          || coalesce(col("__released_via_ethid"), lit(false)))
+      .filter(
+        col("gisaid_id").isNotNull
+          || (!col("__ethid_released") && col("__rn") === 1 && col("fail_reason").isNull))
+    val own = deduped
+      .join(viollierTest, Seq("ethid")) // inner: private meta needs the test row (:331)
+      .join(idByEthid, Seq("ethid"), "left")
+      .join(broadcast(swissCanton.select(col("canton_code").as("canton"), col("english"))),
+        Seq("canton"), "left")
+      .join(bagMeldeformular, Seq("sample_number"), "left")
+      .join(nextclade.select(col("sample_name"), col("pangolin_lineage").as("__nd_lineage")),
+        Seq("sample_name"), "left")
+      .select(
+        coalesce(col("__ethid_gisaid_id"), concat(lit("UNRELEASED_ETHZ_"), col("ethid"))).as("sequence_name"),
+        col("order_date").as("date"),
+        lit("Europe").as("region"),
+        lit("Switzerland").as("country"),
+        coalesce(col("english"), lit("Switzerland")).as("division"),
+        col("city").as("location"),
+        col("zip_code"),
+        lit("Human").as("host"),
+        col("altersjahr").as("age"),
+        when(col("sex") === "Männlich", "Male")
+          .when(col("sex") === "Weiblich", "Female").as("sex"),
+        lit("Department of Biosystems Science and Engineering, ETH Zürich").as("submitting_lab"),
+        lit("Viollier AG").as("originating_lab"),
+        coalesce(col("hospitalisation_type") === "HOSPITALIZED", lit(false)).as("hospitalized"),
+        coalesce(col("pttod"), lit(false)).as("deceased"),
+        when(col("__nd_lineage") =!= "None", col("__nd_lineage")).as("pangolin_lineage"),
+        col("impfstatus").as("vaccination_status"),
+        col("dosen_anzahl").as("vaccination_doses"),
+        col("impfdatum_dose1").as("vaccination_first_dose_date"),
+        col("impfdatum_dose2").as("vaccination_second_dose_date"))
+    val foreign = gisaid
+      .join(broadcast(spectrumCountry.select(col("iso_code"), col("region").as("__sc_region"),
+        col("name").as("__sc_name"))), col("country") === col("iso_code"))
+      .filter(
+        (!col("strain").like("%-ETHZ-%") || lower(col("originating_lab")) === "labor team w ag")
+          && col("host") === "Human" && col("date") >= to_date(lit("2020-01-01")))
+      .select(
+        col("strain").as("sequence_name"),
+        col("date"),
+        col("__sc_region").as("region"),
+        col("__sc_name").as("country"),
+        col("division"),
+        col("location"),
+        lit(null).cast("string").as("zip_code"),
+        col("host"),
+        col("age"),
+        when(col("sex") === "Male" || col("sex") === "Female", col("sex")).as("sex"),
+        col("submitting_lab"),
+        col("originating_lab"),
+        lit(null).cast("boolean").as("hospitalized"),
+        lit(null).cast("boolean").as("deceased"),
+        when(col("pango_lineage") =!= "None", col("pango_lineage")).as("pangolin_lineage"),
+        lit(null).cast("string").as("vaccination_status"),
+        lit(null).cast("int").as("vaccination_doses"),
+        lit(null).cast("date").as("vaccination_first_dose_date"),
+        lit(null).cast("date").as("vaccination_second_dose_date"))
+    own.unionByName(foreign)
+  }
+
   /** View 2 — mutation matviews (:116-178 aa, :182-244 nuc): meta ×
     * mutations with D16 decomposition for AA mutations. */
   def sequenceMutations(meta: DataFrame, mutations: DataFrame, aa: Boolean): DataFrame = {

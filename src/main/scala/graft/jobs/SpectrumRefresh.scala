@@ -26,6 +26,16 @@ object SpectrumRefresh {
       t("gisaid_api_sequence"), t("nuc_mutations"), t("aa_mutations"),
       t("ext_owid_global_cases"), t("spectrum_country"), t("bag_dashboard_meldeformular"),
       startDate = "2021-03-01", endDate = "2021-03-31")
+    // private twin refreshes only when its extra inputs are present
+    val privateViews: Map[String, DataFrame] =
+      if (Seq("swiss_canton", "bag_meldeformular", "consensus_sequence_nextclade_data")
+          .forall(t.contains))
+        Map("spectrum_sequence_private_meta" -> SpectrumViews.sequencePrivateMeta(
+          t("consensus_sequence"), t("sequence_identifier"), t("viollier_test"),
+          t("swiss_canton"), t("bag_meldeformular"),
+          t("consensus_sequence_nextclade_data"), t("gisaid_api_sequence"),
+          t("spectrum_country")))
+      else Map.empty
     // QC/report outputs refresh alongside the matviews, like the
     // reference's refresh cycle feeding its report queries
     val reports = Map(
@@ -40,7 +50,7 @@ object SpectrumRefresh {
           .withColumnRenamed("fall_dt", "date").withColumnRenamed("ktn", "canton")
           .withColumnRenamed("altersjahr", "age"),
         t("bag_test_numbers")))
-    (views ++ reports).foreach { case (name, df) =>
+    (views ++ privateViews ++ reports).foreach { case (name, df) =>
       TableIO.writeAtomicSwap(df, s"$outDir/$name")
       println(s"[spectrum] $name rows=${TableIO.read(spark, s"$outDir/$name").count()}")
     }
@@ -61,11 +71,16 @@ object SpectrumRefresh {
 
   private def tables(spark: SparkSession, inDir: String): Map[String, DataFrame] =
     if (inDir == "--demo") demoTables(spark)
-    else Seq("consensus_sequence", "sequence_identifier", "viollier_test",
-      "gisaid_api_sequence", "nuc_mutations", "aa_mutations",
-      "ext_owid_global_cases", "spectrum_country", "bag_dashboard_meldeformular",
-      "bag_test_numbers")
-      .map(n => n -> spark.read.parquet(s"$inDir/$n")).toMap
+    else {
+      val required = Seq("consensus_sequence", "sequence_identifier", "viollier_test",
+        "gisaid_api_sequence", "nuc_mutations", "aa_mutations",
+        "ext_owid_global_cases", "spectrum_country", "bag_dashboard_meldeformular",
+        "bag_test_numbers")
+      val optional = Seq("swiss_canton", "bag_meldeformular",
+        "consensus_sequence_nextclade_data")
+        .filter(n => new java.io.File(s"$inDir/$n").exists())
+      (required ++ optional).map(n => n -> spark.read.parquet(s"$inDir/$n")).toMap
+    }
 
   /** FIXTURES.md-shaped deterministic demo tables (seed-free: derived
     * from modular arithmetic over ids). */
@@ -87,14 +102,18 @@ object SpectrumRefresh {
         s"Switzerland/ZH-ETHZ-$ethid/2021")
     }.toDF("ethid", "sample_name", "gisaid_id")
     val viollier = (0 to n / 2).map(i => // one row per ethid (PK semantics)
-      (160000L + i, Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "BE", "VS", "GE")(i % 4)))
-      .toDF("ethid", "order_date", "canton")
+      (160000L + i, Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "BE", "VS", "GE")(i % 4),
+        Seq("Zurich", "Bern", "Sion", "Geneva")(i % 4), s"${8000 + i % 100}", 5000L + i))
+      .toDF("ethid", "order_date", "canton", "city", "zip_code", "sample_number")
     val gisaid = (0 until n).map { i =>
       val ours = i % 10 == 0
       (if (ours) s"Switzerland/ZH-ETHZ-${160000 + i}/2021" else s"Germany/BY-$i/2021",
-        if (ours) "Switzerland" else "Germany", "Div",
-        Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("B.1.1.7", "BA.1")(i % 2))
-    }.toDF("strain", "country", "division", "date", "pango_lineage")
+        if (ours) "Switzerland" else "Germany", "Div", "City",
+        Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("B.1.1.7", "BA.1")(i % 2),
+        "Human", (i * 7) % 95, Seq("Male", "Female", "unknown")(i % 3),
+        "Lab S", if (i % 17 == 0) "Labor Team W AG" else "Lab O")
+    }.toDF("strain", "country", "division", "location", "date", "pango_lineage",
+      "host", "age", "sex", "submitting_lab", "originating_lab")
     val nucMut = (0 until n).map(i =>
       (s"Germany/BY-$i/2021", 913 + i % 100, Seq("T", "A", "G")(i % 3)))
       .toDF("strain", "position", "mutation")
@@ -105,8 +124,24 @@ object SpectrumRefresh {
       (Date.valueOf(s"2021-03-$d"), "Switzerland", (d * 13L) % 300),
       (Date.valueOf(s"2021-03-$d"), "Germany", (d * 31L) % 900)))
       .toDF("date", "country", "new_cases")
-    val countries = Seq(("Europe", "Switzerland"), ("Europe", "Germany"))
-      .toDF("region", "country")
+    // iso_code mirrors the country name so the demo gisaid feed (which
+    // carries names, not iso codes) joins in the private view too
+    val countries = Seq(("Europe", "Switzerland", "Switzerland", "Switzerland"),
+      ("Europe", "Germany", "Germany", "Germany"))
+      .toDF("region", "country", "iso_code", "name")
+    val cantons = Seq(("ZH", "Zurich"), ("BE", "Bern"), ("VS", "Valais"), ("GE", "Geneva"))
+      .toDF("canton_code", "english")
+    val bagMelde = (0 to n / 2).map(i =>
+      (5000L + i, (i * 7) % 95, Seq("Männlich", "Weiblich", "Unbekannt")(i % 3),
+        if (i % 9 == 0) "HOSPITALIZED" else "NOT_HOSPITALIZED", i % 23 == 0,
+        Seq("Geimpft", "Ungeimpft", null)(i % 3), i % 3,
+        if (i % 3 == 0) Date.valueOf(s"2021-01-${i % 28 + 1}") else null,
+        if (i % 3 == 0) Date.valueOf(s"2021-02-${i % 28 + 1}") else null))
+      .toDF("sample_number", "altersjahr", "sex", "hospitalisation_type", "pttod",
+        "impfstatus", "dosen_anzahl", "impfdatum_dose1", "impfdatum_dose2")
+    val nextclade = consensus.select(col("sample_name"),
+      when(pmod(col("ethid"), lit(7)) === 0, "None").otherwise(col("pango_lineage"))
+        .as("pangolin_lineage"))
     val bag = (0 until n).map(i =>
       (Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "BE", "VS")(i % 3), (i * 7) % 95,
         if (i % 13 == 0) "auftraggeber_armee=TRUE" else null))
@@ -119,6 +154,8 @@ object SpectrumRefresh {
       "viollier_test" -> viollier, "gisaid_api_sequence" -> gisaid,
       "nuc_mutations" -> nucMut, "aa_mutations" -> aaMut,
       "ext_owid_global_cases" -> cases, "spectrum_country" -> countries,
-      "bag_dashboard_meldeformular" -> bag, "bag_test_numbers" -> bagNeg)
+      "bag_dashboard_meldeformular" -> bag, "bag_test_numbers" -> bagNeg,
+      "swiss_canton" -> cantons, "bag_meldeformular" -> bagMelde,
+      "consensus_sequence_nextclade_data" -> nextclade)
   }
 }

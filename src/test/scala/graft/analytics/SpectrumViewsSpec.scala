@@ -120,6 +120,64 @@ class SpectrumViewsSpec extends SparkSpec {
     assert(meta.isEmpty)
   }
 
+  test("private meta: full private projection, inner viollier join, Team-W exemption") {
+    import spark.implicits._
+    val consensus = Seq(
+      ("160030_p1_A1", 160030L, 10, null, "B.1.1.7"),          // released
+      ("160031_p1_B2", 160031L, 20, null, "BA.1")              // unreleased, best
+    ).toDF("sample_name", "ethid", "number_n", "fail_reason", "pango_lineage")
+    val seqId = Seq((160030L, "160030_p1_A1", "Switzerland/ZH-ETHZ-160030/2021"))
+      .toDF("ethid", "sample_name", "gisaid_id")
+    val viollier = Seq(
+      (160030L, Date.valueOf("2021-03-01"), "ZH", "Zurich", "8001", 5001L),
+      (160031L, Date.valueOf("2021-03-02"), "VD", "Lausanne", "1000", 5002L)
+    ).toDF("ethid", "order_date", "canton", "city", "zip_code", "sample_number")
+    val cantons = Seq(("ZH", "Zurich"), ("VD", "Vaud")).toDF("canton_code", "english")
+    val bag = Seq(
+      (5001L, 42, "Männlich", "HOSPITALIZED", false, "Geimpft", 2,
+        Date.valueOf("2021-01-05"), Date.valueOf("2021-02-05")),
+      (5002L, 77, "Weiblich", null.asInstanceOf[String], true, null.asInstanceOf[String],
+        0, null.asInstanceOf[Date], null.asInstanceOf[Date])
+    ).toDF("sample_number", "altersjahr", "sex", "hospitalisation_type", "pttod",
+      "impfstatus", "dosen_anzahl", "impfdatum_dose1", "impfdatum_dose2")
+    val nextclade = Seq(("160030_p1_A1", "B.1.1.7"), ("160031_p1_B2", "None"))
+      .toDF("sample_name", "pangolin_lineage")
+    val gisaid = Seq(
+      // kept: foreign sequence
+      ("Germany/BW-1/2021", "DE", "Baden-W.", "Stuttgart", Date.valueOf("2021-03-05"),
+        "B.1.617.2", "Human", Integer.valueOf(30), "Male", "Lab X", "Lab X"),
+      // kept although -ETHZ-: Team-W exemption
+      ("Switzerland/BS-ETHZ-990/2021", "CH", "Basel", "Basel", Date.valueOf("2021-03-06"),
+        "B.1.1.7", "Human", Integer.valueOf(40), "Female", "ETHZ", "Labor Team W AG"),
+      // dropped: own re-upload
+      ("Switzerland/ZH-ETHZ-160030/2021", "CH", "Zurich", "Zurich", Date.valueOf("2021-03-01"),
+        "B.1.1.7", "Human", Integer.valueOf(42), "Male", "ETHZ", "Viollier AG"),
+      // dropped: non-human host
+      ("Denmark/mink-1/2020", "DK", "Jutland", null, Date.valueOf("2020-11-01"),
+        "Cluster5", "Mink", null.asInstanceOf[Integer], null, "Lab Y", "Lab Y")
+    ).toDF("strain", "country", "division", "location", "date", "pango_lineage",
+      "host", "age", "sex", "submitting_lab", "originating_lab")
+    val countries = Seq(("DE", "Europe", "Germany"), ("CH", "Europe", "Switzerland"),
+      ("DK", "Europe", "Denmark")).toDF("iso_code", "region", "name")
+
+    val out = SpectrumViews.sequencePrivateMeta(consensus, seqId, viollier, cantons,
+      bag, nextclade, gisaid, countries).collect()
+      .map(r => r.getAs[String]("sequence_name") -> r).toMap
+    assert(out.keySet == Set("Switzerland/ZH-ETHZ-160030/2021", "UNRELEASED_ETHZ_160031",
+      "Germany/BW-1/2021", "Switzerland/BS-ETHZ-990/2021"))
+    val own = out("Switzerland/ZH-ETHZ-160030/2021")
+    assert(own.getAs[String]("division") == "Zurich" && own.getAs[String]("zip_code") == "8001")
+    assert(own.getAs[Int]("age") == 42 && own.getAs[String]("sex") == "Male")
+    assert(own.getAs[Boolean]("hospitalized") && !own.getAs[Boolean]("deceased"))
+    assert(own.getAs[Int]("vaccination_doses") == 2)
+    val unrel = out("UNRELEASED_ETHZ_160031")
+    assert(unrel.getAs[String]("pangolin_lineage") == null) // Nextclade 'None' nulled
+    assert(unrel.getAs[Boolean]("deceased"))
+    val de = out("Germany/BW-1/2021")
+    assert(de.getAs[String]("country") == "Germany" && de.getAs[String]("region") == "Europe")
+    assert(de.getAs[String]("zip_code") == null)
+  }
+
   test("mutation views join meta and decompose AA mutations") {
     val aa = views("spectrum_sequence_mutation_aa").collect()
     assert(aa.length == 1)
