@@ -21,9 +21,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Count of tokens (from a materialized token array) in a marker
+    * set. Callers hot at scale should project [[tokens]] ONCE and feed
+    * it here — Catalyst's CollapseProject keeps a multiply-referenced
+    * non-cheap alias in its own projection, so the text is split a
+    * single time per row instead of once per marker set. */
+  def markerCountFromTokens(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*))).cast(LongType)
+
   /** Count of tokens that appear in a fixed marker set. */
   def markerCount(text: Column, markers: Seq[String]): Column =
-    size(filter(split(text, " "), t => t.isin(markers.map(lit): _*))).cast(LongType)
+    markerCountFromTokens(split(text, " "), markers)
 
   /** Language-ID marker sets (alphabetical tie-break, 'und' if no hits). */
   val langMarkers: Map[String, Seq[String]] = Map(
@@ -32,26 +40,30 @@ object TextFunctions {
     "es" -> Seq("el", "los", "y", "las", "una"),
     "fr" -> Seq("le", "la", "et", "les", "une"))
 
-  /** Deterministic heuristic language id over the marker sets. */
-  def langId(text: Column): Column = {
+  /** Deterministic heuristic language id over a shared token array. */
+  def langIdFromTokens(toks: Column): Column = {
     val scores = langMarkers.toSeq.sortBy(_._1)
-      .map { case (l, m) => l -> markerCount(text, m) }
+      .map { case (l, m) => l -> markerCountFromTokens(toks, m) }
     val top = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((l, sc), acc) =>
       when(top > 0 && sc === top, lit(l)).otherwise(acc)
     }
   }
 
+  /** Deterministic heuristic language id over the marker sets. */
+  def langId(text: Column): Column = langIdFromTokens(split(text, " "))
+
   private val stopwords = Seq("the", "a", "and", "of", "to", "in")
 
   /** Deterministic [0,1] quality score: token-count score (50-token
     * saturation), non-stopword ratio, average-word-length score.
     * Pure double arithmetic in a fixed op order → bit-reproducible in
-    * any IEEE engine.
+    * any IEEE engine. `toks` is the shared raw split (empties kept —
+    * they're filtered here, matching the historical op order).
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = size(filter(split(text, " "), t => t =!= "")).cast(DoubleType)
-    val nStop = size(filter(split(text, " "), t => t.isin(stopwords.map(lit): _*))).cast(DoubleType)
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
+    val nTok = size(filter(toks, t => t =!= "")).cast(DoubleType)
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast(DoubleType)
     val nChars = length(text).cast(DoubleType)
     val lenScore = least(lit(1.0), nTok / lit(50.0))
     val stopPenalty = lit(1.0) - least(nStop / nTok * lit(2.0), lit(1.0))
@@ -60,6 +72,9 @@ object TextFunctions {
     when(nTok === 0, lit(0.0))
       .otherwise(lenScore * lit(0.5) + stopPenalty * lit(0.3) + awlScore * lit(0.2))
   }
+
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, split(text, " "))
 
   /** The same score as DuckDB SQL (kept textually in sync with
     * qualityScore — same op order for bit equality). */

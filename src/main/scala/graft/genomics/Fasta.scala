@@ -45,6 +45,27 @@ object Fasta {
       .toDF("header", "seq")
   }
 
+  /** Splittable FASTA read: Spark's text source with a custom record
+    * separator `">"` — each record is one FASTA entry, and the built-in
+    * line reader handles records straddling split boundaries, so a
+    * single 30 GB fasta fans out across tasks instead of pinning one
+    * (the wholeTextFiles limitation [[read]] has). Header lines are
+    * the text up to the first newline; sequence = remaining lines with
+    * all whitespace stripped. Assumes '>' appears only as the record
+    * marker (the FASTA grammar; a '>' inside a header would split the
+    * record — same caveat as every delimiter-based splitter).
+    * Gzip inputs still work (decompression forces one task per file). */
+  def readSplittable(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("lineSep", ">").text(path)
+    raw.filter(trim(col("value")) =!= "")
+      .select(
+        trim(substring_index(col("value"), "\n", 1)).as("header"),
+        when(instr(col("value"), "\n") === 0, lit(""))
+          .otherwise(regexp_replace(
+            expr("substring(value, instr(value, '\n') + 1)"), "\\s", ""))
+          .as("seq"))
+  }
+
   /** Format (header, seq) rows as FASTA text lines, sequence wrapped at
     * `width` (mirrors the SQL string_agg formatter). */
   def format(df: DataFrame, headerCol: String, seqCol: String, width: Int = 60): DataFrame = {

@@ -72,10 +72,12 @@ object GisaidImport {
 
     // 3. change detection (M3) — sequences compared by content hash so
     // the 30kb strings stay out of the comparison shuffle
+    // cached: consumed twice (the kind-count log line and toProcess) —
+    // uncached, the change-detection join would recompute per consumer
     val kinds = Upsert.changeKinds(
       existing.withColumn("seq_hash", md5(col("seq_aligned"))).drop("seq_aligned"),
       parsed.withColumn("seq_hash", md5(col("seq_aligned"))),
-      Seq("gisaid_epi_isl"), Seq("strain", "date", "pango_lineage", "seq_hash"))
+      Seq("gisaid_epi_isl"), Seq("strain", "date", "pango_lineage", "seq_hash")).cache()
     val toProcess = kinds.filter(col("change_kind") =!= "unchanged").drop("seq_hash")
     println(s"[gisaid] change kinds: " + kinds.groupBy("change_kind").count()
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))

@@ -29,7 +29,10 @@ object TextQueries extends QueryModule {
       "q_tx1_langid",
       "heuristic language-ID: marker-token counts, argmax with alphabetical tie-break",
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), langId(col("text")).as("pred_lang"), col("lang").as("labeled_lang"))
+        // one split per row, shared across the 4 marker counts
+        .withColumn("__toks", split(col("text"), " "))
+        .select(col("doc_id"), langIdFromTokens(col("__toks")).as("pred_lang"),
+          col("lang").as("labeled_lang"))
         .orderBy(col("doc_id")),
       Some(s"""
         SELECT doc_id,
@@ -43,7 +46,9 @@ object TextQueries extends QueryModule {
     "q_tx2_quality_score",
     "document quality score: token-count/stopword/word-length mix (deterministic double math)",
     (s, d) => Tables.documents(s, d)
-      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        qualityScoreFromTokens(col("text"), col("__toks")).as("quality"))
       .orderBy(col("doc_id")),
     Some(s"""
       SELECT doc_id, ${qualityScoreSql("text")} AS quality
