@@ -13,7 +13,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // 5 passes: sub-second queries carry 0.1–0.6 s scheduler/GC jitter
+    // on a busy 32-thread host; a 5-sample median absorbs two outliers
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
 
     def exec(name: String): Double = {

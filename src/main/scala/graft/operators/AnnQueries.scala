@@ -90,5 +90,83 @@ object AnnQueries extends QueryModule {
         FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
       WHERE rnk <= 3 ORDER BY query_id, rnk"""))
 
-  override val all: Seq[Q] = Seq(ann1, ann2)
+  /** Integer-exact squared L2 distance over floor(x·1000) quantized
+    * components — BIGINT arithmetic only, so cell assignment (argmin)
+    * is bit-reproducible cross-engine. Quantization affects only which
+    * cell a vector lands in, never the exact cosine used for ranking. */
+  private def intSqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (floor(x.cast("double") * lit(1000.0)) - floor(y.cast("double") * lit(1000.0)))
+          * (floor(x.cast("double") * lit(1000.0)) - floor(y.cast("double") * lit(1000.0)))),
+      lit(0L), (acc, v) => acc + v)
+
+  // IVF ANN: coarse quantizer with 16 deterministic centroids (the
+  // first 16 corpus vectors — a fixed, data-independent pick, the
+  // degenerate-but-deterministic analogue of k-means init), corpus
+  // assigned to its nearest cell by integer-quantized L2; queries probe
+  // their 2 nearest cells and rank candidates by exact cosine. Scale
+  // shape: assignment = corpus × broadcast(16 centroids), map-side;
+  // the corpus shuffles ONCE by cell (in production: write bucketed by
+  // cell, making probes partition-pruned scans); probes touch
+  // ~nprobe/nlist of the corpus.
+  private val ann3 = Q(
+    "q_ann3_ivf",
+    "IVF ANN: 16-cell coarse quantizer (integer-exact assignment), 2-probe, exact-cosine top-3",
+    (s, d) => {
+      graft.functions.VecExpressions.register(s)
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cd").asc, col("cent_id").asc)
+      val assigned = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          intSqDist(col("embedding"), col("cvec")).as("cd"))
+        .withColumn("__rn", row_number().over(wAssign))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val qProbe = e.filter(col("vec_id") < 8).crossJoin(broadcast(cent))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"),
+          intSqDist(col("embedding"), col("cvec")).as("cd"))
+        .withColumn("__pr", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cd").asc, col("cent_id").asc)))
+        .filter(col("__pr") <= 2)
+        .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(qProbe).join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("qv"), col("embedding")).as("cos"))
+        .withColumn("rnk", row_number().over(wRank).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""
+      WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+      dists AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               list_sum(list_transform(e.embedding, (x, j) ->
+                 (CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) - CAST(floor(CAST(c.cvec[j] AS DOUBLE)*1000) AS BIGINT))
+                 * (CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) - CAST(floor(CAST(c.cvec[j] AS DOUBLE)*1000) AS BIGINT)))) AS cd
+        FROM embeddings e CROSS JOIN cent c),
+      assigned AS (
+        SELECT vec_id, embedding, cent_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd ASC, cent_id ASC) AS rn
+          FROM dists) WHERE rn = 1),
+      qprobe AS (
+        SELECT vec_id AS query_id, embedding AS qv, cent_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd ASC, cent_id ASC) AS pr
+          FROM dists WHERE vec_id < 8) WHERE pr <= 2)
+      SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+        SELECT q.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, a.embedding) DESC, a.vec_id ASC) AS rnk
+        FROM qprobe q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.query_id)
+      WHERE rnk <= 3 ORDER BY query_id, rnk"""))
+
+  override val all: Seq[Q] = Seq(ann1, ann2, ann3)
 }
