@@ -50,4 +50,23 @@ object TableIO {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
     }
+
+  /** Write a table bucketed (and sorted) by join/merge keys — the
+    * SCALING.md co-location contract: two tables bucketed by the same
+    * keys into the same bucket count join with ZERO shuffle (Spark
+    * reads bucket i of each side into the same task). This is what
+    * turns the §3.3 ethid-keyed dedup+joins and the M1 upsert's
+    * full-outer join into shuffle-free zippers at 100 TB.
+    *
+    * Bucketed writes go through the session catalog (`saveAsTable`;
+    * works on the in-memory catalog — no Hive needed), with the
+    * catalog's warehouse dir as storage. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

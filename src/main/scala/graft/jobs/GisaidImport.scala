@@ -35,6 +35,35 @@ object GisaidImport {
 
   val demoReference = "ACGTACGTACGTACGTACGTACGTACGTACGT" // 32-mer demo genome
 
+  /** Step-2 normalization as a pure frame transform (shared with the
+    * streaming twin, `streaming/GisaidStream` — stream ≡ batch by
+    * construction): imprecise dates (D10), age (D10), geo rules (D5),
+    * strain ownership + ethid (D6). */
+  def normalizeFeed(spark: SparkSession, feed: DataFrame): DataFrame = {
+    val geoRules = GeoRules.parseRules(Seq(
+      "europe/swizterland/*/*\tEurope/Switzerland/*/*", // typo-fix rule (nextstrain-style)
+      "*/ch/*/*\t*/Switzerland/*/*"))
+    val resolveGeo = GeoRules.resolveUdf(spark, geoRules)
+    // locations vary in depth ("Europe / Switzerland" .. "… / city");
+    // get() tolerates short arrays (getItem throws under ANSI)
+    val locParts = split(col("covv_location"), " / ")
+    feed.select(
+        col("covv_accession_id").as("gisaid_epi_isl"),
+        col("covv_virus_name").as("strain"),
+        Annotations.normalizeImpreciseDate(col("covv_collection_date")).as("date"),
+        Annotations.normalizeAge(col("covv_patient_age")).as("age"),
+        resolveGeo(coalesce(get(locParts, lit(0)), lit("")), coalesce(get(locParts, lit(1)), lit("")),
+          coalesce(get(locParts, lit(2)), lit("")), coalesce(get(locParts, lit(3)), lit(""))).as("geo"),
+        col("covv_lineage").as("pango_lineage"),
+        upper(col("sequence")).as("seq_aligned"))
+      .select(col("gisaid_epi_isl"), col("strain"), col("date"), col("age"),
+        col("geo.region").as("region"), col("geo.country").as("country"),
+        col("geo.division").as("division"),
+        col("pango_lineage"), col("seq_aligned"),
+        Annotations.isOurs(col("strain")).as("is_ours"),
+        Annotations.parseEthid(col("strain")).as("ethid"))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(mode, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -49,26 +78,7 @@ object GisaidImport {
       println(s"[gisaid] drift report: missingExpected=${drift.missingExpected} unexpected=${drift.unexpected}")
 
     // 2. normalize
-    val geoRules = GeoRules.parseRules(Seq(
-      "europe/swizterland/*/*\tEurope/Switzerland/*/*", // typo-fix rule (nextstrain-style)
-      "*/ch/*/*\t*/Switzerland/*/*"))
-    val resolveGeo = GeoRules.resolveUdf(spark, geoRules)
-    val locParts = split(col("covv_location"), " / ")
-    val parsed = feed.select(
-        col("covv_accession_id").as("gisaid_epi_isl"),
-        col("covv_virus_name").as("strain"),
-        Annotations.normalizeImpreciseDate(col("covv_collection_date")).as("date"),
-        Annotations.normalizeAge(col("covv_patient_age")).as("age"),
-        resolveGeo(locParts.getItem(0), locParts.getItem(1),
-          coalesce(locParts.getItem(2), lit("")), coalesce(locParts.getItem(3), lit(""))).as("geo"),
-        col("covv_lineage").as("pango_lineage"),
-        upper(col("sequence")).as("seq_aligned"))
-      .select(col("gisaid_epi_isl"), col("strain"), col("date"), col("age"),
-        col("geo.region").as("region"), col("geo.country").as("country"),
-        col("geo.division").as("division"),
-        col("pango_lineage"), col("seq_aligned"),
-        Annotations.isOurs(col("strain")).as("is_ours"),
-        Annotations.parseEthid(col("strain")).as("ethid"))
+    val parsed = normalizeFeed(spark, feed)
 
     // 3. change detection (M3) — sequences compared by content hash so
     // the 30kb strings stay out of the comparison shuffle

@@ -1,6 +1,7 @@
 package graft.core
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 class TableIOSpec extends SparkSpec {
@@ -16,5 +17,31 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.rollback(path))
     assert(TableIO.read(spark, path).collect()(0).getString(1) == "v1")
     assert(!TableIO.rollback(path)) // only one level of rollback
+  }
+
+  test("bucketed tables join with zero shuffle (the SCALING.md co-location contract)") {
+    import spark.implicits._
+    val left = (0 until 10000).map(i => (160000L + i % 500, s"seq$i", i % 97))
+      .toDF("ethid", "sample_name", "number_n")
+    val right = (0 until 500).map(i => (160000L + i, s"2021-03-${i % 28 + 1}"))
+      .toDF("ethid", "order_date")
+    TableIO.writeBucketed(left, "b_consensus", Seq("ethid"), 8)
+    TableIO.writeBucketed(right, "b_viollier", Seq("ethid"), 8)
+    try {
+      // disable auto-broadcast so a shuffle would be visible if bucketing failed
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = TableIO.readTable(spark, "b_consensus")
+          .join(TableIO.readTable(spark, "b_viollier"), Seq("ethid"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed equi-join must not shuffle either side:\n$plan")
+        assert(joined.count() == 10000)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_consensus")
+      spark.sql("DROP TABLE IF EXISTS b_viollier")
+    }
   }
 }
