@@ -1,0 +1,85 @@
+package graft.jobs
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** The canonical training-data curation pipeline, composed from the
+  * library's gated operators — what a 100 TB corpus run looks like:
+  *
+  *  1. per-document stats in ONE codegen pass over the scan
+  *     (tokens / quality / language — tx1-tx3 kernels, shared split)
+  *  2. quality + language gate (pure filter, pushed to the scan's
+  *     output; no shuffle)
+  *  3. exact dedup: canonical-fingerprint groupBy keeping the lowest
+  *     doc id (dd1) — first shuffle, keyed by fingerprint
+  *  4. near-dup dedup: MinHash+LSH banding → shuffle candidate join →
+  *     Jaccard verify (dd2's scale-safe plan); of each surviving pair
+  *     the HIGHER doc id is dropped (union-find-free greedy — at pair
+  *     densities past that, connected components over the pair graph
+  *     slot in here)
+  *  5. curated corpus + a one-row funnel report (retention per stage)
+  *
+  * Every stage is a DataFrame transform: Catalyst fuses 1+2 into the
+  * scan, and stages 3-4 are the only shuffles, each keyed by the thing
+  * being deduplicated.
+  */
+object CorpusCuration {
+
+  final case class Config(
+      minQuality: Double = 0.3,
+      langs: Seq[String] = Seq("de", "en", "es", "fr"),
+      jaccardThreshold: Double = 0.7)
+
+  /** (curated corpus, funnel report). */
+  def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
+    // 1. stats (single shared split per row)
+    val stats = docs
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("quality", qualityScoreFromTokens(col("text"), col("__toks")))
+      .withColumn("pred_lang", langIdFromTokens(col("__toks")))
+      .withColumn("n_tokens", size(filter(col("__toks"), t => t =!= "")).cast("long"))
+      .drop("__toks")
+
+    // 2. gate
+    val gated = stats.filter(
+      col("quality") >= cfg.minQuality && col("pred_lang").isin(cfg.langs: _*))
+
+    // 3. exact dedup — keep the lowest doc_id per fingerprint
+    val keepers = gated
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+          .orderBy(col("doc_id").asc)))
+      .filter(col("__rn") === 1).drop("__rn", "fp")
+
+    // 4. near-dup dedup (dd2 plan): banded candidates, Jaccard verify,
+    // drop the higher id of each verified pair
+    val sh = wordShingles(keepers, "doc_id", "text", 2).cache()
+    val sig = minhashSignature(sh, "doc_id", 8)
+    val bands = lshBands(sig, "doc_id", 8, 2)
+    val a = bands.select(col("doc_id").as("da"), col("band"), col("band_key"))
+    val b = bands.select(col("doc_id").as("db"), col("band"), col("band_key"))
+    val cand = a.join(b, Seq("band", "band_key")).filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val sa = sh.select(col("doc_id").as("da"), col("shingle"))
+    val sb = sh.select(col("doc_id").as("db"), col("shingle"))
+    val inter = cand.join(sa, "da").join(sb, Seq("db", "shingle"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ninter"))
+    val dupIds = inter
+      .join(sig.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sig.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("ninter").cast(DoubleType)
+        / (col("na") + col("nb") - col("ninter")) >= cfg.jaccardThreshold)
+      .select(col("db").as("doc_id")).distinct()
+    val curated = keepers.join(dupIds, Seq("doc_id"), "left_anti")
+
+    // 5. funnel
+    val report = docs.select(count(lit(1)).as("n_input")).crossJoin(
+      gated.select(count(lit(1)).as("n_gated"))).crossJoin(
+      keepers.select(count(lit(1)).as("n_exact_unique"))).crossJoin(
+      curated.select(count(lit(1)).as("n_curated")))
+    (curated, report)
+  }
+}

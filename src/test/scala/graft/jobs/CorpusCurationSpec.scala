@@ -1,0 +1,46 @@
+package graft.jobs
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: each stage must drop exactly the doc it
+  * exists to drop. */
+class CorpusCurationSpec extends SparkSpec {
+
+  test("funnel drops low-quality, unknown-lang, exact-dup and near-dup docs") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the green forest while the sun shines bright over distant hills today"
+    val nearDup = good.replace("today", "tonight")
+    val docs = Seq(
+      (1L, good, "en", "web"),                         // keeper (lowest id of the dup set)
+      (2L, good, "en", "web"),                         // exact dup of 1 → dropped at stage 3
+      (3L, nearDup, "en", "web"),                      // near dup of 1 → dropped at stage 4
+      (4L, "zzz qqq xxx", "und", "web"),               // no lang markers → gated
+      (5L, "the the the the the the the the", "en", "web"), // all stopwords → low quality → gated
+      (6L, "der schnelle braune fuchs springt über den faulen hund und läuft weit " +
+        "in den grünen wald während die sonne hell über fernen hügeln scheint", "de", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+
+    val (curated, report) = CorpusCuration.run(docs)
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 6L), s"got $ids")
+    val r = report.head()
+    assert(r.getAs[Long]("n_input") == 6)
+    assert(r.getAs[Long]("n_gated") == 4)        // 4,5 gated out
+    assert(r.getAs[Long]("n_exact_unique") == 3) // 2 deduped
+    assert(r.getAs[Long]("n_curated") == 2)      // 3 near-deduped
+    // stats columns survive into the curated output
+    assert(curated.columns.toSet.contains("quality") && curated.columns.contains("pred_lang"))
+    assert(curated.filter(col("doc_id") === 6).head().getAs[String]("pred_lang") == "de")
+  }
+
+  test("runs clean over the sf0.001 documents table") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val (curated, report) = CorpusCuration.run(docs)
+    val r = report.head()
+    assert(r.getAs[Long]("n_curated") > 0)
+    assert(r.getAs[Long]("n_curated") <= r.getAs[Long]("n_input"))
+    assert(curated.count() == r.getAs[Long]("n_curated"))
+  }
+}
