@@ -156,10 +156,12 @@ object DedupQueries extends QueryModule {
         .join(doc.select(col("doc_id"), col("lang"), col("source")), "doc_id")
         .cache()
       val sizes = bg.groupBy(col("doc_id")).agg(cnt.as("n"))
-      val rare = bg.join(
-        bg.groupBy(col("lang"), col("source"), col("shingle"))
-          .agg(cnt.as("df")).filter(col("df") <= Dd4MaxDf),
-        Seq("lang", "source", "shingle"))
+      // DF via a whole-partition window: one shuffle keyed by
+      // (lang, source, shingle) replaces the aggregate + join-back pair
+      val rare = bg.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"), col("source"), col("shingle"))))
+        .filter(col("df") <= Dd4MaxDf).drop("df")
       val ra = rare.select(col("doc_id").as("da"), col("lang"), col("source"), col("shingle"))
       val rb = rare.select(col("doc_id").as("db"), col("lang"), col("source"), col("shingle"))
       val cand = ra.join(rb, Seq("lang", "source", "shingle"))
