@@ -27,10 +27,17 @@ import org.apache.spark.sql.types.DoubleType
   */
 object CorpusCuration {
 
+  /** `clusterDedup`: false = greedy (drop the higher id of every
+    * verified pair — what the SQL oracle replicates); true = connected
+    * components over the pair graph, keeping exactly one doc per
+    * near-dup CLUSTER (correct under non-transitive similarity: pairs
+    * (a,c),(b,c) greedily keep both a and b, while the cluster keeps
+    * only a). */
   final case class Config(
       minQuality: Double = 0.3,
       langs: Seq[String] = Seq("de", "en", "es", "fr"),
-      jaccardThreshold: Double = 0.7)
+      jaccardThreshold: Double = 0.7,
+      clusterDedup: Boolean = false)
 
   /** (curated corpus, funnel report). */
   def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
@@ -67,12 +74,16 @@ object CorpusCuration {
     val sb = sh.select(col("doc_id").as("db"), col("shingle"))
     val inter = cand.join(sa, "da").join(sb, Seq("db", "shingle"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ninter"))
-    val dupIds = inter
+    val verifiedPairs = inter
       .join(sig.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sig.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .filter(col("ninter").cast(DoubleType)
         / (col("na") + col("nb") - col("ninter")) >= cfg.jaccardThreshold)
-      .select(col("db").as("doc_id")).distinct()
+      .select(col("da"), col("db"))
+    val dupIds =
+      if (cfg.clusterDedup)
+        graft.operators.ConnectedComponents.dropSet(verifiedPairs, "da", "db")
+      else verifiedPairs.select(col("db").as("doc_id")).distinct()
     val curated = keepers.join(dupIds, Seq("doc_id"), "left_anti")
 
     // 5. funnel

@@ -35,6 +35,22 @@ class CorpusCurationSpec extends SparkSpec {
     assert(curated.filter(col("doc_id") === 6).head().getAs[String]("pred_lang") == "de")
   }
 
+  test("cluster dedup keeps one doc per near-dup component") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the green forest while the sun shines bright over distant hills"
+    // 1~2 and 2~3 are near-dups (one word differs from 2 each); with
+    // cluster dedup only doc 1 survives the component {1,2,3}
+    val docs = Seq(
+      (1L, base + " today", "en", "web"),
+      (2L, base + " now", "en", "web"),
+      (3L, base + " soon", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val (curated, _) = CorpusCuration.run(docs,
+      CorpusCuration.Config(jaccardThreshold = 0.6, clusterDedup = true))
+    assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("runs clean over the sf0.001 documents table") {
     val docs = graft.Tables.documents(spark, sf0001)
     val (curated, report) = CorpusCuration.run(docs)

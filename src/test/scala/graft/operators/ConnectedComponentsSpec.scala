@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  test("chains, cliques and isolated pairs resolve to min-id components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter > 1: needs multiple rounds), pair 10-11,
+    // triangle 20-21-22
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val comp = ConnectedComponents.components(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val drops = ConnectedComponents.dropSet(edges, "a", "b")
+      .as[Long].collect().toSet
+    assert(drops == Set(2L, 3L, 4L, 11L, 21L, 22L))
+  }
+
+  test("agrees with a reference union-find on a random-ish graph") {
+    import spark.implicits._
+    // deterministic pseudo-random edges over 200 vertices
+    val edges = (0 until 300).map { i =>
+      val a = (i * 37) % 200; val b = (i * i * 13 + 7) % 200
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }
+    val parent = Array.tabulate(200)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> {
+        // min vertex of the component, among vertices that appear in edges
+        val root = find(v.toInt)
+        edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .filter(u => find(u.toInt) == root).min
+      }).toMap
+    val got = ConnectedComponents.components(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+}
