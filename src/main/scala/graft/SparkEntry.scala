@@ -12,7 +12,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     AggQueries, JoinQueries, WindowSetQueries, MergeQueries,
     DedupQueries, AnnQueries, TextQueries, EventQueries,
-    GenomicsQueries, SimilarityQueries, MultimodalQueries)
+    GenomicsQueries, SimilarityQueries, MultimodalQueries, GraphQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

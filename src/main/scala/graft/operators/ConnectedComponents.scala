@@ -25,7 +25,7 @@ object ConnectedComponents {
   /** edges(srcCol, dstCol) → (vertex, component) with component = min
     * vertex id of the component. Vertex/label type: long. */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 50): DataFrame = {
     val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
     var labels = sym.select(col("a").as("v")).distinct()
@@ -37,12 +37,15 @@ object ConnectedComponents {
       val neighborLabels = sym
         .join(labels.withColumnRenamed("v", "b"), Seq("b"))
         .select(col("a").as("v"), col("label"))
+      // localCheckpoint (eager) truncates the lineage each round —
+      // without it every round's plan contains all previous rounds and
+      // Catalyst analysis time grows without bound (the iterative-Spark
+      // pitfall)
       val next = labels.union(neighborLabels)
         .groupBy(col("v")).agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }

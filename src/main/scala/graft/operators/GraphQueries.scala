@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Graph-shaped operators. The connected-components kernel
+  * (dedup clustering) gates against a DuckDB RECURSIVE CTE computing
+  * the same min-label closure — the one oracle shape that can check an
+  * iterative Spark fixpoint exactly.
+  */
+object GraphQueries extends QueryModule {
+
+  // Bipartite order–part graph: orders sharing a part merge into one
+  // component (the same shape as docs sharing a near-dup pair).
+  // Bounded: l_orderkey < 500 keeps ~2k edges at every SF (keys are
+  // sparse in a 10×-wider range as SF grows).
+  private val cc1 = Q(
+    "q_cc1_components",
+    "connected components via min-label propagation over an order-part bipartite graph",
+    (s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey").as("a"),
+          (col("l_partkey") + 1000000L).as("b"))
+        .distinct()
+      ConnectedComponents.components(edges, "a", "b")
+        .orderBy(col("vertex"))
+    },
+    Some("""
+      WITH RECURSIVE
+      e AS (SELECT DISTINCT l_orderkey AS a, 1000000 + l_partkey AS b
+            FROM lineitem WHERE l_orderkey < 500),
+      sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      reach(v, label) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.a, r.label FROM sym s JOIN reach r ON r.v = s.b
+      )
+      SELECT v AS vertex, CAST(min(label) AS BIGINT) AS component
+      FROM reach GROUP BY v ORDER BY vertex"""))
+
+  override val all: Seq[Q] = Seq(cc1)
+}
