@@ -52,13 +52,17 @@ case class VecDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      // acc MUST be fresh: cosine() expands to three vec_dots in one
+      // projection — a fixed name redeclares, janino fails, and the
+      // whole stage silently drops to interpreted execution
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc += (double) $a.$getter($i) * (double) $b.$getter($i);
+         |  $acc += (double) $a.$getter($i) * (double) $b.$getter($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -17,22 +17,38 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   */
 object VariantCaller {
 
-  /** Per (sample × def) classification states. */
+  /** Per (sample × def) classification states.
+    *
+    * Batched site extraction: the defining positions are pulled in ONE
+    * `extract_sites` call per sequence (O(defs) byte lookups — a
+    * per-def `substring(seq, position, 1)` costs O(position) each on
+    * UTF8String, i.e. O(defs·len) per row), then posexplode joins the
+    * (tiny, broadcast) indexed def table. Same (sample × def) output
+    * as the cross-join form. */
   def states(sequences: DataFrame, defs: DataFrame, idCol: String, seqCol: String,
       mutCol: String): DataFrame = {
+    val spark = sequences.sparkSession
+    graft.functions.SeqExpressions.register(spark)
+    import spark.implicits._
     val d = defs.select(
       upper(substring(col(mutCol), 1, 1)).as("original"),
       expr(s"cast(substring($mutCol, 2, char_length($mutCol) - 2) as int)").as("position"),
       upper(substring(col(mutCol), -1, 1)).as("mutated"))
-    sequences.select(col(idCol), col(seqCol))
-      .crossJoin(broadcast(d))
-      .withColumn("base", upper(expr(s"substring($seqCol, position, 1)")))
+      .collect() // tiny definition table by contract (≤ ~30 rows)
+    val posArr = array(d.map(r => lit(r.getAs[Int]("position"))).toSeq: _*)
+    val defsIdx = d.zipWithIndex.map { case (r, i) =>
+      (i, r.getAs[String]("original"), r.getAs[Int]("position"), r.getAs[String]("mutated"))
+    }.toSeq.toDF("idx", "original", "position", "mutated")
+    sequences.select(col(idCol),
+        posexplode(call_function("extract_sites", col(seqCol), posArr)).as(Seq("idx", "site")))
+      .join(broadcast(defsIdx), "idx")
+      .withColumn("base", upper(col("site")))
       .withColumn("mutation_state",
         when(col("base") === col("original"), "-")
           .when(col("base") === col("mutated"), "+")
           .when(col("base") === "N", "?")
           .otherwise("!"))
-      .drop(seqCol)
+      .drop("idx", "site")
   }
 
   /** Per-sample call: (id, confirmed, original, unknown, weird,

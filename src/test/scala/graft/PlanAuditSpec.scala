@@ -78,6 +78,16 @@ class PlanAuditSpec extends SparkSpec {
       s"embedding near-dup must join on the LSH bucket key:\n$p")
   }
 
+  test("q_ann1: cosine's three vec_dots codegen in one projection (no janino fallback)") {
+    // cosine() expands to 3 VecDot calls in a single project; with a
+    // non-fresh accumulator name the generated code fails to compile
+    // and Spark silently interprets the stage — this pins the fix
+    val df = SparkEntry.queries("q_ann1_bruteforce_topk")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"ANN scan stage must stay in whole-stage codegen:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     // AQE prints codegen spans only in the finalized plan — collect()
     // executes this exact queryExecution (write/count would clone it)

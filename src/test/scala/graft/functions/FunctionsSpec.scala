@@ -78,6 +78,23 @@ class FunctionsSpec extends SparkSpec {
     assert(out(0) == 0.0 && out(1) > 0.0 && out(1) <= 1.0)
   }
 
+  test("extract_sites: one-pass multi-site extraction matches substring semantics") {
+    import spark.implicits._
+    graft.functions.SeqExpressions.register(spark)
+    val df = Seq(("ACGTN", "ascii"), ("ÄCGT", "multibyte"), ("", "empty"))
+      .toDF("seq", "kind")
+    val sites = df.select(col("kind"),
+      call_function("extract_sites", col("seq"),
+        array(lit(1), lit(3), lit(5), lit(99))).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(sites("ascii") == Seq("A", "G", "N", ""))
+    assert(sites("multibyte") == Seq("Ä", "G", "", ""))   // code-point indexing, not bytes
+    assert(sites("empty") == Seq("", "", "", ""))
+    // parity with substring() on the same inputs
+    val sub = df.select(col("kind"), expr("substring(seq, 3, 1)")).as[(String, String)].collect().toMap
+    assert(sub("multibyte") == sites("multibyte")(1))
+  }
+
   test("hyperplaneBucket groups identical vectors") {
     import spark.implicits._
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
