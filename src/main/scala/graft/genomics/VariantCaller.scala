@@ -39,8 +39,13 @@ object VariantCaller {
     val defsIdx = d.zipWithIndex.map { case (r, i) =>
       (i, r.getAs[String]("original"), r.getAs[Int]("position"), r.getAs[String]("mutated"))
     }.toSeq.toDF("idx", "original", "position", "mutated")
+    // NULL sequences must still emit one row per def (all '!', like the
+    // reference's substring cross join): extract_sites(NULL) is NULL and
+    // posexplode would drop the sample entirely, so coalesce to '' —
+    // every position is then out-of-range → '' site → '!' state.
     sequences.select(col(idCol),
-        posexplode(call_function("extract_sites", col(seqCol), posArr)).as(Seq("idx", "site")))
+        posexplode(call_function("extract_sites", coalesce(col(seqCol), lit("")), posArr))
+          .as(Seq("idx", "site")))
       .join(broadcast(defsIdx), "idx")
       .withColumn("base", upper(col("site")))
       .withColumn("mutation_state",

@@ -53,13 +53,17 @@ object CorpusCuration {
     val gated = stats.filter(
       col("quality") >= cfg.minQuality && col("pred_lang").isin(cfg.langs: _*))
 
-    // 3. exact dedup — keep the lowest doc_id per fingerprint
+    // 3. exact dedup — keep the lowest doc_id per fingerprint.
+    // `keepers` feeds THREE consumers (the shingle table, the final
+    // anti-join, and the funnel report count): cached, so the
+    // scan→stats→gate→fingerprint-window chain runs once, not 3×.
     val keepers = gated
       .withColumn("fp", fingerprint(col("text")))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
           .orderBy(col("doc_id").asc)))
       .filter(col("__rn") === 1).drop("__rn", "fp")
+      .cache()
 
     // 4. near-dup dedup (dd2 plan): banded candidates, Jaccard verify,
     // drop the higher id of each verified pair
@@ -86,11 +90,21 @@ object CorpusCuration {
       else verifiedPairs.select(col("db").as("doc_id")).distinct()
     val curated = keepers.join(dupIds, Seq("doc_id"), "left_anti")
 
-    // 5. funnel
-    val report = docs.select(count(lit(1)).as("n_input")).crossJoin(
-      gated.select(count(lit(1)).as("n_gated"))).crossJoin(
-      keepers.select(count(lit(1)).as("n_exact_unique"))).crossJoin(
-      curated.select(count(lit(1)).as("n_curated")))
+    // 5. funnel — one conditional-agg pass over the scan yields both
+    // n_input and n_gated (instead of two full chain re-runs); the
+    // dedup counts come off the CACHED keepers and the (tiny) dup-id
+    // set: n_curated = n_exact_unique − |dupIds| because every dropped
+    // id is a keeper id. Net: the corpus is scanned once for the
+    // report, not 4×.
+    val inputGated = stats.agg(
+      count(lit(1)).as("n_input"),
+      count(when(col("quality") >= cfg.minQuality
+        && col("pred_lang").isin(cfg.langs: _*), 1)).as("n_gated"))
+    val report = inputGated
+      .crossJoin(keepers.select(count(lit(1)).as("n_exact_unique")))
+      .crossJoin(dupIds.select(count(lit(1)).as("__n_dups")))
+      .withColumn("n_curated", col("n_exact_unique") - col("__n_dups"))
+      .drop("__n_dups")
     (curated, report)
   }
 }

@@ -10,44 +10,70 @@ import org.apache.spark.sql.functions._
   * transitivity: a~b, b~c but a!~c drops b and c with pair logic,
   * while the cluster keeps only a).
   *
-  * Algorithm: alternating large/small-star label propagation
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  * SoCC'14, simplified to symmetric min-neighbor propagation): each
-  * round every vertex adopts the minimum label in its closed
-  * neighborhood; converges in O(log n) rounds on real dedup graphs
-  * (diameter is tiny — dup clusters are near-cliques). Each round is
-  * one shuffle keyed by vertex; the loop stops when no label changes
-  * (count of changed labels — an action per round, as any iterative
-  * fixpoint on Spark requires).
+  * Algorithm: symmetric min-neighbor label propagation — each round
+  * every vertex adopts the minimum label in its closed neighborhood.
+  * This is the propagation step of Kiveris et al. ("Connected
+  * Components in MapReduce and Beyond", SoCC'14) WITHOUT the
+  * alternating large/small-star contractions, so it converges in
+  * O(diameter) rounds, not O(log n). That trade is deliberate: dedup
+  * clusters are near-cliques (diameter ≤ ~2-3), so the simple
+  * propagation finishes in 2-4 rounds and each round is one shuffle
+  * keyed by vertex. For long-chain graphs the star algorithm would
+  * win; for dup graphs it's pure overhead. The loop stops when no
+  * label changes (a count action per round, as any iterative fixpoint
+  * on Spark requires).
   */
 object ConnectedComponents {
 
   /** edges(srcCol, dstCol) → (vertex, component) with component = min
-    * vertex id of the component. Vertex/label type: long. */
+    * vertex id of the component. Vertex/label type: long.
+    *
+    * Throws if the fixpoint has not converged after `maxIters` rounds
+    * (non-converged labels would silently split clusters — dropSet
+    * would then keep several representatives of one cluster); pass
+    * `failOnNonConvergence = false` to get best-effort labels instead.
+    */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, failOnNonConvergence: Boolean = true): DataFrame = {
+    // Materialize the symmetric edge list ONCE: `sym` is re-joined in
+    // every round, and without the checkpoint each round re-executes
+    // the whole upstream pipeline (for clusterDedup that is the full
+    // LSH candidate+verify chain — ~rounds× redundant corpus scans).
+    // localCheckpoint also keeps every round's plan free of the
+    // upstream lineage.
     val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .localCheckpoint()
     var labels = sym.select(col("a").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
-      // neighbor labels + own label, take the min per vertex
+      // neighbor labels + own label, take the min per vertex; `own`
+      // carries the previous label through the same aggregate so the
+      // convergence check needs no join back onto the old frame
       val neighborLabels = sym
         .join(labels.withColumnRenamed("v", "b"), Seq("b"))
-        .select(col("a").as("v"), col("label"))
+        .select(col("a").as("v"), col("label"), lit(false).as("own"))
       // localCheckpoint (eager) truncates the lineage each round —
       // without it every round's plan contains all previous rounds and
       // Catalyst analysis time grows without bound (the iterative-Spark
       // pitfall)
-      val next = labels.union(neighborLabels)
-        .groupBy(col("v")).agg(min(col("label")).as("label"))
+      val next = labels.select(col("v"), col("label"), lit(true).as("own"))
+        .union(neighborLabels)
+        .groupBy(col("v"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("own"), col("label"))).as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("v"), col("label"))
       iter += 1
+    }
+    if (changed > 0) {
+      val msg = s"connected components did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — graph diameter exceeds maxIters"
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select(col("v").as("vertex"), col("label").as("component"))
   }

@@ -156,12 +156,20 @@ object DedupQueries extends QueryModule {
         .join(doc.select(col("doc_id"), col("lang"), col("source")), "doc_id")
         .cache()
       val sizes = bg.groupBy(col("doc_id")).agg(cnt.as("n"))
-      // DF via a whole-partition window: one shuffle keyed by
-      // (lang, source, shingle) replaces the aggregate + join-back pair
-      val rare = bg.withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("lang"), col("source"), col("shingle"))))
-        .filter(col("df") <= Dd4MaxDf).drop("df")
+      // DF via two-phase aggregation, NOT a window: a whole-partition
+      // window has no partial aggregation, so every occurrence of the
+      // hottest shingle ("of the" in a 1 B-doc English bucket — exactly
+      // the key the cap exists to neutralize) would land on ONE task
+      // before the cap filter runs. groupBy's map-side combine shrinks
+      // each hot key to one row per input partition; the surviving
+      // over-cap key set is tiny by construction (it's the stopword
+      // bigrams), so it broadcast-anti-joins against the shingle table
+      // with no skewed shuffle at all.
+      val hot = bg.groupBy(col("lang"), col("source"), col("shingle"))
+        .agg(cnt.as("df"))
+        .filter(col("df") > Dd4MaxDf)
+        .select(col("lang"), col("source"), col("shingle"))
+      val rare = bg.join(broadcast(hot), Seq("lang", "source", "shingle"), "left_anti")
       val ra = rare.select(col("doc_id").as("da"), col("lang"), col("source"), col("shingle"))
       val rb = rare.select(col("doc_id").as("db"), col("lang"), col("source"), col("shingle"))
       val cand = ra.join(rb, Seq("lang", "source", "shingle"))

@@ -65,11 +65,40 @@ class PlanAuditSpec extends SparkSpec {
     // all scale with N — a plan-level broadcast hint on any of them is
     // a driver OOM at 1 B docs. AQE may still broadcast at runtime when
     // a frame is actually small; that's a size decision, not a hint.
-    for (n <- Seq("q_dd2_minhash_lsh", "q_dd4_ngram_jaccard", "q_dd5_embedding_dup")) {
+    for (n <- Seq("q_dd2_minhash_lsh", "q_dd5_embedding_dup")) {
       val qe = SparkEntry.queries(n)(spark, sf0001).queryExecution
       assert(!qe.analyzed.toString.contains("ResolvedHint"),
         s"$n must not carry a broadcast hint")
     }
+    // dd4 hints exactly one frame: the over-cap (hot) shingle key set,
+    // which is the Zipf head (stopword bigrams) — bounded, not
+    // O(corpus). It appears twice in the analyzed tree because the
+    // DF-capped `rare` frame feeds both sides of the candidate
+    // self-join; both occurrences must sit directly on the df-filter
+    // aggregate, never on a corpus-sized frame.
+    val dd4 = SparkEntry.queries("q_dd4_ngram_jaccard")(spark, sf0001)
+      .queryExecution.analyzed
+    val hints = dd4.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 2, s"expected the hot-set hint on both self-join sides:\n$dd4")
+    assert(hints.forall(_.child.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.exists(_.condition.toString.contains("df"))),
+      s"every dd4 hint must be the df-capped hot-shingle set:\n$dd4")
+  }
+
+  test("q_dd4: DF computed by two-phase aggregate, not a whole-partition window") {
+    // A window over (lang, source, shingle) has no partial aggregation:
+    // every occurrence of the hottest shingle lands on one task BEFORE
+    // the df<=cap filter runs — a straggler/OOM at 100 TB on exactly
+    // the key the cap exists to neutralize. groupBy's map-side combine
+    // absorbs the skew; this pins the aggregate form.
+    val df = SparkEntry.queries("q_dd4_ngram_jaccard")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"dd4 DF must not use a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"dd4 DF must be a partial+final aggregate:\n$p")
   }
 
   test("q_dd5: bucket equi-join — no cartesian over the corpus") {

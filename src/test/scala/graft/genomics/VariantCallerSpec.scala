@@ -37,4 +37,23 @@ class VariantCallerSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(st == Map("a" -> "-", "b" -> "+", "c" -> "?", "d" -> "!"))
   }
+
+  test("null and short sequences still emit one '!' state per def") {
+    import spark.implicits._
+    val defs = Seq("A1T", "C2G", "G3A").toDF("m")
+    val seqs = Seq(("nullseq", null: String), ("shortseq", "A"))
+      .toDF("id", "seq")
+    val st = VariantCaller.states(seqs, defs, "id", "seq", "m").collect()
+    // the null-sequence sample must NOT vanish: 3 defs → 3 rows, all '!'
+    val nullRows = st.filter(_.getAs[String]("id") == "nullseq")
+    assert(nullRows.length == 3)
+    assert(nullRows.forall(_.getAs[String]("mutation_state") == "!"))
+    // short sequence: in-range site classifies normally, out-of-range → '!'
+    val shortRows = st.filter(_.getAs[String]("id") == "shortseq")
+      .map(r => r.getAs[Int]("position") -> r.getAs[String]("mutation_state")).toMap
+    assert(shortRows == Map(1 -> "-", 2 -> "!", 3 -> "!"))
+    val call = VariantCaller.call(seqs, defs, "id", "seq", "m").collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("weird")).toMap
+    assert(call("nullseq") == 3L)
+  }
 }

@@ -40,4 +40,19 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == expected)
   }
+
+  test("non-convergence at maxIters throws instead of returning split clusters") {
+    import spark.implicits._
+    // a 6-vertex path has diameter 5: min-label propagation needs ~5
+    // rounds, so maxIters=2 must fail loudly (silent non-convergence
+    // would let dropSet keep several representatives of one cluster)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(path, "a", "b", maxIters = 2)
+    }
+    // best-effort mode returns labels without throwing
+    val lax = ConnectedComponents.components(path, "a", "b", maxIters = 2,
+      failOnNonConvergence = false)
+    assert(lax.count() == 6)
+  }
 }
