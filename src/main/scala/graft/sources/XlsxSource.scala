@@ -42,7 +42,10 @@ object XlsxSource {
 
   private def saxParser() = {
     val f = SAXParserFactory.newInstance()
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", false)
+    // xlsx parts never legitimately carry a DOCTYPE; disallowing it
+    // outright blocks internal-entity expansion (billion-laughs) DoS
+    // from untrusted workbooks, not just external-entity reads
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     f.setFeature("http://xml.org/sax/features/external-general-entities", false)
     f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
     f.newSAXParser()
@@ -82,6 +85,7 @@ object XlsxSource {
       private var cellType = ""
       private var inV = false
       private var inIsT = false
+      private var hasValue = false
       private var buf: StringBuilder = _
       override def startElement(u: String, l: String, q: String, a: Attributes): Unit = q match {
         case "row" =>
@@ -91,21 +95,25 @@ object XlsxSource {
         case "c" =>
           cellCol = Option(a.getValue("r")).map(colIndex).getOrElse(cellCol + 1)
           cellType = Option(a.getValue("t")).getOrElse("")
+          hasValue = false
           buf = new StringBuilder
-        case "v" => inV = true
-        case "t" if cellType == "inlineStr" => inIsT = true
+        case "v" => inV = true; hasValue = true
+        case "t" if cellType == "inlineStr" => inIsT = true; hasValue = true
         case _ =>
       }
       override def endElement(u: String, l: String, q: String): Unit = q match {
         case "row" => rows += ((rowNum, cells.toMap))
         case "c" =>
-          val raw = buf.toString
-          val value = cellType match {
-            case "s" => shared(raw.trim.toInt)
-            case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
-            case _ => raw // "inlineStr", "str", numbers, dates-as-serials
+          // present-but-empty values (e.g. an empty shared string) are
+          // kept as "" — only cells with NO value child stay absent
+          if (hasValue) {
+            val raw = buf.toString
+            cells(cellCol) = cellType match {
+              case "s" => shared(raw.trim.toInt)
+              case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+              case _ => raw // "inlineStr", "str", numbers, dates-as-serials
+            }
           }
-          if (value.nonEmpty) cells(cellCol) = value
         case "v" => inV = false
         case "t" => inIsT = false
         case _ =>
@@ -117,23 +125,69 @@ object XlsxSource {
     rows.result()
   }
 
+  /** `xl/workbook.xml` → the first `<sheet>`'s relationship id. */
+  private def firstSheetRid(bytes: Array[Byte]): Option[String] = {
+    var rid: Option[String] = None
+    val handler = new DefaultHandler {
+      override def startElement(u: String, l: String, q: String, a: Attributes): Unit =
+        if (q == "sheet" && rid.isEmpty)
+          rid = Option(a.getValue("r:id")).orElse(Option(a.getValue("id")))
+    }
+    saxParser().parse(new ByteArrayInputStream(bytes), handler)
+    rid
+  }
+
+  /** `xl/_rels/workbook.xml.rels` → Id → zip entry name (targets are
+    * workbook-relative, e.g. "worksheets/sheet2.xml", or absolute
+    * "/xl/worksheets/sheet2.xml"). */
+  private def relTargets(bytes: Array[Byte]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    val handler = new DefaultHandler {
+      override def startElement(u: String, l: String, q: String, a: Attributes): Unit =
+        if (q == "Relationship")
+          (Option(a.getValue("Id")), Option(a.getValue("Target"))) match {
+            case (Some(id), Some(t)) =>
+              out += id -> (if (t.startsWith("/")) t.drop(1) else s"xl/$t")
+            case _ =>
+          }
+    }
+    saxParser().parse(new ByteArrayInputStream(bytes), handler)
+    out.result()
+  }
+
   /** One xlsx byte blob → header + data rows (all text, all-empty data
-    * rows dropped, like the reference's `filter(if_any(..., !is.na))`). */
+    * rows dropped, like the reference's `filter(if_any(..., !is.na))`).
+    * The FIRST sheet is resolved through workbook.xml + its rels (sheet
+    * parts keep their original names after deletions/reorders, so
+    * "sheet1.xml" is a convention, not a contract); workbooks missing
+    * either part fall back to the lexicographically first worksheet
+    * entry. */
   def parseWorkbook(bytes: Array[Byte]): (Seq[String], Seq[Seq[String]]) = {
     val wanted = scala.collection.mutable.Map[String, Array[Byte]]()
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var e = zin.getNextEntry
     while (e != null) {
-      if (e.getName == "xl/sharedStrings.xml" || e.getName.matches("xl/worksheets/sheet1?\\.xml"))
+      if (e.getName == "xl/sharedStrings.xml" || e.getName == "xl/workbook.xml" ||
+          e.getName == "xl/_rels/workbook.xml.rels" || e.getName.startsWith("xl/worksheets/"))
         wanted(e.getName) = zin.readAllBytes()
       e = zin.getNextEntry
     }
     val shared = wanted.get("xl/sharedStrings.xml")
       .map(b => parseSharedStrings(new ByteArrayInputStream(b)))
       .getOrElse(IndexedSeq.empty)
-    val sheetBytes = wanted.getOrElse("xl/worksheets/sheet1.xml",
-      wanted.getOrElse("xl/worksheets/sheet.xml",
-        throw new IllegalArgumentException("no worksheet entry found")))
+    val viaRels = for {
+      wb <- wanted.get("xl/workbook.xml")
+      rels <- wanted.get("xl/_rels/workbook.xml.rels")
+      rid <- firstSheetRid(wb)
+      target <- relTargets(rels).get(rid)
+      b <- wanted.get(target)
+    } yield b
+    val sheetBytes = viaRels.getOrElse {
+      val names = wanted.keys.filter(n =>
+        n.startsWith("xl/worksheets/") && n.endsWith(".xml")).toSeq.sorted
+      names.headOption.map(wanted).getOrElse(
+        throw new IllegalArgumentException("no worksheet entry found"))
+    }
     val all = parseSheet(new ByteArrayInputStream(sheetBytes), shared).sortBy(_._1)
     require(all.nonEmpty, "empty worksheet")
     val (_, headerCells) = all.head

@@ -134,6 +134,61 @@ class XlsxSourceSpec extends SparkSpec {
     assert(!XlsxSource.mergeArmeeComment(df).columns.contains("auftraggeber_armee"))
   }
 
+  test("S3: first sheet resolves through workbook rels, not a sheet1.xml name convention") {
+    // a workbook whose first (and only) sheet part is sheet7.xml — what
+    // Excel leaves behind after sheet deletions; also an empty shared
+    // string, which must survive as "" rather than collapse to absent
+    val dir = java.nio.file.Files.createTempDirectory("xlsx3").toString
+    val z = new ZipOutputStream(new FileOutputStream(s"$dir/odd.xlsx"))
+    entry(z, "xl/workbook.xml",
+      """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Data" sheetId="7" r:id="rId9"/></sheets></workbook>""".stripMargin)
+    entry(z, "xl/_rels/workbook.xml.rels",
+      """<Relationships>
+        |<Relationship Id="rId3" Type="styles" Target="styles.xml"/>
+        |<Relationship Id="rId9" Type="worksheet" Target="worksheets/sheet7.xml"/>
+        |</Relationships>""".stripMargin)
+    entry(z, "xl/sharedStrings.xml",
+      """<sst><si><t>a</t></si><si><t>b</t></si><si><t></t></si></sst>""")
+    entry(z, "xl/worksheets/sheet7.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/odd.xlsx"))
+    val (header, data) = XlsxSource.parseWorkbook(bytes)
+    assert(header == Seq("a", "b"))
+    assert(data == Seq(Seq("", "7")))
+  }
+
+  test("S3: missing rels falls back to the lexicographically first worksheet entry") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx4").toString
+    val z = new ZipOutputStream(new FileOutputStream(s"$dir/bare.xlsx"))
+    entry(z, "xl/worksheets/sheet3.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/bare.xlsx"))
+    val (header, data) = XlsxSource.parseWorkbook(bytes)
+    assert(header == Seq("h"))
+    assert(data == Seq(Seq("1")))
+  }
+
+  test("S3: a DOCTYPE in any workbook part is rejected outright") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx5").toString
+    val z = new ZipOutputStream(new FileOutputStream(s"$dir/evil.xlsx"))
+    entry(z, "xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<!DOCTYPE lolz [<!ENTITY lol "lol"><!ENTITY lol2 "&lol;&lol;&lol;&lol;">]>
+        |<worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>&lol2;</t></is></c></row></sheetData></worksheet>""".stripMargin)
+    z.close()
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/evil.xlsx"))
+    intercept[org.xml.sax.SAXParseException] { XlsxSource.parseWorkbook(bytes) }
+  }
+
   test("S3: date typing accepts both serials and formatted strings") {
     import spark.implicits._
     val df = Seq(("44256", "x"), ("2021-03-05", "y"), ("05.03.2021", "z"), ("garbage", "w"))
