@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * columns plus a typed metadata struct; decode / feature-extract /
   * resize / frame-sample run as iterator-to-iterator `mapPartitions`
   * stages (one decoder init per partition, no per-row setup — the
-  * Scala-side equivalent of `mapInPandas` batch shape). The actual
-  * codec calls are STUBBED with deterministic fakes (no image/audio
-  * libraries in this environment): the Spark-side contract — schema,
+  * Scala-side equivalent of `mapInPandas` batch shape). The IMAGE
+  * decode path is real: [[ImageCodec]] parses PNG/JPEG/GIF/BMP headers
+  * to (format, width, height) — header-only, no pixel decompression.
+  * Audio/video decode stays a deterministic STUB (no codec libraries
+  * in this environment); the Spark-side contract — schema,
   * partitioning, batch shape, null handling — is real and tested, and
-  * a production deployment swaps `decodeBytes` for a real codec.
+  * a production deployment swaps the stub for a real codec.
   */
 object Multimodal {
 
@@ -32,12 +34,14 @@ object Multimodal {
       width: Option[Int], height: Option[Int], sample_rate: Option[Int], n_frames: Option[Int])
 
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-      checksum: Long, feature: Array[Float])
+      checksum: Long, feature: Array[Float],
+      format: Option[String], width: Option[Int], height: Option[Int])
 
-  /** STUB decoder — a real deployment replaces this body with an image
-    * /audio codec call; everything around it (batching, schema,
-    * distribution) is production-shaped. The fake is deterministic:
-    * an 8-dim feature from a rolling byte hash. */
+  /** Feature stub for AUDIO/VIDEO payloads (images decode for real via
+    * [[ImageCodec]]) — a real deployment replaces this body with a
+    * codec call; everything around it (batching, schema, distribution)
+    * is production-shaped. The fake is deterministic: an 8-dim feature
+    * from a rolling byte hash. */
   private[multimodal] def decodeBytes(content: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)
     if (content != null) {
@@ -54,7 +58,9 @@ object Multimodal {
   }
 
   /** Decode/feature-extract stage: iterator-to-iterator mapPartitions,
-    * one "decoder" per partition. Null content → null-safe zero row. */
+    * one "decoder" per partition. Null content → null-safe zero row.
+    * Image rows get their real header decode (format/width/height);
+    * audio/video keep the stub feature with no dimensions. */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -62,8 +68,10 @@ object Multimodal {
       it.map { m =>
         val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
         val feat = decodeBytes(bytes)
+        val info = if (m.kind == "image") ImageCodec.decode(bytes) else None
         MediaFeatures(m.media_id, m.kind, bytes.length.toLong,
-          bytes.foldLeft(17L)((a, b) => a * 31 + b), feat)
+          bytes.foldLeft(17L)((a, b) => a * 31 + b), feat,
+          info.map(_.format), info.map(_.width), info.map(_.height))
       }
     }
   }

@@ -39,5 +39,38 @@ object MultimodalQueries extends QueryModule {
                   THEN CAST((doc_id % 30) // 2 + 1 AS BIGINT) END AS n_sampled
       FROM documents ORDER BY media_id"""))
 
-  override val all: Seq[Q] = Seq(mm1)
+  private val mm2 = Q(
+    "q_mm2_image_decode",
+    "real image header decode: per-row PNG/JPEG synthesis → distributed ImageCodec parse",
+    (s, d) => {
+      import s.implicits._
+      // the bytes are REAL containers (spec-conformant PNG via the
+      // deflate encoder; JPEG SOI+APP0+SOF0 markers) with dimensions
+      // derived from the id, so the oracle can verify the full
+      // encode→decode roundtrip arithmetically without a codec
+      val decoded = Tables.documents(s, d)
+        .select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (id % 64 + 1).toInt
+            val h = (id % 48 + 1).toInt
+            val bytes =
+              if (id % 2 == 0) graft.multimodal.ImageCodec.encodePng(w, h,
+                (x, y) => ((x + y + id) % 256).toInt)
+              else graft.multimodal.ImageCodec.jpegHeaderBytes(w, h)
+            val info = graft.multimodal.ImageCodec.decode(bytes)
+              .getOrElse(sys.error(s"undecodable synthesized image for id $id"))
+            (id, info.format, info.width, info.height)
+          }
+        }.toDF("media_id", "format", "width", "height")
+      decoded.orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             CAST(doc_id % 64 + 1 AS INT) AS width,
+             CAST(doc_id % 48 + 1 AS INT) AS height
+      FROM documents ORDER BY media_id"""))
+
+  override val all: Seq[Q] = Seq(mm1, mm2)
 }
