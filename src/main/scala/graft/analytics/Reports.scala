@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -109,6 +109,135 @@ object Reports {
       .withColumn("grossregion", grossregion)
       .groupBy(col("date"), col("grossregion"), col("age_group"), col("positive"))
       .agg(sum(col("mult")).as("n"))
+  }
+
+  /** B.1.1.7-vs-wildtype hospitalization/death contingency (ref
+    * `b117_analysis.sql:2-62`): best consensus record per ethid
+    * (lowest consensus_n, then sample_name — the reference's
+    * correlated NOT EXISTS, expressed as a rank-1 window so Spark
+    * plans a WindowGroupLimit), an 80%-of-defs variant flag from the
+    * (tiny, broadcast) mutation definition list, then an 8-way
+    * conditional-sum contingency by age group over the joined test +
+    * Meldeformular rows in the date range. */
+  def variantContingency(consensus: DataFrame, sampleMutations: DataFrame,
+      variantDefs: DataFrame, tests: DataFrame, meldeformular: DataFrame,
+      dateFrom: String, dateTo: String): DataFrame = {
+    val nDefs = variantDefs.count() // tiny definition list by contract
+    val best = consensus
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("ethid"))
+        .orderBy(col("consensus_n").asc, col("sample_name").asc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val matched = sampleMutations
+      .join(broadcast(variantDefs.select(col("aa_mutation"))), Seq("aa_mutation"))
+      .groupBy(col("sample_name")).agg(count(lit(1)).as("__n_matched"))
+    val flagged = best.join(matched, Seq("sample_name"), "left")
+      .withColumn("variant",
+        coalesce(col("__n_matched"), lit(0L)) >= lit(0.8) * lit(nDefs))
+    val samples = tests
+      .filter(col("order_date").between(dateFrom, dateTo))
+      .join(flagged.select(col("ethid"), col("variant")), Seq("ethid"))
+      .join(meldeformular, Seq("sample_number"))
+      .select(col("variant"),
+        col("altersjahr"),
+        coalesce(col("hospitalisation_type") === "HOSPITALIZED", lit(false)).as("hospitalized"),
+        coalesce(col("pttod"), lit(false)).as("dead"))
+    val ageGroup =
+      when(col("altersjahr") < 10, "0-9")
+        .when(col("altersjahr") < 20, "10-19").when(col("altersjahr") < 30, "20-29")
+        .when(col("altersjahr") < 40, "30-39").when(col("altersjahr") < 50, "40-49")
+        .when(col("altersjahr") < 60, "50-59").when(col("altersjahr") < 70, "60-69")
+        .when(col("altersjahr") < 80, "70-79")
+        .when(col("altersjahr") >= 80, "80+") // null age → null group, like the ref CASE
+    def cell(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    samples.groupBy(ageGroup.as("age_group"))
+      .agg(
+        count(lit(1)).as("total"),
+        cell(col("hospitalized") && col("variant")).as("variant_hospitalized"),
+        cell(!col("hospitalized") && col("variant")).as("variant_not_hospitalized"),
+        cell(col("hospitalized") && !col("variant")).as("not_variant_hospitalized"),
+        cell(!col("hospitalized") && !col("variant")).as("not_variant_not_hospitalized"),
+        cell(col("dead") && col("variant")).as("variant_dead"),
+        cell(!col("dead") && col("variant")).as("variant_not_dead"),
+        cell(col("dead") && !col("variant")).as("not_variant_dead"),
+        cell(!col("dead") && !col("variant")).as("not_variant_not_dead"))
+  }
+
+  /** Omicron candidate sweep (ref `omicron_analysis.sql:1-34`): a
+    * sample qualifies by carrying ≥ `minSpikeHits` of the defining
+    * spike mutations OR a matching pangolin lineage; candidates are
+    * then enriched with test, release-id and lineage context. The
+    * mutation list is a literal isin (codegen'd scan predicate, no
+    * join); the two candidate sets union DISTINCT like the ref. */
+  def omicronCandidates(consensus: DataFrame, sampleMutations: DataFrame,
+      nextcladeData: DataFrame, tests: DataFrame, sequenceIdentifier: DataFrame,
+      spikeMutations: Seq[String], lineagePattern: String = "^(B\\.1\\.1\\.529|BA).*",
+      minSpikeHits: Long = 2L, batch: Option[String] = None): DataFrame = {
+    val bySpike = sampleMutations
+      .filter(col("aa_mutation").isin(spikeMutations: _*))
+      .groupBy(col("sample_name")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSpikeHits)
+      .select(col("sample_name"))
+    val byLineage = nextcladeData
+      .filter(col("pangolin_lineage").rlike(lineagePattern))
+      .select(col("sample_name"))
+    val candidates = bySpike.union(byLineage).distinct()
+    val cs = batch.map(b => consensus.filter(col("sequencing_batch") === b)).getOrElse(consensus)
+    candidates
+      .join(cs.select(col("sample_name"), col("ethid"), col("sequencing_center")), Seq("sample_name"))
+      .join(tests, Seq("ethid"), "left")
+      .join(sequenceIdentifier.select(col("sample_name"), col("gisaid_id")), Seq("sample_name"), "left")
+      .join(nextcladeData.select(col("sample_name"), col("pangolin_lineage")), Seq("sample_name"), "left")
+  }
+
+  /** Close-country absolute-majority share (ref
+    * `close_country_analysis.sql:1-37`): sequences of `country` in the
+    * given month vote via their close-country neighbor lists; strains
+    * with an absolute majority (≥ `minVotes` rows for one close
+    * country) are tallied into a rollup with a formatted percentage —
+    * the total comes from a one-row broadcast, not a scalar subquery
+    * per row. */
+  def closeCountryMajority(sequences: DataFrame, closeCountry: DataFrame,
+      country: String, yr: Int, mth: Int, minVotes: Long = 6L): DataFrame = {
+    val relevant = sequences
+      .filter(col("country") === country && year(col("date")) === yr && month(col("date")) === mth)
+      .select(col("strain"))
+    val majority = relevant.join(closeCountry, Seq("strain"))
+      .groupBy(col("strain"), col("close_country"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= minVotes)
+      .select(col("strain"), col("close_country").as("est_country"))
+    val total = majority.agg(count(lit(1)).as("__total"))
+    majority
+      .rollup(col("est_country"))
+      .agg(count(lit(1)).as("count"))
+      .crossJoin(broadcast(total))
+      .select(col("est_country"),
+        concat(format_number(col("count") * 100.0 / col("__total"), 2), lit("%")).as("percentage"),
+        col("count"))
+      .orderBy(col("count").desc)
+  }
+
+  /** Close-country monthly origin proportions (ref
+    * `close_country_analysis.sql:40-91`): per (estimated country,
+    * year, month) counts and their share of the month — the ref's
+    * self-join on monthly totals is a window sum over the month
+    * partition (one shuffle instead of two). */
+  def closeCountryMonthlyProportion(sequences: DataFrame, closeCountry: DataFrame,
+      country: String, minVotes: Long = 6L): DataFrame = {
+    val relevant = sequences.filter(col("country") === country)
+      .select(col("strain"), col("date"))
+    val majority = relevant.join(closeCountry, Seq("strain"))
+      .groupBy(col("strain"), col("date"), col("close_country"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= minVotes)
+    val monthly = majority
+      .groupBy(col("close_country").as("est_country"),
+        year(col("date")).as("year"), month(col("date")).as("month"))
+      .agg(count(lit(1)).as("count"))
+    monthly
+      .withColumn("proportion", col("count").cast("double")
+        / sum(col("count")).over(Window.partitionBy(col("year"), col("month"))))
+      .orderBy(col("year"), col("month"), col("est_country"))
   }
 
   /** Pipeline completeness funnel over the sample lifecycle (ref
