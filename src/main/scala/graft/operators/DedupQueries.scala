@@ -265,5 +265,50 @@ object DedupQueries extends QueryModule {
       WHERE list_cosine_similarity(a.embedding, b2.embedding) >= 0.8
       ORDER BY 1, 2"""))
 
-  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5)
+  // Multi-table LSH near-dup (the recall-scaling path): candidates from
+  // the UNION of 2 independent md5-plane families, verified with the
+  // integer-exact quantized cosine (threshold 7/20 = 0.35 — the
+  // synthetic corpus tops out near cos 0.51, so 0.35 exercises real
+  // verification; production thresholds pass through the same rational
+  // form). Both the buckets and the verify are BIGINT-exact, so the
+  // DuckDB twin reproduces the result bit-for-bit.
+  private val dd6 = {
+    val planes = 4; val tables = 2; val dim = 64
+    val planeSets = (0 until tables).map(t =>
+      md5SignPlanes((t + 1) * planes, dim).drop(t * planes))
+    Q(
+      "q_dd6_multitable_lsh",
+      "multi-table LSH embedding near-dup: 2 plane families, integer-exact verify",
+      (s, d) => EmbeddingDedup.nearDupPairsExact(
+          Tables.embeddings(s, d), tNum = 7, tDen = 20, planes = planes,
+          tables = tables, dim = dim)
+        .orderBy(col("vec_a"), col("vec_b")),
+      Some(s"""
+        WITH q AS (
+          SELECT vec_id,
+                 ${intHyperplaneBucketSql("embedding", planeSets(0))} AS b0,
+                 ${intHyperplaneBucketSql("embedding", planeSets(1))} AS b1,
+                 list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        qq AS (
+          SELECT vec_id, b0, b1, qv,
+                 list_sum(list_transform(qv, x -> x * x)) AS qn
+          FROM q),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+          FROM qq a JOIN qq b
+            ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)),
+        v AS (
+          SELECT c.va, c.vb,
+                 list_sum(list_transform(a.qv, (x, j) -> x * b.qv[j])) AS qdot,
+                 a.qn AS qna, b.qn AS qnb
+          FROM cand c
+          JOIN qq a ON a.vec_id = c.va
+          JOIN qq b ON b.vec_id = c.vb)
+        SELECT va AS vec_a, vb AS vec_b FROM v
+        WHERE qdot > 0 AND 400 * qdot * qdot >= 49 * qna * qnb
+        ORDER BY 1, 2"""))
+  }
+
+  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5, dd6)
 }

@@ -39,4 +39,37 @@ object EmbeddingDedup {
       .filter(col("cos") >= threshold)
       .select(col("va").as("vec_a"), col("vb").as("vec_b"))
   }
+
+  /** Gate-exact variant: same multi-table candidate generation, but
+    * the verify is pure BIGINT math — components quantized to
+    * floor(x·1000), threshold passed as the rational tNum/tDen, and
+    * `cos ≥ t` tested as `qdot > 0 ∧ tDen²·qdot² ≥ tNum²·|a|²·|b|²`
+    * (both sides ≤ ~5·10¹⁸ at dim 64, inside BIGINT). No float
+    * accumulation anywhere, so any engine reproduces the result
+    * bit-for-bit — this is what the DuckDB oracle checks. Production
+    * dedup uses [[nearDupPairs]]' float cosine; this form exists so
+    * the multi-table recall path has an EXACT cross-engine gate. */
+  def nearDupPairsExact(embeddings: DataFrame, tNum: Long, tDen: Long,
+      planes: Int = 4, tables: Int = 4, dim: Int = 64): DataFrame = {
+    require(tNum >= 0 && tDen > 0, "threshold must be a non-negative rational")
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => floor(x.cast(DoubleType) * lit(1000.0)).cast("long")).as("qv"))
+      .withColumn("qn", aggregate(transform(col("qv"), x => x * x), lit(0L), (a, v) => a + v))
+    val cand = (0 until tables).map { t =>
+      val signs = md5SignPlanes((t + 1) * planes, dim).drop(t * planes)
+      val withB = e.withColumn("bucket", intHyperplaneBucket(col("embedding"), signs))
+      val a = withB.select(col("vec_id").as("va"), col("bucket"))
+      val b = withB.select(col("vec_id").as("vb"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"))
+    }.reduce(_ union _).distinct()
+    val qa = e.select(col("vec_id").as("va"), col("qv").as("qva"), col("qn").as("qna"))
+    val qb = e.select(col("vec_id").as("vb"), col("qv").as("qvb"), col("qn").as("qnb"))
+    cand.join(qa, "va").join(qb, "vb")
+      .withColumn("qdot",
+        aggregate(zip_with(col("qva"), col("qvb"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .filter(col("qdot") > 0 &&
+        lit(tDen * tDen) * col("qdot") * col("qdot") >= lit(tNum * tNum) * col("qna") * col("qnb"))
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"))
+  }
 }
