@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data op that keeps eval
+  * sets out of the corpus: a document is contaminated when it shares
+  * at least `minHits` distinct word n-grams with ANY benchmark
+  * document. The scale shape exploits the asymmetry: benchmarks are
+  * tiny (thousands of docs) next to the corpus (billions), so the
+  * benchmark n-gram set BROADCASTS and the corpus side is one scan +
+  * shingle explode + broadcast semi-join + groupBy — no corpus-side
+  * self-join, no shuffle of the corpus text. 13-gram overlap with
+  * ≥1 hit is the published convention (GPT-3 appendix C / PaLM §6.1);
+  * n and the hit threshold are parameters because real pipelines tune
+  * both.
+  */
+object Decontamination {
+
+  /** (id, n_hits) per contaminated corpus doc: distinct n-gram overlap
+    * counts against the broadcast benchmark n-gram set. */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, minHits: Long): DataFrame = {
+    val bGrams = wordShingles(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    wordShingles(corpus, idCol, textCol, n)
+      .join(broadcast(bGrams), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** Clean corpus: drop contaminated docs. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13, minHits: Long = 1L): DataFrame =
+    corpus.join(contaminationHits(corpus, benchmark, idCol, textCol, n, minHits)
+      .select(col(idCol)), Seq(idCol), "left_anti")
+}

@@ -310,5 +310,39 @@ object DedupQueries extends QueryModule {
         ORDER BY 1, 2"""))
   }
 
-  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5, dd6)
+  // Benchmark decontamination: docs whose 5-grams overlap the (small,
+  // broadcast) benchmark slice — doc_id % 11 stands in for an eval set.
+  // At sf0.01 this surfaces exactly the planted near-dups of benchmark
+  // docs, so the gate discriminates rather than passing vacuously.
+  private val dc1 = Q(
+    "q_dc1_decontaminate",
+    "benchmark decontamination: word 5-gram overlap vs broadcast eval-set grams",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      Decontamination.contaminationHits(
+          doc.filter(col("doc_id") % 11 =!= 0),
+          doc.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", n = 5, minHits = 1L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               list_extract(w, i) || ' ' || list_extract(w, i + 1) || ' ' ||
+               list_extract(w, i + 2) || ' ' || list_extract(w, i + 3) || ' ' ||
+               list_extract(w, i + 4) AS shingle
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+              FROM toks WHERE len(w) >= 5)),
+      bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 11 = 0)
+      SELECT doc_id, count(*) AS n_hits
+      FROM sh
+      WHERE doc_id % 11 <> 0 AND shingle IN (SELECT shingle FROM bench)
+      GROUP BY doc_id
+      HAVING count(*) >= 1
+      ORDER BY doc_id"""))
+
+  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1)
 }

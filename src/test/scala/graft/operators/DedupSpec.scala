@@ -47,6 +47,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("jaccard") - 5.0 / 9.0) < 1e-12)
   }
 
+  test("decontamination: n-gram overlap with the benchmark flags exactly the leaked docs") {
+    import spark.implicits._
+    val bench = Seq((1000L, "the capital of france is paris and the capital of italy is rome"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we know the capital of france is paris since school days"), // shares 5-grams → leaked
+      (2L, "completely unrelated text about gardening tools and soil quality here"),
+      (3L, "of italy is rome they say")                                  // only a 4-gram run → clean at n=5
+    ).toDF("doc_id", "text")
+    val hits = Decontamination.contaminationHits(corpus, bench, "doc_id", "text", n = 5, minHits = 1L)
+      .as[(Long, Long)].collect().toMap
+    // doc 1: "the capital of france is" + "capital of france is paris" = 2 distinct 5-grams
+    assert(hits == Map(1L -> 2L))
+    val clean = Decontamination.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+  }
+
   test("dd5/ann2 bucket: Spark intHyperplaneBucket equals the generated DuckDB SQL literal form") {
     import graft.functions.VectorFunctions._
     import spark.implicits._
