@@ -344,5 +344,60 @@ object DedupQueries extends QueryModule {
       HAVING count(*) >= 1
       ORDER BY doc_id"""))
 
-  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1)
+  // Incremental ingest dedup: the doc_id % 10 == 7 slice plays the
+  // arriving batch, the rest the existing corpus; batch bands broadcast
+  // into the corpus band scan (no corpus×corpus pairs, no corpus
+  // shuffle at candidate time). Same MinHash family as dd2.
+  private val dd7 = Q(
+    "q_dd7_incremental_lsh",
+    "incremental batch-vs-corpus near-dup: broadcast batch bands, exact Jaccard verify",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      val state = IncrementalDedup.corpusState(
+        doc.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
+      IncrementalDedup.pairsAgainstCorpus(
+          doc.filter(col("doc_id") % 10 === 7), state, "doc_id", "text", 0.7)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, list_extract(w, i) || ' ' || list_extract(w, i + 1) AS shingle
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM toks WHERE len(w) >= 2)),
+      sig AS (
+        SELECT doc_id,
+          min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+          min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+          min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+          min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7,
+          count(*) AS n
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+      cand AS (
+        SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM bands b JOIN bands c
+          ON b.band = c.band AND b.band_key = c.band_key
+        WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+      inter AS (
+        SELECT cand.batch_id, cand.corpus_id, count(*) AS ninter
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.batch_id
+        JOIN sh sb ON sb.doc_id = cand.corpus_id AND sb.shingle = sa.shingle
+        GROUP BY 1, 2)
+      SELECT i.batch_id, i.corpus_id,
+             CAST(i.ninter AS DOUBLE) / (sb.n + sc.n - i.ninter) AS jaccard
+      FROM inter i
+      JOIN sig sb ON sb.doc_id = i.batch_id
+      JOIN sig sc ON sc.doc_id = i.corpus_id
+      WHERE CAST(i.ninter AS DOUBLE) / (sb.n + sc.n - i.ninter) >= 0.7
+      ORDER BY 1, 2"""))
+
+  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dd7)
 }

@@ -65,6 +65,27 @@ class DedupSpec extends SparkSpec {
     assert(clean == Set(2L, 3L))
   }
 
+  test("incremental dedup: batch-vs-corpus pairs only, survivors pass through") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "totally different corpus content about something else entirely here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base.replace("kappa", "lambda")), // near-dup of corpus 1
+      (101L, base.replace("kappa", "lambda")), // batch-internal dup of 100 — NOT this op's job
+      (102L, "fresh unseen content with no overlap at all whatsoever today"))
+      .toDF("doc_id", "text")
+    val state = IncrementalDedup.corpusState(corpus, "doc_id", "text")
+    val pairs = IncrementalDedup.pairsAgainstCorpus(batch, state, "doc_id", "text", 0.7)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 1L), (101L, 1L)), s"got $pairs")
+    val fresh = IncrementalDedup.newDocs(batch, state, "doc_id", "text", 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fresh == Set(102L))
+  }
+
   test("dd5/ann2 bucket: Spark intHyperplaneBucket equals the generated DuckDB SQL literal form") {
     import graft.functions.VectorFunctions._
     import spark.implicits._
