@@ -107,4 +107,22 @@ object CorpusCuration {
       .drop("__n_dups")
     (curated, report)
   }
+
+  /** Runnable entry: `--demo <outDir>` curates the sf0.001 documents
+    * table; `<docsDir> <outDir>` curates any dir holding
+    * `documents.parquet`. Writes `curated.parquet` + `report.parquet`
+    * (atomic swap) and prints the funnel. */
+  def main(args: Array[String]): Unit = {
+    val Array(mode, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.GraftSession.build(s"local[$cpus]", cpus.toInt)
+    val docsDir = if (mode == "--demo") "/root/testdata/sf0.001" else mode
+    val (curated, report) = run(graft.Tables.documents(spark, docsDir))
+    graft.core.TableIO.writeAtomicSwap(curated, s"$outDir/curated.parquet")
+    graft.core.TableIO.writeAtomicSwap(report, s"$outDir/report.parquet")
+    val r = report.head()
+    println(s"[curation] input=${r.getAs[Long]("n_input")} gated=${r.getAs[Long]("n_gated")} " +
+      s"exact_unique=${r.getAs[Long]("n_exact_unique")} curated=${r.getAs[Long]("n_curated")}")
+    spark.stop()
+  }
 }

@@ -101,6 +101,14 @@ class PlanAuditSpec extends SparkSpec {
       s"dd4 DF must be a partial+final aggregate:\n$p")
   }
 
+  test("q_dd7: candidate generation broadcasts the batch bands into the corpus scan") {
+    // incremental dedup's contract: the corpus side is never shuffled
+    // for candidate generation — the batch band table broadcasts
+    val df = SparkEntry.queries("q_dd7_incremental_lsh")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"batch bands must broadcast:\n$p")
+  }
+
   test("q_dd5: bucket equi-join — no cartesian over the corpus") {
     val p = plan("q_dd5_embedding_dup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
