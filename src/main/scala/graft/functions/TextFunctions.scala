@@ -21,6 +21,16 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** PII scrub: emails and phone-shaped numbers replaced with typed
+    * redaction tokens. Deliberately simple patterns (no lookaround) so
+    * any regex engine agrees; production pipelines extend the list. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{2} [0-9]{2} [0-9]{3} [0-9]{2} [0-9]{2}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Count of tokens (from a materialized token array) in a marker
     * set. Callers hot at scale should project [[tokens]] ONCE and feed
     * it here — Catalyst's CollapseProject keeps a multiply-referenced
@@ -111,16 +121,19 @@ object TextFunctions {
       .distinct()
   }
 
-  /** (id, shingle) rows: distinct word n-grams. */
-  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** (id, shingle) rows: word n-grams WITH multiplicity (repetition
+    * metrics need the raw counts). */
+  def rawWordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), filter(split(col(textCol), " "), t => t =!= "").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col(idCol),
         explode(expr(s"transform(sequence(0, size(toks) - $n), i -> " +
           (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"))
           .as("shingle"))
-      .distinct()
-  }
+
+  /** (id, shingle) rows: distinct word n-grams. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    rawWordShingles(df, idCol, textCol, n).distinct()
 
   /** MinHash signature: k salted-md5 minima per id, columns h0..h{k-1},
     * plus the shingle-set size `n` in the same aggregation pass (one

@@ -82,6 +82,104 @@ object TextQueries extends QueryModule {
              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
       FROM documents ORDER BY doc_id"""))
 
+  // Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+  // fraction of tokens taken by the single most frequent token /
+  // bigram — high values mark degenerate boilerplate. Two keyed
+  // shuffles (token counts, bigram counts), rank-1 via window (Spark
+  // plans WindowGroupLimit), integer counts → one double division, so
+  // the oracle matches exactly. Ties break lexicographically.
+  private val tx5 = {
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      "q_tx5_repetition",
+      "repetition signals: top-token and top-bigram token fractions per doc",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+        def topFrac(unit: org.apache.spark.sql.DataFrame, outCol: String) = unit
+          .groupBy(col("doc_id"), col("u")).agg(cnt.as("c"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("u").asc)))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), col("c").as(outCol))
+        val toks = doc.select(col("doc_id"), explode(tokens(col("text"))).as("u"))
+        val bigrams = rawWordShingles(doc, "doc_id", "text", 2)
+          .withColumnRenamed("shingle", "u")
+        val n = doc.select(col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+        n.join(topFrac(toks, "tc"), Seq("doc_id"), "left")
+          .join(topFrac(bigrams, "bc"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            (coalesce(col("tc"), lit(0L)).cast("double") / col("n_tokens")).as("top_token_frac"),
+            (coalesce(col("bc"), lit(0L)).cast("double")
+              / greatest(col("n_tokens") - 1, lit(1L))).as("top_bigram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS u
+          FROM documents),
+        n AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+        tc AS (
+          SELECT doc_id, c FROM (
+            SELECT doc_id, c, row_number() OVER (
+              PARTITION BY doc_id ORDER BY c DESC, u ASC) AS rn
+            FROM (SELECT doc_id, u, count(*) AS c FROM tok GROUP BY 1, 2))
+          WHERE rn = 1),
+        bg AS (
+          SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i + 1) AS u
+          FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+                      FROM documents)
+                WHERE len(w) >= 2)),
+        bc AS (
+          SELECT doc_id, c FROM (
+            SELECT doc_id, c, row_number() OVER (
+              PARTITION BY doc_id ORDER BY c DESC, u ASC) AS rn
+            FROM (SELECT doc_id, u, count(*) AS c FROM bg GROUP BY 1, 2))
+          WHERE rn = 1)
+        SELECT n.doc_id, n.n_tokens,
+               CAST(coalesce(tc.c, 0) AS DOUBLE) / n.n_tokens AS top_token_frac,
+               CAST(coalesce(bc.c, 0) AS DOUBLE) / greatest(n.n_tokens - 1, 1) AS top_bigram_frac
+        FROM n
+        LEFT JOIN tc ON tc.doc_id = n.doc_id
+        LEFT JOIN bc ON bc.doc_id = n.doc_id
+        ORDER BY n.doc_id"""))
+  }
+
+  // PII scrub, gated like q_mm2: PII is PLANTED deterministically from
+  // the doc id (an email and a Swiss-format phone appended to the
+  // text), then the scrubber must redact exactly what was planted —
+  // verified by redaction counts and the md5 of the scrubbed text.
+  private val tx6 = Q(
+    "q_tx6_pii_scrub",
+    "PII scrubbing: email/phone redaction over deterministically planted PII",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      val planted = doc.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +41 79 "),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit(" 12 34")).as("text"))
+      planted.select(col("doc_id"),
+          size(expr(s"regexp_extract_all(text, '${EmailPattern.replace("\\", "\\\\")}', 0)"))
+            .cast(LongType).as("n_emails"),
+          size(expr(s"regexp_extract_all(text, '${PhonePattern.replace("\\", "\\\\")}', 0)"))
+            .cast(LongType).as("n_phones"),
+          md5(scrubPii(col("text"))).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or +41 79 ' ||
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' 12 34' AS text
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
+             len(regexp_extract_all(text, '$PhonePattern')) AS n_phones,
+             md5(regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+                 '$PhonePattern', '<PHONE>', 'g')) AS scrubbed_md5
+      FROM planted ORDER BY doc_id"""))
+
   // The composed curation funnel (jobs/CorpusCuration) as a gate query:
   // stats → quality/lang gate → exact dedup → MinHash-LSH near-dup.
   // The oracle is the chain of the already-verified tx1/tx2/dd1/dd2
@@ -158,5 +256,5 @@ object TextQueries extends QueryModule {
         WHERE d.doc_id IS NULL ORDER BY k.doc_id"""))
   }
 
-  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, llm1)
+  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, llm1)
 }

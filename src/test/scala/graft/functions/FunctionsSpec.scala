@@ -7,6 +7,22 @@ import org.apache.spark.sql.functions._
 
 class FunctionsSpec extends SparkSpec {
 
+  test("scrubPii redacts emails and phone numbers, leaves clean text alone") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val rows = Seq(
+      ("mail me at jane.doe+spam@sub.example.co.uk today",
+        "mail me at <EMAIL> today"),
+      ("call +41 79 123 45 67 or +41 44 555 66 77 now",
+        "call <PHONE> or <PHONE> now"),
+      ("two leaks: a@b.ch and c.d@e-f.org done",
+        "two leaks: <EMAIL> and <EMAIL> done"),
+      ("nothing sensitive here at all", "nothing sensitive here at all"))
+    val out = rows.map(_._1).toDF("text")
+      .select(scrubPii($"text").as("s")).as[String].collect()
+    assert(out.toSeq == rows.map(_._2))
+  }
+
   test("vec_dot matches the higher-order-function dot product") {
     import spark.implicits._
     VecExpressions.register(spark)
