@@ -90,16 +90,7 @@ object AnnQueries extends QueryModule {
         FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
       WHERE rnk <= 3 ORDER BY query_id, rnk"""))
 
-  /** Integer-exact squared L2 distance over floor(x·1000) quantized
-    * components — BIGINT arithmetic only, so cell assignment (argmin)
-    * is bit-reproducible cross-engine. Quantization affects only which
-    * cell a vector lands in, never the exact cosine used for ranking. */
-  private def intSqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (floor(x.cast("double") * lit(1000.0)) - floor(y.cast("double") * lit(1000.0)))
-          * (floor(x.cast("double") * lit(1000.0)) - floor(y.cast("double") * lit(1000.0)))),
-      lit(0L), (acc, v) => acc + v)
+  // intSqDist moved to VectorFunctions (shared with IvfIndex).
 
   // IVF ANN: coarse quantizer with 16 deterministic centroids (the
   // first 16 corpus vectors — a fixed, data-independent pick, the

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Persisted IVF index — q_ann3's production layout (its scaladoc's
+  * "write bucketed by cell" note made real): the corpus is assigned to
+  * its nearest centroid cell ONCE and written `partitionBy("cell")`,
+  * so every later probe is a PARTITION-PRUNED scan of nprobe/nlist of
+  * the data — the scan never lists, opens, or reads the other cells'
+  * files. Probe cells are computed driver-side from the (tiny,
+  * queries × nlist) centroid distance table and pushed as a literal
+  * `cell IN (...)` filter, which Spark turns into directory-level
+  * partition pruning; IvfIndexSpec asserts the pruned file set.
+  *
+  * Assignment uses the integer-exact quantized L2
+  * ([[graft.functions.VectorFunctions.intSqDist]]) so the cell a
+  * vector lands in is deterministic across engines and rebuilds;
+  * ranking inside probed cells uses the exact cosine.
+  */
+object IvfIndex {
+
+  /** (vec_id, embedding, cell): nearest-centroid assignment; ties break
+    * to the lowest centroid id. Map-side only (centroids broadcast). */
+  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cd").asc, col("cent_id").asc)
+    embeddings.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        intSqDist(col("embedding"), col("cvec")).as("cd"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** Build and persist the index, one directory per cell. */
+  def writeIndex(embeddings: DataFrame, centroids: DataFrame, path: String): Unit =
+    assign(embeddings, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe: top-k exact-cosine neighbors per query over its `nprobe`
+    * nearest cells only. The index scan carries a literal cell filter →
+    * partition pruning. `queries` = (query_id, qv). */
+  def probe(spark: SparkSession, indexPath: String, queries: DataFrame,
+      centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    graft.functions.VecExpressions.register(spark)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cd").asc, col("cent_id").asc)
+    // queries × nlist is tiny by contract — compute probe cells and
+    // collect them; the literal IN list is what enables static pruning
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        intSqDist(col("qv"), col("cvec")).as("cd"))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // partition-type inference reads cell=N directories as int — match
+    // the literal type so the IN filter stays a plain partition
+    // predicate (a cast on the column side would defeat pruning)
+    val raw = spark.read.parquet(indexPath)
+    val cellType = raw.schema("cell").dataType
+    val lits = if (cellType == org.apache.spark.sql.types.IntegerType)
+      cells.map(c => lit(c.toInt)) else cells.map(lit(_))
+    val index = raw.filter(col("cell").isin(lits: _*))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(probes.withColumn("cell", col("cell").cast(cellType))).join(index, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
+}
