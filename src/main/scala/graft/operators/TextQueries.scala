@@ -146,6 +146,52 @@ object TextQueries extends QueryModule {
         ORDER BY n.doc_id"""))
   }
 
+  // TF-IDF keyword extraction, log-free: score = tf·N/df — the same
+  // ranking as tf·(N/df) idf weighting under any monotone transform,
+  // but integer arithmetic into ONE double division, so the oracle
+  // reproduces scores bit-for-bit (ln() last-ulp differences across
+  // engines would break hash equality). Plan: tf counts (shuffle by
+  // doc,term), df over the tf table (shuffle by term — vocabulary-
+  // sized, far smaller than the corpus), join back on term, rank-1
+  // window per doc.
+  private val tx7 = {
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      "q_tx7_tfidf_keywords",
+      "top-3 TF-IDF keywords per doc (rational tf*N/df scoring, exact cross-engine)",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+        val tf = doc.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(cnt.as("tf"))
+        val df = tf.groupBy(col("term")).agg(cnt.as("df"))
+        val n = doc.select(cnt.as("n"))
+        tf.join(df, "term").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("term").asc)).cast(LongType))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, term, score, rnk FROM (
+          SELECT doc_id, term, score, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+          FROM scored)
+        WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+  }
+
   // PII scrub, gated like q_mm2: PII is PLANTED deterministically from
   // the doc id (an email and a Swiss-format phone appended to the
   // text), then the scrubber must redact exactly what was planted —
@@ -256,5 +302,5 @@ object TextQueries extends QueryModule {
         WHERE d.doc_id IS NULL ORDER BY k.doc_id"""))
   }
 
-  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, llm1)
+  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, llm1)
 }
