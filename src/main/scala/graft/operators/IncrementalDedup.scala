@@ -28,7 +28,11 @@ import org.apache.spark.sql.types.DoubleType
   */
 object IncrementalDedup {
 
-  /** Corpus signature state: (shingles, sizes+signature, band keys). */
+  /** Corpus signature state: (shingles, sizes+signature, band keys).
+    * Note: docs with fewer words than the shingle size carry no
+    * shingles and so no state rows — exact-dup bookkeeping for those
+    * lives with the caller (e.g. CurationStream's fingerprint table),
+    * not here. */
   final case class CorpusState(shingles: DataFrame, sig: DataFrame, bands: DataFrame)
 
   def corpusState(corpus: DataFrame, idCol: String, textCol: String,
@@ -38,27 +42,61 @@ object IncrementalDedup {
     CorpusState(sh, sig, lshBands(sig, idCol, k, rowsPerBand))
   }
 
+  /** Persist state as three parquet tables (each an atomic swap;
+    * callers make replays idempotent by gating appends on their
+    * exact-dup check). At scale, write `shingles`/`bands` bucketed by
+    * their join keys (TableIO.writeBucketed) for exchange-free
+    * re-joins. */
+  def writeState(state: CorpusState, dir: String): Unit = {
+    graft.core.TableIO.writeAtomicSwap(state.shingles, s"$dir/shingles.parquet")
+    graft.core.TableIO.writeAtomicSwap(state.sig, s"$dir/sig.parquet")
+    graft.core.TableIO.writeAtomicSwap(state.bands, s"$dir/bands.parquet")
+  }
+
+  def readState(spark: org.apache.spark.sql.SparkSession, dir: String): CorpusState =
+    CorpusState(
+      graft.core.TableIO.read(spark, s"$dir/shingles.parquet"),
+      graft.core.TableIO.read(spark, s"$dir/sig.parquet"),
+      graft.core.TableIO.read(spark, s"$dir/bands.parquet"))
+
+  def stateExists(dir: String): Boolean =
+    new java.io.File(s"$dir/sig.parquet").exists()
+
+  /** Fold a batch's own state into the persisted state (append). */
+  def appendState(existing: CorpusState, batch: CorpusState): CorpusState =
+    CorpusState(
+      existing.shingles.unionByName(batch.shingles),
+      existing.sig.unionByName(batch.sig),
+      existing.bands.unionByName(batch.bands))
+
   /** Verified near-dup pairs (batch_id, corpus_id, jaccard) at
     * `threshold`, batch vs corpus only. */
   def pairsAgainstCorpus(batch: DataFrame, state: CorpusState, idCol: String,
       textCol: String, threshold: Double, shingleN: Int = 2, k: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
-    val bSh = wordShingles(batch, idCol, textCol, shingleN)
-    val bSig = minhashSignature(bSh, idCol, k)
-    val bBands = lshBands(bSig, idCol, k, rowsPerBand)
+      rowsPerBand: Int = 2): DataFrame =
+    pairsAgainstState(corpusState(batch, idCol, textCol, shingleN, k, rowsPerBand),
+      state, idCol, threshold)
+
+  /** Same, from a precomputed batch state (so a caller that also
+    * appends the batch into the persisted state computes its
+    * shingles/signature once). */
+  def pairsAgainstState(batchState: CorpusState, state: CorpusState, idCol: String,
+      threshold: Double): DataFrame = {
     // candidate generation: batch bands broadcast into the corpus band
     // scan — the ONLY corpus-wide operation, and it's map-side
     val cand = state.bands.select(col(idCol).as("corpus_id"), col("band"), col("band_key"))
-      .join(broadcast(bBands.select(col(idCol).as("batch_id"), col("band"), col("band_key"))),
+      .join(broadcast(batchState.bands
+          .select(col(idCol).as("batch_id"), col("band"), col("band_key"))),
         Seq("band", "band_key"))
       .select(col("batch_id"), col("corpus_id")).distinct()
     // exact verify over full shingle sets: shuffles only candidates
     val inter = cand
       .join(state.shingles.select(col(idCol).as("corpus_id"), col("shingle")), Seq("corpus_id"))
-      .join(bSh.select(col(idCol).as("batch_id"), col("shingle")), Seq("batch_id", "shingle"))
+      .join(batchState.shingles.select(col(idCol).as("batch_id"), col("shingle")),
+        Seq("batch_id", "shingle"))
       .groupBy(col("batch_id"), col("corpus_id")).agg(count(lit(1)).as("ninter"))
     inter
-      .join(bSig.select(col(idCol).as("batch_id"), col("n").as("nb")), "batch_id")
+      .join(batchState.sig.select(col(idCol).as("batch_id"), col("n").as("nb")), "batch_id")
       .join(state.sig.select(col(idCol).as("corpus_id"), col("n").as("nc")), "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
         (col("ninter").cast(DoubleType) / (col("nb") + col("nc") - col("ninter"))).as("jaccard"))

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.core.TableIO
+import graft.functions.TextFunctions
 import graft.operators.IncrementalDedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,18 +13,20 @@ import org.apache.spark.sql.types._
   * deduplicated FIRST within itself (exact fingerprint — replayed or
   * doubled files collapse), then against the accumulated corpus via
   * [[IncrementalDedup]] (batch bands broadcast into the corpus band
-  * scan — no corpus×corpus recompute, see its scaladoc), and survivors
-  * append to the corpus table. Checkpointed source offsets make each
-  * drop exactly-once; the append is idempotent under micro-batch
-  * retries because survivors are re-checked against the (already
-  * updated) corpus on replay — a doc_id present in the corpus is an
-  * exact dup of itself and gets dropped.
+  * scan — no corpus×corpus recompute), and survivors append to the
+  * corpus table. Checkpointed source offsets make each drop
+  * exactly-once; the append is idempotent under micro-batch retries
+  * because survivors are re-checked against the (already updated)
+  * fingerprint table on replay.
   *
-  * At scale the corpus signature state would be persisted and updated
-  * incrementally rather than rebuilt per batch (the operator's
-  * CorpusState is exactly that persistable shape — bucket it by doc id
-  * via TableIO.writeBucketed); here it's derived per batch for
-  * simplicity, which is still only ONE corpus scan per micro-batch.
+  * Scale shape: NOTHING here rescans the corpus. The signature state
+  * (shingles / signatures / band keys) and the fingerprint table are
+  * PERSISTED and appended per batch, so every micro-batch touches
+  * only batch-sized frames plus keyed joins into the state tables —
+  * corpus text is write-only after intake. (At 100 TB, bucket the
+  * state tables by their join keys via TableIO.writeBucketed and the
+  * state re-joins become exchange-free; the full-rewrite atomic swap
+  * below becomes a partition append.)
   */
 object CurationStream {
 
@@ -32,9 +35,10 @@ object CurationStream {
     StructField("text", StringType)))
 
   /** Start the intake: dropDir JSON-lines files → near-dup-free corpus
-    * at corpusPath (jaccard `threshold` vs existing docs). */
+    * at corpusPath (jaccard `threshold` vs existing docs), with
+    * signature + fingerprint state maintained under statePath. */
   def start(spark: SparkSession, dropDir: String, corpusPath: String,
-      checkpointDir: String, threshold: Double = 0.7,
+      statePath: String, checkpointDir: String, threshold: Double = 0.7,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     spark.readStream.schema(docSchema).json(dropDir)
       .writeStream
@@ -43,34 +47,50 @@ object CurationStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        val fpPath = s"$statePath/fp.parquet"
         // within-batch exact dedup: keep the lowest doc_id per fingerprint
         val uniq = batch
-          .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col("text")))
+          .withColumn("__fp", TextFunctions.fingerprint(col("text")))
           .withColumn("__rn", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
               .orderBy(col("doc_id").asc)))
-          .filter(col("__rn") === 1).drop("__rn", "__fp")
-        val survivors =
-          if (new java.io.File(corpusPath).exists()) {
-            val corpus = TableIO.read(s, corpusPath)
-            // exact dups of corpus docs (incl. replayed ids) drop here;
-            // near-dups drop via the LSH pairs
-            val fresh = uniq.join(
-              corpus.select(graft.functions.TextFunctions.fingerprint(col("text")).as("__fp")),
-              graft.functions.TextFunctions.fingerprint(uniq("text")) === col("__fp"), "left_anti")
-            val state = IncrementalDedup.corpusState(corpus, "doc_id", "text")
-            IncrementalDedup.newDocs(fresh, state, "doc_id", "text", threshold)
-          } else uniq
-        // pin survivors BEFORE the swap: their plan reads the corpus
-        // files, which the swap replaces — an after-the-fact count
-        // would re-run the anti-join against the updated corpus
-        survivors.cache()
-        val appended = survivors.count()
-        val merged =
+          .filter(col("__rn") === 1).drop("__rn")
+        val haveState = IncrementalDedup.stateExists(statePath)
+        val survivors = (if (haveState) {
+          // exact dups of accepted docs (incl. replayed ids) drop via
+          // the persisted fingerprint table — no corpus text scan
+          // corpus-sized frame: keyed anti-join, deliberately unhinted
+          // (AQE may broadcast while small; at 1 B docs it must not)
+          val seen = TableIO.read(s, fpPath).select(col("fp").as("__fp"))
+          val fresh = uniq.join(seen, Seq("__fp"), "left_anti")
+          val state = IncrementalDedup.readState(s, statePath)
+          val freshState = IncrementalDedup.corpusState(fresh, "doc_id", "text")
+          val dupIds = IncrementalDedup
+            .pairsAgainstState(freshState, state, "doc_id", threshold)
+            .select(col("batch_id").as("doc_id")).distinct()
+          fresh.join(dupIds, Seq("doc_id"), "left_anti")
+        } else uniq).cache()
+        val appended = survivors.count() // pin before the swaps below
+        // fold survivors into corpus + state (all atomic swaps)
+        val existingCorpus =
           if (new java.io.File(corpusPath).exists())
-            TableIO.read(s, corpusPath).unionByName(survivors)
-          else survivors
-        TableIO.writeAtomicSwap(merged, corpusPath)
+            Some(TableIO.read(s, corpusPath)) else None
+        TableIO.writeAtomicSwap(
+          existingCorpus.map(_.unionByName(survivors.drop("__fp")))
+            .getOrElse(survivors.drop("__fp")), corpusPath)
+        val survivorFp = survivors.select(col("doc_id"), col("__fp").as("fp"))
+        val survivorState = IncrementalDedup.corpusState(
+          survivors.drop("__fp"), "doc_id", "text")
+        if (haveState) {
+          val merged = IncrementalDedup.appendState(
+            IncrementalDedup.readState(s, statePath), survivorState)
+          IncrementalDedup.writeState(merged, statePath)
+          TableIO.writeAtomicSwap(
+            TableIO.read(s, fpPath).unionByName(survivorFp), fpPath)
+        } else {
+          IncrementalDedup.writeState(survivorState, statePath)
+          TableIO.writeAtomicSwap(survivorFp, fpPath)
+        }
         survivors.unpersist()
         println(s"[curation-stream] batch $batchId appended $appended docs")
       }

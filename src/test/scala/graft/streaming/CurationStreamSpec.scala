@@ -4,7 +4,8 @@ import graft.SparkSpec
 import graft.core.TableIO
 
 /** Streaming corpus intake: each drop dedupes within itself, then
-  * against everything already accepted — across micro-batches. */
+  * against everything already accepted — across micro-batches, via
+  * PERSISTED signature/fingerprint state (no corpus text rescans). */
 class CurationStreamSpec extends SparkSpec {
 
   private def writeDrop(dir: String, name: String, docs: Seq[(Long, String)]): Unit = {
@@ -17,30 +18,37 @@ class CurationStreamSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("curstream").toString
     val dropDir = s"$base/drops"; new java.io.File(dropDir).mkdirs()
     val corpus = s"$base/corpus.parquet"
+    val state = s"$base/state"
     val doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
 
     // drop 1: one keeper + an exact in-batch dup
     writeDrop(dropDir, "d1.jsonl", Seq(1L -> doc, 2L -> doc))
-    CurationStream.start(spark, dropDir, corpus, s"$base/ckpt1").awaitTermination()
+    CurationStream.start(spark, dropDir, corpus, state, s"$base/ckpt1").awaitTermination()
     val after1 = TableIO.read(spark, corpus).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(after1 == Set(1L))
+    // state tables materialized alongside the corpus
+    assert(graft.operators.IncrementalDedup.stateExists(state))
+    assert(TableIO.read(spark, s"$state/fp.parquet").count() == 1)
 
     // drop 2: a near-dup of doc 1, an exact dup of doc 1, and a fresh doc
     writeDrop(dropDir, "d2.jsonl", Seq(
       10L -> doc.replace("kappa", "lambda"),
       11L -> doc,
       12L -> "completely different content with nothing shared at all here today"))
-    CurationStream.start(spark, dropDir, corpus, s"$base/ckpt1").awaitTermination()
+    CurationStream.start(spark, dropDir, corpus, state, s"$base/ckpt1").awaitTermination()
     val after2 = TableIO.read(spark, corpus).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(after2 == Set(1L, 12L), s"got $after2")
+    // accepted docs' signature state accumulated (2 docs × shingle rows)
+    assert(TableIO.read(spark, s"$state/sig.parquet").count() == 2)
 
     // replay from a FRESH checkpoint (both files re-delivered): the
     // corpus must not grow — everything is now a dup of itself
-    CurationStream.start(spark, dropDir, corpus, s"$base/ckpt2").awaitTermination()
+    CurationStream.start(spark, dropDir, corpus, state, s"$base/ckpt2").awaitTermination()
     val after3 = TableIO.read(spark, corpus).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(after3 == Set(1L, 12L), s"replay must be a no-op, got $after3")
+    assert(TableIO.read(spark, s"$state/fp.parquet").count() == 2)
   }
 }
