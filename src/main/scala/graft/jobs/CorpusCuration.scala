@@ -33,11 +33,21 @@ object CorpusCuration {
     * near-dup CLUSTER (correct under non-transitive similarity: pairs
     * (a,c),(b,c) greedily keep both a and b, while the cluster keeps
     * only a). */
+  /** Optional stages (default off — the q_llm1 oracle covers the base
+    * chain): `maxTopTokenFrac` adds the Gopher repetition gate (tx5
+    * kernel — docs whose most frequent token exceeds the fraction are
+    * dropped); `benchmark` adds eval-set decontamination (dc1 kernel —
+    * docs sharing ≥ `decontamMinHits` word `decontamN`-grams with the
+    * benchmark are dropped, benchmark n-grams broadcast). */
   final case class Config(
       minQuality: Double = 0.3,
       langs: Seq[String] = Seq("de", "en", "es", "fr"),
       jaccardThreshold: Double = 0.7,
-      clusterDedup: Boolean = false)
+      clusterDedup: Boolean = false,
+      maxTopTokenFrac: Option[Double] = None,
+      benchmark: Option[DataFrame] = None,
+      decontamN: Int = 5,
+      decontamMinHits: Long = 1L)
 
   /** (curated corpus, funnel report). */
   def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
@@ -50,8 +60,27 @@ object CorpusCuration {
       .drop("__toks")
 
     // 2. gate
-    val gated = stats.filter(
+    val qualGated = stats.filter(
       col("quality") >= cfg.minQuality && col("pred_lang").isin(cfg.langs: _*))
+
+    // 2b. optional repetition gate (tx5): top-token fraction ≤ cap.
+    // One extra keyed shuffle only when enabled.
+    val repGated = cfg.maxTopTokenFrac.fold(qualGated) { cap =>
+      val topTok = qualGated
+        .select(col("doc_id"), explode(tokens(col("text"))).as("__u"))
+        .groupBy(col("doc_id"), col("__u")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("doc_id")).agg(max(col("__c")).as("__top"))
+      qualGated.join(topTok, Seq("doc_id"), "left")
+        .filter(coalesce(col("__top"), lit(0L)).cast("double")
+          / greatest(col("n_tokens"), lit(1L)) <= cap)
+        .drop("__top")
+    }
+
+    // 2c. optional decontamination (dc1): benchmark n-grams broadcast.
+    val gated = cfg.benchmark.fold(repGated) { bench =>
+      graft.operators.Decontamination.decontaminate(
+        repGated, bench, "doc_id", "text", cfg.decontamN, cfg.decontamMinHits)
+    }
 
     // 3. exact dedup — keep the lowest doc_id per fingerprint.
     // `keepers` feeds THREE consumers (the shingle table, the final
@@ -95,11 +124,18 @@ object CorpusCuration {
     // dedup counts come off the CACHED keepers and the (tiny) dup-id
     // set: n_curated = n_exact_unique − |dupIds| because every dropped
     // id is a keeper id. Net: the corpus is scanned once for the
-    // report, not 4×.
-    val inputGated = stats.agg(
-      count(lit(1)).as("n_input"),
-      count(when(col("quality") >= cfg.minQuality
-        && col("pred_lang").isin(cfg.langs: _*), 1)).as("n_gated"))
+    // report, not 4×. With optional gate stages on, n_gated must
+    // reflect their drops too, so it counts the composed `gated` frame
+    // (a second chain run — the price of the optional stages).
+    val optionalStagesOn = cfg.maxTopTokenFrac.isDefined || cfg.benchmark.isDefined
+    val inputGated =
+      if (optionalStagesOn)
+        stats.agg(count(lit(1)).as("n_input"))
+          .crossJoin(gated.agg(count(lit(1)).as("n_gated")))
+      else stats.agg(
+        count(lit(1)).as("n_input"),
+        count(when(col("quality") >= cfg.minQuality
+          && col("pred_lang").isin(cfg.langs: _*), 1)).as("n_gated"))
     val report = inputGated
       .crossJoin(keepers.select(count(lit(1)).as("n_exact_unique")))
       .crossJoin(dupIds.select(count(lit(1)).as("__n_dups")))

@@ -51,6 +51,36 @@ class CorpusCurationSpec extends SparkSpec {
     assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("optional stages: repetition gate and decontamination compose into the funnel") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the green forest while the sun shines bright over distant hills today"
+    val repetitive = "the spark engine " + ("spark " * 40).trim // top token 'spark' ≈ 41/43
+    val leaky = "we know the quick brown fox jumps over the lazy dog quite well indeed"
+    val docs = Seq(
+      (1L, good, "en", "web"),
+      (2L, repetitive, "en", "web"),
+      (3L, leaky, "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val bench = Seq((99L, good)).toDF("doc_id", "text")
+
+    // base config keeps all three (they pass quality/lang and differ)
+    val (base, _) = CorpusCuration.run(docs)
+    assert(base.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+
+    // repetition cap drops doc 2; decontamination vs `good` drops 1 and 3
+    val (curated, report) = CorpusCuration.run(docs, CorpusCuration.Config(
+      maxTopTokenFrac = Some(0.5), benchmark = Some(bench)))
+    assert(curated.select("doc_id").as[Long].collect().toSet == Set.empty[Long])
+    val r = report.head()
+    assert(r.getAs[Long]("n_input") == 3 && r.getAs[Long]("n_gated") == 0)
+
+    // decontamination alone: doc 2 survives
+    val (dc, _) = CorpusCuration.run(docs, CorpusCuration.Config(
+      benchmark = Some(bench)))
+    assert(dc.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("runs clean over the sf0.001 documents table") {
     val docs = graft.Tables.documents(spark, sf0001)
     val (curated, report) = CorpusCuration.run(docs)
