@@ -109,6 +109,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"batch bands must broadcast:\n$p")
   }
 
+  test("q_dc1: benchmark n-gram set broadcasts; corpus text is never shuffled") {
+    val df = SparkEntry.queries("q_dc1_decontaminate")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"decontamination must broadcast-semi-join the eval grams:\n$p")
+  }
+
+  test("q_tx7: tf and df aggregations are both two-phase") {
+    val p = plan("q_tx7_tfidf_keywords")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"tf and df must each be partial+final aggregates:\n$p")
+  }
+
   test("q_dd5: bucket equi-join — no cartesian over the corpus") {
     val p = plan("q_dd5_embedding_dup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
