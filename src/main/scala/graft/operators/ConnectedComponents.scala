@@ -85,4 +85,74 @@ object ConnectedComponents {
     components(pairs, aCol, bCol)
       .filter(col("vertex") =!= col("component"))
       .select(col("vertex").as("doc_id"))
+
+  /** Alternating large-star/small-star components (Kiveris et al.,
+    * SoCC'14) — O(log n) rounds on ANY graph shape, vs the simple
+    * propagation's O(diameter). Use this for long-chain graphs
+    * (lineage, sessions); for near-clique dup graphs [[components]]
+    * finishes in fewer rounds with one shuffle each.
+    *
+    * Fully relational: per-node minima come from groupBy/min (partial
+    * aggregation absorbs hub skew — no neighbor-list materialization
+    * anywhere). Round equality is detected by (count, bit_xor(xxhash64))
+    * of the canonical edge set (a distinct set, so XOR is a valid
+    * order-insensitive signature that cannot overflow) — probabilistic
+    * with collision odds ~2⁻⁶⁴ per round, the standard trade against
+    * an extra distinct-based EXCEPT job. */
+  def componentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nodes = edges
+      .select(col(srcCol).cast("long").as("v"))
+      .union(edges.select(col(dstCol).cast("long").as("v")))
+      .distinct().localCheckpoint()
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+
+    def largeStar(in: DataFrame): DataFrame = {
+      val sym = in.union(in.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(in: DataFrame): DataFrame = {
+      // edges arrive oriented large→small (largeStar emits v = m < u)
+      val mins = in.groupBy(col("u")).agg(min(col("v")).as("m"))
+      in.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def signature(in: DataFrame): (Long, Long) = {
+      val r = in.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .as[(Long, Long)].head()
+      r
+    }
+
+    var sig = signature(e)
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      stable = nextSig == sig
+      sig = nextSig
+      e = next
+      iter += 1
+    }
+    if (!stable) throw new IllegalStateException(
+      s"star components did not converge in $maxIters rounds")
+    // converged edge set is a star forest u→root; isolated vertices
+    // (dropped when self-loops were filtered) root themselves
+    nodes.join(e.select(col("u").as("v"), col("v").as("root")), Seq("v"), "left")
+      .select(col("v").as("vertex"), coalesce(col("root"), col("v")).as("component"))
+  }
 }

@@ -41,6 +41,34 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("star algorithm agrees with propagation on chains, cliques and random graphs") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val prop = ConnectedComponents.components(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val star = ConnectedComponents.componentsStar(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+    val rnd = (0 until 300).map { i =>
+      ((i * 37) % 200).toLong -> ((i * i * 13 + 7) % 200).toLong
+    }.filter(p => p._1 != p._2).toDF("a", "b")
+    assert(ConnectedComponents.componentsStar(rnd, "a", "b")
+      .as[(Long, Long)].collect().toMap ==
+      ConnectedComponents.components(rnd, "a", "b")
+        .as[(Long, Long)].collect().toMap)
+  }
+
+  test("star algorithm resolves a 128-node path — the O(diameter) killer — in few rounds") {
+    import spark.implicits._
+    // propagation needs ~127 rounds here; the star algorithm's
+    // doubling must land well inside 15
+    val path = (1L until 128L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = ConnectedComponents.componentsStar(path, "a", "b", maxIters = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 128 && comp.values.forall(_ == 1L))
+  }
+
   test("non-convergence at maxIters throws instead of returning split clusters") {
     import spark.implicits._
     // a 6-vertex path has diameter 5: min-label propagation needs ~5
