@@ -39,5 +39,22 @@ object GraphQueries extends QueryModule {
       SELECT v AS vertex, CAST(min(label) AS BIGINT) AS component
       FROM reach GROUP BY v ORDER BY vertex"""))
 
-  override val all: Seq[Q] = Seq(cc1)
+  // The same graph through the alternating large/small-star algorithm
+  // (O(log n) rounds — the long-chain scale path); same recursive-CTE
+  // oracle, so the two implementations are gate-proven equivalent.
+  private val cc2 = Q(
+    "q_cc2_components_star",
+    "connected components via alternating large/small-star over the same graph",
+    (s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey").as("a"),
+          (col("l_partkey") + 1000000L).as("b"))
+        .distinct()
+      ConnectedComponents.componentsStar(edges, "a", "b")
+        .orderBy(col("vertex"))
+    },
+    cc1.oracle)
+
+  override val all: Seq[Q] = Seq(cc1, cc2)
 }
