@@ -95,5 +95,37 @@ object EventQueries extends QueryModule {
         FROM events)
       WHERE event_type = 'purchase' ORDER BY event_id"""))
 
-  override val all: Seq[Q] = Seq(ev1, ev2, ev3)
+  // Bucketized range join (RangeJoin operator): ship dates into 30-day
+  // order windows — a PURE range predicate, the case Spark would
+  // otherwise plan as a nested-loop/cartesian. The oracle is the naive
+  // BETWEEN join; the Spark side must produce identical pairs through
+  // the bucket equi-join + refine plan (PlanAuditSpec pins
+  // no-cartesian).
+  private val rj1 = Q(
+    "q_rj1_range_join",
+    "bucketized point-in-interval range join: ship dates × 30-day order windows",
+    (s, d) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val points = Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), epoch).as("t"))
+      val intervals = Tables.orders(s, d).filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey").as("interval_id"),
+          datediff(col("o_orderdate"), epoch).as("win_start"))
+        .withColumn("win_end", col("win_start") + 30)
+      RangeJoin.pointInInterval(points, "t", intervals, "win_start", "win_end",
+          bucketWidth = 30L)
+        .select(col("interval_id"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("interval_id"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT o.o_orderkey AS interval_id, l.l_orderkey, l.l_linenumber
+      FROM (SELECT o_orderkey, datediff('day', DATE '1970-01-01', o_orderdate) AS s
+            FROM orders WHERE o_orderkey < 100) o
+      JOIN (SELECT l_orderkey, l_linenumber, datediff('day', DATE '1970-01-01', l_shipdate) AS t
+            FROM lineitem WHERE l_orderkey < 300) l
+        ON l.t >= o.s AND l.t < o.s + 30
+      ORDER BY 1, 2, 3"""))
+
+  override val all: Seq[Q] = Seq(ev1, ev2, ev3, rj1)
 }

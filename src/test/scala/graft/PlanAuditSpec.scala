@@ -122,6 +122,12 @@ class PlanAuditSpec extends SparkSpec {
       s"tf and df must each be partial+final aggregates:\n$p")
   }
 
+  test("q_rj1: range join runs as a bucket equi-join, never a cartesian") {
+    val p = plan("q_rj1_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must bucketize, not nested-loop:\n$p")
+  }
+
   test("q_dd5: bucket equi-join — no cartesian over the corpus") {
     val p = plan("q_dd5_embedding_dup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
