@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus mixing — the data-mixing half of
+  * a training pipeline ("sample source A at 50%, keep all of B"). No
+  * rand(): a row is kept iff the top 32 bits of md5(id) fall under the
+  * rate's threshold, compared as fixed-width lowercase hex strings
+  * (lexicographic == numeric for fixed-width hex). That makes samples
+  * reproducible across runs, partitionings, and engines (the DuckDB
+  * oracle does the same string compare), and consistent across
+  * overlapping corpora — the same id always decides the same way, so
+  * resampling a grown corpus keeps the previously selected rows (the
+  * property incremental pipelines need).
+  */
+object Sampling {
+
+  /** First 8 hex digits of md5(id) — the row's sampling key. */
+  def hashGate(id: Column): Column = substring(md5(id.cast("string")), 1, 8)
+
+  /** Hex threshold for a rate in [0,1]; rates ≥ 1 map to "g", which is
+    * lexicographically above every hex digit → keep-all without a
+    * special case. */
+  def hexThreshold(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) "00000000"
+    else f"${(rate * 4294967296.0).toLong}%08x"
+
+  /** Uniform deterministic sample at `rate`. */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(hashGate(col(idCol)) < lit(hexThreshold(rate)))
+
+  /** Per-source mixing: each row's threshold comes from its source's
+    * rate (codegen'd CASE — no join, no shuffle). */
+  def mixBySourceRates(df: DataFrame, sourceCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(lit(hexThreshold(defaultRate)): Column) {
+      case ((src, rate), acc) => when(col(sourceCol) === src, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.filter(hashGate(col(idCol)) < threshold)
+  }
+
+  /** Driver-side rate computation from target shares: rate(s) =
+    * min(1, share(s)·totalTarget / count(s)). The per-source counts
+    * are one aggregation over the corpus; sources are few by contract
+    * (a collect of O(#sources) rows). */
+  def ratesForShares(df: DataFrame, sourceCol: String,
+      shares: Map[String, Double], totalTarget: Long): Map[String, Double] = {
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    shares.flatMap { case (src, share) =>
+      counts.get(src).map(n => src -> math.min(1.0, share * totalTarget / n))
+    }
+  }
+}

@@ -226,6 +226,30 @@ object TextQueries extends QueryModule {
                  '$PhonePattern', '<PHONE>', 'g')) AS scrubbed_md5
       FROM planted ORDER BY doc_id"""))
 
+  // Deterministic corpus mixing (Sampling operator): per-source rates
+  // applied as an md5-hash gate — no rand(), reproducible across
+  // engines/partitionings, pure codegen filter on the scan (no join,
+  // no shuffle). Thresholds are inlined as hex literals on both sides.
+  private val s1 = {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+    val default = 0.1
+    val caseArms = rates.toSeq.sortBy(_._1).map { case (src, r) =>
+      s"WHEN '$src' THEN '${Sampling.hexThreshold(r)}'"
+    }.mkString(" ")
+    Q(
+      "q_s1_corpus_mix",
+      "deterministic per-source corpus mixing via md5 hash gates",
+      (s, d) => Sampling.mixBySourceRates(Tables.documents(s, d),
+          "source", "doc_id", rates, default)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, source FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE source $caseArms ELSE '${Sampling.hexThreshold(default)}' END
+        ORDER BY doc_id"""))
+  }
+
   // The composed curation funnel (jobs/CorpusCuration) as a gate query:
   // stats → quality/lang gate → exact dedup → MinHash-LSH near-dup.
   // The oracle is the chain of the already-verified tx1/tx2/dd1/dd2
@@ -302,5 +326,5 @@ object TextQueries extends QueryModule {
         WHERE d.doc_id IS NULL ORDER BY k.doc_id"""))
   }
 
-  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, llm1)
+  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, s1, llm1)
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("deterministic sample: reproducible, monotone in rate, roughly proportional") {
+    import spark.implicits._
+    val df = (0L until 4000L).toDF("id")
+    val a = Sampling.deterministicSample(df, "id", 0.3).as[Long].collect().toSet
+    val b = Sampling.deterministicSample(df.repartition(13), "id", 0.3).as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val wider = Sampling.deterministicSample(df, "id", 0.6).as[Long].collect().toSet
+    assert(a.subsetOf(wider), "raising the rate must only add rows")
+    assert(math.abs(a.size / 4000.0 - 0.3) < 0.05, s"got ${a.size}")
+    assert(Sampling.deterministicSample(df, "id", 1.0).count() == 4000)
+    assert(Sampling.deterministicSample(df, "id", 0.0).count() == 0)
+  }
+
+  test("grown corpus keeps previously selected rows (incremental consistency)") {
+    import spark.implicits._
+    val small = (0L until 1000L).toDF("id")
+    val grown = (0L until 3000L).toDF("id")
+    val s = Sampling.deterministicSample(small, "id", 0.4).as[Long].collect().toSet
+    val g = Sampling.deterministicSample(grown, "id", 0.4).as[Long].collect().toSet
+    assert(s.subsetOf(g) && g.filter(_ < 1000L) == s)
+  }
+
+  test("ratesForShares hits target sizes within hash-gate tolerance") {
+    import spark.implicits._
+    val df = ((0L until 2000L).map(i => (i, "big")) ++
+      (2000L until 2400L).map(i => (i, "small"))).toDF("id", "source")
+    val rates = Sampling.ratesForShares(df, "source",
+      Map("big" -> 0.5, "small" -> 0.5), totalTarget = 600)
+    assert(rates("big") == 0.15 && rates("small") == 0.75) // 300/2000, 300/400
+    val mixed = Sampling.mixBySourceRates(df, "source", "id", rates, 0.0)
+    val bySource = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySource("big") - 300L) < 60, s"got $bySource")
+    assert(math.abs(bySource("small") - 300L) < 60, s"got $bySource")
+  }
+}
