@@ -226,6 +226,45 @@ object TextQueries extends QueryModule {
                  '$PhonePattern', '<PHONE>', 'g')) AS scrubbed_md5
       FROM planted ORDER BY doc_id"""))
 
+  // Training-window chunking: every doc splits into fixed-token-length
+  // chunks on a stride (overlap = chunkLen − stride), the
+  // context-window packing step of a training pipeline. Pure map-side
+  // explode over integer arithmetic (chunk count from an exact integer
+  // ceil), token slices re-joined per chunk — no shuffle at all; the
+  // scan's rows fan out in place.
+  private val tx8 = {
+    val chunkLen = 40
+    val stride = 30
+    Q(
+      "q_tx8_chunking",
+      s"token-window chunking: $chunkLen-token chunks on a $stride stride",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+        doc.select(col("doc_id"), tokens(col("text")).as("__toks"))
+          .withColumn("__n", size(col("__toks")).cast(LongType))
+          .filter(col("__n") > 0)
+          .withColumn("chunk_idx", explode(sequence(lit(0L),
+            greatest(expr(s"(__n - $chunkLen + ${stride - 1}) div $stride"), lit(0L)))))
+          .select(col("doc_id"), col("chunk_idx"),
+            concat_ws(" ", slice(col("__toks"),
+              (col("chunk_idx") * stride + 1).cast("int"), lit(chunkLen))).as("chunk_text"),
+            least(col("__n") - col("chunk_idx") * stride, lit(chunkLen.toLong)).as("n_chunk_tokens"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+          FROM documents),
+        sized AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0)
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(list_slice(w, i * $stride + 1, i * $stride + $chunkLen), ' ') AS chunk_text,
+               least(n - i * $stride, $chunkLen) AS n_chunk_tokens
+        FROM (SELECT doc_id, w, n,
+                     unnest(range(0, greatest((n - $chunkLen + ${stride - 1}) // $stride, 0) + 1)) AS i
+              FROM sized)
+        ORDER BY doc_id, chunk_idx"""))
+  }
+
   // Deterministic corpus mixing (Sampling operator): per-source rates
   // applied as an md5-hash gate — no rand(), reproducible across
   // engines/partitionings, pure codegen filter on the scan (no join,
@@ -326,5 +365,5 @@ object TextQueries extends QueryModule {
         WHERE d.doc_id IS NULL ORDER BY k.doc_id"""))
   }
 
-  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, s1, llm1)
+  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, s1, llm1)
 }
