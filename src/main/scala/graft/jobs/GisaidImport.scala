@@ -71,8 +71,14 @@ object GisaidImport {
     val (feedPath, existing, identifiers) =
       if (mode == "--demo") demoInputs(spark, outDir) else sys.error("only --demo wired")
 
-    // 1. extract + drift check
-    val (feed, drift) = Sources.readJsonWithDriftCheck(spark, feedPath, requiredFields, expectedFields)
+    // 1. extract + drift check; an .xz feed (what GISAID actually
+    // ships) routes through the chunker so the read is multi-task
+    // instead of one unsplittable stream
+    val (feed, drift) =
+      if (feedPath.endsWith(".xz"))
+        graft.sources.XzChunker.readJson(spark, feedPath,
+          s"$outDir/_xz_chunks", requiredFields, expectedFields)
+      else Sources.readJsonWithDriftCheck(spark, feedPath, requiredFields, expectedFields)
     require(!drift.fatal, s"schema drift: missing required ${drift.missingRequired}")
     if (drift.missingExpected.nonEmpty || drift.unexpected.nonEmpty)
       println(s"[gisaid] drift report: missingExpected=${drift.missingExpected} unexpected=${drift.unexpected}")
