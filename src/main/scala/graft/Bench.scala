@@ -38,7 +38,10 @@ object Bench {
       if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
     }
 
+    // SPARK_GRAFT_ONLY=q_a,q_b narrows the run for targeted iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(exec) // warmup
     val results = names.map(n => n -> median((1 to passes).map(_ => exec(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -152,8 +152,17 @@ object DedupQueries extends QueryModule {
     "word-bigram Jaccard via DF-capped shared-shingle inverted-index join",
     (s, d) => {
       val doc = Tables.documents(s, d)
-      val bg = wordShingles(doc, "doc_id", "text", 2)
-        .join(doc.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      // shingles carry (lang, source) straight out of the explode —
+      // they're functionally dependent on doc_id, so re-attaching them
+      // with a join would shuffle the biggest frame in the query for
+      // nothing
+      val bg = doc.select(col("doc_id"), col("lang"), col("source"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(expr("transform(sequence(0, size(toks) - 2), " +
+            "i -> concat_ws(' ', toks[i], toks[i + 1]))")).as("shingle"))
+        .distinct()
         .cache()
       val sizes = bg.groupBy(col("doc_id")).agg(cnt.as("n"))
       // DF via two-phase aggregation, NOT a window: a whole-partition
