@@ -20,14 +20,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * .register` paths stay for sessions built without the config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def binary(name: String, build: (Expression, Expression) => Expression)
+      (exprs: Seq[Expression]): Expression = {
+    // wrong arity must be a clean analysis-time error, not a silent
+    // argument drop or a raw IndexOutOfBoundsException
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"$name requires exactly 2 arguments, got ${exprs.length}")
+    build(exprs(0), exprs(1))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => graft.functions.VecDot(exprs(0), exprs(1))))
+      binary("vec_dot", graft.functions.VecDot.apply) _))
     ext.injectFunction((
       FunctionIdentifier("extract_sites"),
       new ExpressionInfo(classOf[graft.functions.ExtractSites].getName, "extract_sites"),
-      (exprs: Seq[Expression]) => graft.functions.ExtractSites(exprs(0), exprs(1))))
+      binary("extract_sites", graft.functions.ExtractSites.apply) _))
   }
 }

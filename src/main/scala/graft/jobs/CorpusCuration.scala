@@ -59,9 +59,11 @@ object CorpusCuration {
       .withColumn("n_tokens", size(filter(col("__toks"), t => t =!= "")).cast("long"))
       .drop("__toks")
 
-    // 2. gate
-    val qualGated = stats.filter(
-      col("quality") >= cfg.minQuality && col("pred_lang").isin(cfg.langs: _*))
+    // 2. gate — ONE predicate value shared by the filter and the
+    // report's conditional count so the two can never drift
+    val gateCond = col("quality") >= cfg.minQuality &&
+      col("pred_lang").isin(cfg.langs: _*)
+    val qualGated = stats.filter(gateCond)
 
     // 2b. optional repetition gate (tx5): top-token fraction ≤ cap.
     // One extra keyed shuffle only when enabled.
@@ -134,8 +136,7 @@ object CorpusCuration {
           .crossJoin(gated.agg(count(lit(1)).as("n_gated")))
       else stats.agg(
         count(lit(1)).as("n_input"),
-        count(when(col("quality") >= cfg.minQuality
-          && col("pred_lang").isin(cfg.langs: _*), 1)).as("n_gated"))
+        count(when(gateCond, 1)).as("n_gated"))
     val report = inputGated
       .crossJoin(keepers.select(count(lit(1)).as("n_exact_unique")))
       .crossJoin(dupIds.select(count(lit(1)).as("__n_dups")))

@@ -22,7 +22,9 @@ object AsofJoin {
 
   /** `payload` columns are taken from `right` and appended (nullable,
     * prefixed `asof_`) to every `left` row. Right rows tie-break
-    * before left rows at equal timestamps unless `strict`. */
+    * before left rows at equal timestamps unless `strict`; right rows
+    * sharing the same (keys, time) resolve to the struct-wise MAXIMUM
+    * payload (deterministic — payload types must be orderable). */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
       strict: Boolean = false): DataFrame = {
@@ -44,8 +46,12 @@ object AsofJoin {
         lit(null).cast(lSchema).as("__l"),
         struct(payload.map(col): _*).as("__r"),
         col(rightTime).as("__t"), lit(rightOrd).as("__ord")): _*)
+    // the trailing __r orders right rows that share (keys, time)
+    // deterministically by payload (struct field-wise comparison) —
+    // without it, last() would return whichever peer the sort happened
+    // to place later, varying across partitionings
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__ord").asc)
+      .orderBy(col("__t").asc, col("__ord").asc, col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionByName(r)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

@@ -56,7 +56,7 @@ object IvfIndex {
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
     val cells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
+      .collect().map(_.get(0).asInstanceOf[Number].longValue()).toSeq.sorted
     // partition-type inference reads cell=N directories as int — match
     // the literal type so the IN filter stays a plain partition
     // predicate (a cast on the column side would defeat pruning)

@@ -104,8 +104,12 @@ object TextQueries extends QueryModule {
         val toks = doc.select(col("doc_id"), explode(tokens(col("text"))).as("u"))
         val bigrams = rawWordShingles(doc, "doc_id", "text", 2)
           .withColumnRenamed("shingle", "u")
+        // token-less docs (empty/null text) are OMITTED, matching the
+        // oracle whose doc set derives from the token table — and a
+        // repetition metric over zero tokens is undefined anyway
         val n = doc.select(col("doc_id"),
           size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+          .filter(col("n_tokens") > 0)
         n.join(topFrac(toks, "tc"), Seq("doc_id"), "left")
           .join(topFrac(bigrams, "bc"), Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens"),

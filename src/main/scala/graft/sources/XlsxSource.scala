@@ -195,7 +195,11 @@ object XlsxSource {
     val header = (0 until width).map(i => headerCells.getOrElse(i, s"_c$i"))
     val data = all.tail
       .map { case (_, cs) => (0 until width).map(i => cs.get(i).orNull) }
-      .filter(_.exists(_ != null))
+      // readxl maps empty cells to NA, so a row of only absent/empty
+      // cells is the trailing padding Excel writes — dropped like the
+      // reference's filter(if_any(..., !is.na)); "" inside MIXED rows
+      // still survives (present-but-empty ≠ absent)
+      .filter(_.exists(v => v != null && v.nonEmpty))
     (header, data.map(_.toSeq))
   }
 

@@ -46,6 +46,11 @@ object XzChunker {
   def chunkToFiles(xzPath: String, outDir: String, linesPerChunk: Int): Seq[String] = {
     require(linesPerChunk > 0, "linesPerChunk must be positive")
     new File(outDir).mkdirs()
+    // a shorter feed re-chunked into the same dir must not leave higher-
+    // numbered chunks from a previous run for the glob read to ingest
+    Option(new File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("chunk-") && f.getName.endsWith(".jsonl"))
+      .foreach(_.delete())
     val in = new XZInputStream(new FileInputStream(xzPath))
     val paths = Seq.newBuilder[String]
     try {
@@ -101,9 +106,16 @@ object XzChunker {
     // close on task end even if the iterator is abandoned (e.g. limit)
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => xz.close()))
-    xz.seek(start)
+    // Non-first tasks begin at start-1 and discard one line — the line
+    // CONTAINING byte start-1. If that byte is the previous line's
+    // '\n', the discard consumes exactly it and the line starting AT
+    // `start` is kept; seeking to `start` and discarding would instead
+    // lose a line whose start coincides with the block boundary (the
+    // previous task stops at pos == end without reading it).
+    val readFrom = if (start > 0) start - 1 else 0L
+    xz.seek(readFrom)
     val in: InputStream = new java.io.BufferedInputStream(xz, 1 << 16)
-    var pos = start
+    var pos = readFrom
     def readLine(): String = {
       // manual line scan so `pos` tracks the exact uncompressed offset
       // (a Reader's internal buffering would run ahead of it)
@@ -116,7 +128,7 @@ object XzChunker {
       val len = if (bytes.nonEmpty && bytes.last == '\r') bytes.length - 1 else bytes.length
       new String(bytes, 0, len, StandardCharsets.UTF_8)
     }
-    if (start > 0) readLine() // skip the partial line the previous task owns
+    if (start > 0) readLine() // discard the line containing byte start-1
     new Iterator[String] {
       private var nextLine: String = advance()
       private def advance(): String = if (pos < end) readLine() else { xz.close(); null }

@@ -19,14 +19,20 @@ import org.apache.spark.sql.types._
   * because survivors are re-checked against the (already updated)
   * fingerprint table on replay.
   *
-  * Scale shape: NOTHING here rescans the corpus. The signature state
+  * Scale shape: NOTHING here rescans corpus TEXT. The signature state
   * (shingles / signatures / band keys) and the fingerprint table are
   * PERSISTED and appended per batch, so every micro-batch touches
-  * only batch-sized frames plus keyed joins into the state tables —
-  * corpus text is write-only after intake. (At 100 TB, bucket the
-  * state tables by their join keys via TableIO.writeBucketed and the
-  * state re-joins become exchange-free; the full-rewrite atomic swap
-  * below becomes a partition append.)
+  * only batch-sized frames plus keyed joins into the state tables.
+  * (At 100 TB, bucket the state tables by their join keys via
+  * TableIO.writeBucketed and the state re-joins become exchange-free;
+  * the full-rewrite atomic swap below becomes a partition append.)
+  *
+  * Crash safety: the corpus/state/fp writes are separate swaps, so a
+  * failure can leave them inconsistent for one batch. Every append is
+  * therefore SELF-idempotent — guarded by a keyed anti-join against
+  * its own target's ids (a column-pruned id scan, never text) — so
+  * the Structured Streaming replay completes exactly the missing
+  * writes and re-applies none.
   */
 object CurationStream {
 
@@ -58,8 +64,8 @@ object CurationStream {
         val haveState = IncrementalDedup.stateExists(statePath)
         val survivors = (if (haveState) {
           // exact dups of accepted docs (incl. replayed ids) drop via
-          // the persisted fingerprint table — no corpus text scan
-          // corpus-sized frame: keyed anti-join, deliberately unhinted
+          // the persisted fingerprint table — no corpus text scan.
+          // Corpus-sized frame: keyed anti-join, deliberately unhinted
           // (AQE may broadcast while small; at 1 B docs it must not)
           val seen = TableIO.read(s, fpPath).select(col("fp").as("__fp"))
           val fresh = uniq.join(seen, Seq("__fp"), "left_anti")
@@ -71,22 +77,39 @@ object CurationStream {
           fresh.join(dupIds, Seq("doc_id"), "left_anti")
         } else uniq).cache()
         val appended = survivors.count() // pin before the swaps below
-        // fold survivors into corpus + state (all atomic swaps)
-        val existingCorpus =
-          if (new java.io.File(corpusPath).exists())
-            Some(TableIO.read(s, corpusPath)) else None
-        TableIO.writeAtomicSwap(
-          existingCorpus.map(_.unionByName(survivors.drop("__fp")))
-            .getOrElse(survivors.drop("__fp")), corpusPath)
+
+        // The three targets swap separately, so a mid-batch crash can
+        // leave them inconsistent; every append is therefore guarded
+        // by an anti-join against ITS OWN target's ids (column-pruned
+        // id scans, never text) — the streaming replay completes only
+        // the missing writes and re-applies none.
+        if (new java.io.File(corpusPath).exists()) {
+          val corpus = TableIO.read(s, corpusPath)
+          TableIO.writeAtomicSwap(corpus.unionByName(
+            survivors.drop("__fp")
+              .join(corpus.select(col("doc_id")), Seq("doc_id"), "left_anti")), corpusPath)
+        } else TableIO.writeAtomicSwap(survivors.drop("__fp"), corpusPath)
+
         val survivorFp = survivors.select(col("doc_id"), col("__fp").as("fp"))
         val survivorState = IncrementalDedup.corpusState(
           survivors.drop("__fp"), "doc_id", "text")
         if (haveState) {
-          val merged = IncrementalDedup.appendState(
-            IncrementalDedup.readState(s, statePath), survivorState)
-          IncrementalDedup.writeState(merged, statePath)
-          TableIO.writeAtomicSwap(
-            TableIO.read(s, fpPath).unionByName(survivorFp), fpPath)
+          val existing = IncrementalDedup.readState(s, statePath)
+          // writeState's three swaps are themselves sequential, so each
+          // table guards against ITS OWN ids — a crash between the
+          // swaps replays into exactly the tables that missed the batch
+          val guarded = IncrementalDedup.CorpusState(
+            survivorState.shingles.join(
+              existing.shingles.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+            survivorState.sig.join(
+              existing.sig.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+            survivorState.bands.join(
+              existing.bands.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+          IncrementalDedup.writeState(
+            IncrementalDedup.appendState(existing, guarded), statePath)
+          val fp = TableIO.read(s, fpPath)
+          TableIO.writeAtomicSwap(fp.unionByName(
+            survivorFp.join(fp.select(col("doc_id")), Seq("doc_id"), "left_anti")), fpPath)
         } else {
           IncrementalDedup.writeState(survivorState, statePath)
           TableIO.writeAtomicSwap(survivorFp, fpPath)

@@ -29,6 +29,19 @@ class AsofJoinSpec extends SparkSpec {
     assert(strictOut(2) == Some(100.0), "strict < must exclude the equal-time quote")
   }
 
+  test("right rows sharing (key, time) resolve deterministically to the max payload") {
+    import spark.implicits._
+    val trades = Seq(("x", 25L, 1)).toDF("sym", "t", "trade_id")
+    val quotes = Seq(("x", 20L, 99.5), ("x", 20L, 101.0), ("x", 20L, 100.2))
+      .toDF("sym", "t", "px")
+    (1 to 3).foreach { shuffle =>
+      val out = AsofJoin.backward(trades, quotes.repartition(shuffle), Seq("sym"),
+        "t", "t", Seq("px"))
+        .select("asof_px").as[Double].head()
+      assert(out == 101.0, s"partitioning $shuffle changed the tie winner")
+    }
+  }
+
   test("matches q_ev3's specialized window form on the events table") {
     import org.apache.spark.sql.functions._
     val e = graft.Tables.events(spark, sf0001)

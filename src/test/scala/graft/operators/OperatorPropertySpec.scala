@@ -42,19 +42,18 @@ class OperatorPropertySpec extends SparkSpec {
     val cases = Iterator.iterate(seed)(_.next).take(8)
       .flatMap(s => gen.apply(Gen.Parameters.default, s)).toSeq
     cases.zipWithIndex.foreach { case ((lefts, rights0), i) =>
-      // one right per (k, t): the window's ordering between rows with
-      // identical (time, side) is not defined, so the model dedupes
-      val rights = rights0.map { case (k, (t, v)) => (k, t) -> v }.toMap.toSeq
-        .map { case ((k, t), v) => (k, t, v) }
+      val rights = rights0.map { case (k, (t, v)) => (k, t, v) }
       val lDf = lefts.zipWithIndex.map { case ((k, t), id) => (k, t, id) }
         .toDF("k", "t", "lid")
       val rDf = rights.toDF("k", "t", "v")
       val got = AsofJoin.backward(lDf, rDf, Seq("k"), "t", "t", Seq("v"))
         .select("lid", "asof_v").as[(Int, Option[Int])].collect().toMap
       val expected = lefts.zipWithIndex.map { case ((k, t), id) =>
+        // model: latest rt wins; peers at the same (k, rt) resolve to
+        // the MAX payload (the operator's documented struct tiebreak)
         val matches = rights.filter { case (rk, rt, _) => rk == k && rt <= t }
         id -> (if (matches.isEmpty) None
-               else Some(matches.maxBy { case (_, rt, _) => rt }._3))
+               else Some(matches.maxBy { case (_, rt, v) => (rt, v) }._3))
       }.toMap
       assert(got == expected, s"case $i: lefts=$lefts rights=$rights")
     }

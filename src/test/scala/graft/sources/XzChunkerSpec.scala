@@ -77,6 +77,38 @@ class XzChunkerSpec extends SparkSpec {
     assert(ds.collect().toSeq == lines, "every line exactly once, in order")
   }
 
+  test("multi-block xz: a block boundary exactly on a line start loses no line") {
+    // uniform-length lines + endBlock() exactly after a newline: the
+    // boundary line starts precisely at a block's uncompressed offset —
+    // the case where skip-first-line logic silently drops it
+    val dir = java.nio.file.Files.createTempDirectory("xzb").toString
+    val lines = (0 until 100).map(i => f"{'n':$i%04d}".replace('\'', '"'))
+    val out = new XZOutputStream(new java.io.FileOutputStream(s"$dir/feed.json.xz"),
+      new LZMA2Options(1))
+    lines.zipWithIndex.foreach { case (l, i) =>
+      out.write((l + "\n").getBytes(StandardCharsets.UTF_8))
+      if ((i + 1) % 25 == 0 && i + 1 < lines.size) out.endBlock() // boundary AT line start
+    }
+    out.finish(); out.close()
+    assert(XzChunker.blockCount(s"$dir/feed.json.xz") == 4)
+    val got = XzChunker.linesBlockParallel(spark, s"$dir/feed.json.xz").collect().toSeq
+    assert(got == lines, s"missing: ${lines.diff(got)}; extra: ${got.diff(lines)}")
+  }
+
+  test("re-chunking a shorter feed clears stale higher-numbered chunks") {
+    val dir = java.nio.file.Files.createTempDirectory("xzs").toString
+    writeSingleBlockXz(s"$dir/big.json.xz", jsonLines(250))
+    writeSingleBlockXz(s"$dir/small.json.xz", jsonLines(70))
+    XzChunker.chunkToFiles(s"$dir/big.json.xz", s"$dir/chunks", 60)   // 5 chunks
+    XzChunker.chunkToFiles(s"$dir/small.json.xz", s"$dir/chunks", 60) // 2 chunks
+    val files = new java.io.File(s"$dir/chunks").listFiles()
+      .filter(_.getName.endsWith(".jsonl"))
+    assert(files.length == 2, s"stale chunks survived: ${files.map(_.getName).sorted.toSeq}")
+    val (df, _) = Sources.readJsonWithDriftCheck(spark, s"$dir/chunks/chunk-*.jsonl",
+      Set("covv_accession_id"), Set())
+    assert(df.count() == 70)
+  }
+
   test("multi-block xz: readJson dispatches to the block-parallel path") {
     val dir = java.nio.file.Files.createTempDirectory("xz3").toString
     val lines = jsonLines(120)

@@ -51,4 +51,33 @@ class CurationStreamSpec extends SparkSpec {
     assert(after3 == Set(1L, 12L), s"replay must be a no-op, got $after3")
     assert(TableIO.read(spark, s"$state/fp.parquet").count() == 2)
   }
+
+  test("crash window between corpus and fp/state writes replays without duplicates") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("curcrash").toString
+    val dropDir = s"$base/drops"; new java.io.File(dropDir).mkdirs()
+    val corpus = s"$base/corpus.parquet"
+    val state = s"$base/state"
+    writeDrop(dropDir, "d1.jsonl", Seq(
+      1L -> "first document with enough words to shingle nicely today"))
+    CurationStream.start(spark, dropDir, corpus, state, s"$base/ckpt").awaitTermination()
+
+    // simulate the torn batch: doc 2 reached the CORPUS but the crash
+    // hit before the fp/state swaps (the worst ordering for duplicates)
+    val torn = "second document that crashed between the corpus and state writes"
+    TableIO.writeAtomicSwap(
+      TableIO.read(spark, corpus).unionByName(Seq(2L -> torn).toDF("doc_id", "text")),
+      corpus)
+    assert(TableIO.read(spark, s"$state/fp.parquet").count() == 1) // fp missed doc 2
+
+    // the replayed drop re-delivers doc 2: the corpus-side id guard
+    // must skip it while fp/state catch up
+    writeDrop(dropDir, "d2.jsonl", Seq(2L -> torn))
+    CurationStream.start(spark, dropDir, corpus, state, s"$base/ckpt").awaitTermination()
+    val docs = TableIO.read(spark, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(docs == Seq(1L, 2L), s"duplicate append after torn batch: $docs")
+    assert(TableIO.read(spark, s"$state/fp.parquet").count() == 2)
+    assert(TableIO.read(spark, s"$state/sig.parquet").count() == 2)
+  }
 }
