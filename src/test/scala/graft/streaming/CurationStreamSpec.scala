@@ -52,6 +52,28 @@ class CurationStreamSpec extends SparkSpec {
     assert(TableIO.read(spark, s"$state/fp.parquet").count() == 2)
   }
 
+  test("a doc shorter than the shingle width flows through on fp guarantees alone") {
+    val base = java.nio.file.Files.createTempDirectory("curshort").toString
+    val dropDir = s"$base/drops"; new java.io.File(dropDir).mkdirs()
+    val corpus = s"$base/corpus.parquet"
+    val state = s"$base/state"
+    writeDrop(dropDir, "d1.jsonl", Seq(
+      1L -> "ok",  // 1 token: no bigram shingles, no sig/band rows
+      2L -> "a longer document with enough words for shingles"))
+    CurationStream.start(spark, dropDir, corpus, state, s"$base/ckpt").awaitTermination()
+    assert(TableIO.read(spark, corpus).count() == 2)
+    assert(TableIO.read(spark, s"$state/fp.parquet").count() == 2)
+    assert(TableIO.read(spark, s"$state/sig.parquet").count() == 1) // only doc 2
+
+    // replay: the shingle-less doc must still dedupe (via fp, its only
+    // guard) instead of re-appending
+    writeDrop(dropDir, "d2.jsonl", Seq(10L -> "ok"))
+    CurationStream.start(spark, dropDir, corpus, state, s"$base/ckpt").awaitTermination()
+    val ids = TableIO.read(spark, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L), s"shingle-less dup slipped through: $ids")
+  }
+
   test("crash window between corpus and fp/state writes replays without duplicates") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("curcrash").toString
