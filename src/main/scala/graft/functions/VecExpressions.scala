@@ -36,14 +36,24 @@ case class VecDot(left: Expression, right: Expression)
   private def isFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // Null ELEMENTS contribute 0 — checked explicitly in both paths:
+  // without the guard, unsafe rows silently read garbage 0s while
+  // interpreted rows NPE on unboxing, i.e. the same query's behavior
+  // would depend on whether codegen kicked in.
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    if (isFloat) while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
-    else while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    if (isFloat) while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    } else while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -60,7 +70,9 @@ case class VecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.$getter($i) * (double) $b.$getter($i);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (double) $a.$getter($i) * (double) $b.$getter($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -82,9 +82,13 @@ object Annotations {
     try_to_timestamp(completed, lit("yyyy-MM-dd")).cast("date")
   }
 
-  /** D10 companion: '?' age → null int (auto_import_gisaid.R:117-118). */
+  /** D10 companion: non-numeric age → null int
+    * (auto_import_gisaid.R:117-118 yields NA). The feed carries '?',
+    * 'unknown', range strings like '30-39' — a digits-only guard keeps
+    * the ANSI cast (which throws on malformed input) unreachable for
+    * all of them. */
   def normalizeAge(age: Column): Column =
-    when(age === "?", lit(null).cast("int")).otherwise(age.cast("int"))
+    when(age.rlike("^[0-9]+$"), age.cast("int")).otherwise(lit(null).cast("int"))
 
   /** Date range sanity guard (utility.R:933-955): null out dates
     * outside [2020-02-24, today]. */
@@ -100,8 +104,14 @@ object Annotations {
     keywordMatch("covid-19|covid19|sars-cov-2", cols: _*)
 
   // D14: keep max version per doi (delete+reinsert on newer).
-  def keepMaxVersion(df: DataFrame, keyCol: String, versionCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
+  // `tieBreak` columns order peers that share the max version —
+  // without one, row_number picks an arbitrary peer and the winner can
+  // change across retries/partitionings (callers needing replay
+  // idempotence pass a content hash).
+  def keepMaxVersion(df: DataFrame, keyCol: String, versionCol: String,
+      tieBreak: Column*): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc +: tieBreak: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

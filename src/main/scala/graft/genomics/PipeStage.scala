@@ -52,14 +52,25 @@ object PipeStage {
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectErrorStream(false)
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes())
+      // both pipes are drained on their own threads: an undrained
+      // stderr blocks a chatty tool once the OS buffer fills, and a
+      // main-thread stdout read would block past the timeout if the
+      // tool hangs without closing stdout — waitFor must be what the
+      // main thread sits in, so destroyForcibly can actually fire
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val outThread = new Thread(() => proc.getInputStream.transferTo(outBuf))
+      val errThread = new Thread(() =>
+        proc.getErrorStream.transferTo(java.io.OutputStream.nullOutputStream()))
+      outThread.setDaemon(true); errThread.setDaemon(true)
+      outThread.start(); errThread.start()
       val finished = proc.waitFor(timeoutMinutes.toLong, TimeUnit.MINUTES)
       if (!finished) {
         proc.destroyForcibly()
         rows.map { case (h, s) => PipeResult(h, s, s"tool timeout after $timeoutMinutes min") }
-      } else if (proc.exitValue() != 0) {
+      } else if ({ outThread.join(60000); proc.exitValue() != 0 }) {
         rows.map { case (h, s) => PipeResult(h, s, s"tool exit ${proc.exitValue()}") }
       } else {
+        val out = outBuf.toString("UTF-8")
         val parsed = Fasta.parseString(out).toMap
         rows.map { case (h, s) =>
           parsed.get(h) match {

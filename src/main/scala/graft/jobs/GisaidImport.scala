@@ -112,10 +112,25 @@ object GisaidImport {
       .select(col("ethid"), col("gisaid_epi_isl").as("gisaid_id"))
     val mergedIds = Upsert.upsertKeepExisting(identifiers, newIds, Seq("ethid"))
 
+    // Mutations exist only for the new+changed records just called, but
+    // the table must keep serving unchanged records' rows too: merge —
+    // drop the reprocessed ids' old rows, union the fresh calls, and
+    // semi-join against the final table so deleted records' mutations
+    // go with them. A plain overwrite would silently orphan every
+    // unchanged sequence from its mutations on the second run.
+    val mutPath = s"$outDir/gisaid_api_sequence_mutation"
+    val mergedMutations =
+      if (new java.io.File(mutPath).exists) {
+        TableIO.read(spark, mutPath)
+          .join(toProcess.select(col("gisaid_epi_isl")), Seq("gisaid_epi_isl"), "left_anti")
+          .unionByName(mutations)
+          .join(finalTable.select(col("gisaid_epi_isl")), Seq("gisaid_epi_isl"), "left_semi")
+      } else mutations
+
     // 7. atomic writes
     Seq(
       ("gisaid_api_sequence", finalTable.drop("seq_aligned")),
-      ("gisaid_api_sequence_mutation", mutations),
+      ("gisaid_api_sequence_mutation", mergedMutations),
       ("sequence_identifier", mergedIds))
       .foreach { case (name, df) =>
         TableIO.writeAtomicSwap(df, s"$outDir/$name")

@@ -49,17 +49,24 @@ object ViollierReceive {
       require(v.missingRequired.isEmpty, s"${file.getName}: missing ${v.missingRequired}")
       if (v.unexpected.nonEmpty) println(s"[viollier] ${file.getName}: unexpected cols ${v.unexpected}")
 
-      // 3. normalize + row validation → valid/rejected split
+      // 3. normalize + row validation → valid/rejected split.
+      // try_cast, not cast: ANSI mode (Spark 4 default) throws on
+      // malformed input, which would make the reject side output
+      // unreachable and abort the job on the first bad row. Tolerated
+      // (optional) columns may legitimately be absent — a validated
+      // file without them must not fail the select.
       val centerCanon = when(lower(col("Sequencing center")).isin("gfb", "fgcz", "h2030", "viollier"),
         lower(col("Sequencing center"))).otherwise(lit(null))
+      def optional(name: String): org.apache.spark.sql.Column =
+        if (raw.columns.contains(name)) col(name) else lit(null).cast("string")
       val normalized = raw.select(
-        col("Sample number").cast("long").as("sample_number"),
+        expr("try_cast(`Sample number` AS BIGINT)").as("sample_number"),
         Sources.sniffDate(col("Order date")).as("order_date"),
         lower(col("PlateID")).as("plate"),
         Sources.normalizeWell(col("DeepWellLocation")).as("well"),
         centerCanon.as("sequencing_center"),
-        col("Zip code").as("zip_code"),
-        when(col("60997 wuha20") === "res", "diagnostic")
+        optional("Zip code").as("zip_code"),
+        when(optional("60997 wuha20") === "res", "diagnostic")
           .otherwise("surveillance").as("purpose"))
       val withValidity = normalized.withColumn("reject_reason",
         when(col("sample_number").isNull, "unparseable sample number")

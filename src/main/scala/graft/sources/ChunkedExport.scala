@@ -22,7 +22,12 @@ import java.nio.file.{Files, Paths}
 final class ChunkedExport(spark: SparkSession, logDir: String, outDir: String) {
 
   private def logExists: Boolean =
-    Files.exists(Paths.get(logDir)) && Files.list(Paths.get(logDir)).findFirst().isPresent
+    Files.exists(Paths.get(logDir)) && {
+      // Files.list holds an open DirectoryStream — close it or every
+      // chunk export leaks a directory fd
+      val s = Files.list(Paths.get(logDir))
+      try s.findFirst().isPresent finally s.close()
+    }
 
   /** Keys already exported. */
   def exportedKeys(keyCol: String): DataFrame =

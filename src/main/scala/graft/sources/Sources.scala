@@ -44,10 +44,16 @@ object Sources {
       try_to_timestamp(c, lit("yyyy-MM-dd")).cast("date"),
       try_to_timestamp(c, lit("dd.MM.yyyy")).cast("date"))
 
-  /** S2/S11 well normalization `A01` → `A1` (receiver :339-344). */
-  def normalizeWell(c: Column): Column =
-    concat(regexp_extract(c, "^([A-Ha-h])", 1),
-      regexp_extract(c, "0*([0-9]+)$", 1).cast("int").cast("string"))
+  /** S2/S11 well normalization `A01` → `A1` (receiver :339-344). A
+    * value missing its row letter or digit suffix normalizes to ""
+    * (the caller's missing-well reject) — and the empty extract must
+    * never reach the int cast, which throws under ANSI. */
+  def normalizeWell(c: Column): Column = {
+    val row = regexp_extract(c, "^([A-Ha-h])", 1)
+    val digits = regexp_extract(c, "0*([0-9]+)$", 1)
+    when(row === "" || digits === "", lit(""))
+      .otherwise(concat(row, digits.cast("int").cast("string")))
+  }
 
   /** S11: well sort key for the per-center CSV reports — plate order,
     * then column-major wells (A1,B1,...,H1,A2,...) per

@@ -151,7 +151,13 @@ object XzChunker {
         missingExpected = (expected -- fields -- required).toSeq.sorted,
         unexpected = (fields -- required -- expected).toSeq.sorted))
     } else {
-      chunkToFiles(xzPath, workDir, linesPerChunk)
+      val chunks = chunkToFiles(xzPath, workDir, linesPerChunk)
+      // a zero-line feed writes no chunks and the glob would throw
+      // PATH_NOT_FOUND — materialize one empty chunk so the read
+      // yields an empty frame and the drift check reports cleanly
+      if (chunks.isEmpty)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$workDir/chunk-00000.jsonl"), Array.emptyByteArray)
       Sources.readJsonWithDriftCheck(spark, s"$workDir/chunk-*.jsonl", required, expected)
     }
   }

@@ -56,10 +56,13 @@ object GisaidStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // replays within a batch (same file listed twice) collapse on
-        // the key; keep the max-date row deterministically
+        // the key; max date wins, and same-date peers resolve by
+        // content hash so a micro-batch retry picks the SAME winner
+        // (row_number over version alone would pick arbitrarily)
         val deduped = graft.genomics.Annotations.keepMaxVersion(
           batch.withColumn("__v", coalesce(col("date").cast("string"), lit(""))),
-          "gisaid_epi_isl", "__v").drop("__v")
+          "gisaid_epi_isl", "__v",
+          md5(to_json(struct(batch.columns.map(col): _*))).desc).drop("__v")
         val existing =
           if (new java.io.File(tablePath).exists()) TableIO.read(batch.sparkSession, tablePath)
           else batch.sparkSession.createDataFrame(

@@ -32,6 +32,16 @@ class FunctionsSpec extends SparkSpec {
     assert(fast == slow && fast == 32.0)
   }
 
+  test("vec_dot treats null ELEMENTS as 0 in both codegen and interpreted paths") {
+    VecExpressions.register(spark)
+    // array() with a null literal gives containsNull=true arrays
+    val viaSql = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(3.0 AS FLOAT)), " +
+        "array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT), CAST(6.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(viaSql == 1.0 * 4.0 + 3.0 * 6.0, s"null element must contribute 0, got $viaSql")
+  }
+
   test("cosine of identical vectors is 1.0") {
     import spark.implicits._
     VecExpressions.register(spark)

@@ -52,10 +52,12 @@ class AnnotationsSpec extends SparkSpec {
     assert(out.toSeq == Seq("2021-01-01", "2021-03-01", "2021-03-01", "2021-03-15", null))
   }
 
-  test("D10 age: '?' → null") {
+  test("D10 age: any non-numeric value → null (never an ANSI cast throw)") {
     import spark.implicits._
-    val out = Seq("42", "?").toDF("age").select(normalizeAge(col("age"))).collect()
-    assert(out(0).getInt(0) == 42 && out(1).isNullAt(0))
+    val out = Seq("42", "?", "unknown", "30-39", "40s", "")
+      .toDF("age").select(normalizeAge(col("age"))).collect()
+    assert(out(0).getInt(0) == 42)
+    assert((1 to 5).forall(out(_).isNullAt(0)))
   }
 
   test("date range guard nulls out-of-window dates") {

@@ -22,6 +22,16 @@ class PipeStageSpec extends SparkSpec {
     assert(out("s1") == "NCGT" && out("s2") == "TTNN")
   }
 
+  test("D11 a stderr-chatty tool does not deadlock (pipe buffer drained)") {
+    // ~1 MB of stderr noise would fill the OS pipe buffer (~64 KB) and
+    // block the tool forever if stderr weren't drained on its own thread
+    val out = PipeStage.pipeFasta(fastaDf.coalesce(1), "header", "seq",
+      Seq("bash", "-c",
+        "for i in $(seq 1 16000); do echo progress line $i >&2; done; cat \"$0\"", "{in}"))
+      .collect().map(r => r.header -> (r.seq, r.error)).toMap
+    assert(out == Map("s1" -> (("ACGT", null)), "s2" -> (("TTAA", null)), "s3" -> (("GGCC", null))))
+  }
+
   test("D11 failing tool poisons only its rows with an error; threshold applies") {
     val results = PipeStage.pipeFasta(fastaDf, "header", "seq", Seq("false"))
     val rs = results.collect()

@@ -36,6 +36,11 @@ class SourcesSpec extends SparkSpec {
     val df = Seq("A01", "H12", "B1", "a03").toDF("w")
     val norm = df.select(Sources.normalizeWell(col("w"))).as[String].collect()
     assert(norm.toSeq == Seq("A1", "H12", "B1", "a3"))
+    // malformed wells must normalize to "" (the reject marker), not
+    // throw under ANSI or leak a partial value
+    val bad = Seq("A", "12", "", "Z9").toDF("w")
+      .select(Sources.normalizeWell(col("w"))).as[String].collect()
+    assert(bad.toSeq == Seq("", "", "", ""))
     val sorted = Seq("B1", "A2", "A1", "H1").toDF("w")
       .orderBy(Sources.wellSortKey(col("w"))).as[String].collect()
     assert(sorted.toSeq == Seq("A1", "B1", "H1", "A2"))
