@@ -58,8 +58,11 @@ object Literature {
         col("a.doi").as("doi"),
         col("a.title").as("title"),
         transform(split(col("a.authors"), ";"), a => trim(a)).as("authors"),
-        to_date(col("a.date")).as("date"),
-        col("a.version").cast("int").as("version"),
+        // REST feed values are untrusted: ANSI to_date/cast throw on
+        // malformed input, so both parse defensively to null
+        try_to_timestamp(col("a.date"), lit("yyyy-MM-dd")).cast("date").as("date"),
+        when(col("a.version").rlike("^[0-9]+$"), col("a.version").cast("int"))
+          .otherwise(lit(null).cast("int")).as("version"),
         col("a.type").as("type"),
         col("a.license").as("license"),
         col("a.category").as("category"),

@@ -169,10 +169,15 @@ object Annotations {
     if (pairs.isEmpty) 0.0 else pairs.sum.toDouble / pairs.length
   }
 
-  // D16: 'S:N501Y' → (gene, position, base-change columns).
-  def decomposeAaMutation(aa: Column): Column = struct(
-    split(aa, ":").getItem(0).as("gene"),
-    regexp_extract(aa, ":([A-Z*])([0-9]+)([A-Z*])$", 1).as("ref_aa"),
-    regexp_extract(aa, ":([A-Z*])([0-9]+)([A-Z*])$", 2).cast("int").as("position"),
-    regexp_extract(aa, ":([A-Z*])([0-9]+)([A-Z*])$", 3).as("alt_aa"))
+  // D16: 'S:N501Y' → (gene, position, base-change columns). A string
+  // that doesn't match the mutation shape yields a null position (the
+  // empty extract must not reach the ANSI int cast).
+  def decomposeAaMutation(aa: Column): Column = {
+    val pos = regexp_extract(aa, ":([A-Z*])([0-9]+)([A-Z*])$", 2)
+    struct(
+      split(aa, ":").getItem(0).as("gene"),
+      regexp_extract(aa, ":([A-Z*])([0-9]+)([A-Z*])$", 1).as("ref_aa"),
+      when(pos === "", lit(null).cast("int")).otherwise(pos.cast("int")).as("position"),
+      regexp_extract(aa, ":([A-Z*])([0-9]+)([A-Z*])$", 3).as("alt_aa"))
+  }
 }

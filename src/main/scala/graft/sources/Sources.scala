@@ -57,10 +57,15 @@ object Sources {
 
   /** S11: well sort key for the per-center CSV reports — plate order,
     * then column-major wells (A1,B1,...,H1,A2,...) per
-    * ViollierMetadataReceiver.java:372-416. */
-  def wellSortKey(well: Column): Column = struct(
-    regexp_extract(well, "([0-9]+)$", 1).cast("int").as("well_number"),
-    regexp_extract(well, "^([A-Ha-h])", 1).as("well_row"))
+    * ViollierMetadataReceiver.java:372-416. Digit-less wells sort
+    * first on a null number (the ANSI cast would throw on ''). */
+  def wellSortKey(well: Column): Column = {
+    val digits = regexp_extract(well, "([0-9]+)$", 1)
+    struct(
+      when(digits === "", lit(null).cast("int")).otherwise(digits.cast("int"))
+        .as("well_number"),
+      regexp_extract(well, "^([A-Ha-h])", 1).as("well_row"))
+  }
 
   final case class DriftReport(missingRequired: Seq[String], missingExpected: Seq[String],
       unexpected: Seq[String]) {

@@ -240,7 +240,10 @@ object XlsxSource {
           when(col(c).rlike("^[0-9]+(\\.[0-9]+)?$"), serialToDate(col(c)))
             .otherwise(Sources.sniffDate(col(c))))
       else if (numRe.findFirstIn(c).isDefined)
-        acc.withColumn(c, col(c).cast("double"))
+        // readxl yields NA for unparseable numerics; the ANSI cast
+        // would throw on a stray "n/a" cell instead
+        acc.withColumn(c, when(col(c).rlike("^-?[0-9]+(\\.[0-9]+)?$"),
+          col(c).cast("double")).otherwise(lit(null).cast("double")))
       else acc
     }
   }
