@@ -159,5 +159,63 @@ object AnnQueries extends QueryModule {
         FROM qprobe q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.query_id)
       WHERE rnk <= 3 ORDER BY query_id, rnk"""))
 
-  override val all: Seq[Q] = Seq(ann1, ann2, ann3)
+  // Product quantization (Jégou et al., PAMI'11): the 64-dim vector
+  // splits into 8 subvectors of 8 dims, each assigned to its nearest
+  // of 16 sub-centroids (integer-exact quantized L2, ties to the
+  // lowest centroid id) — the 64-float embedding compresses to 8
+  // nibbles, the memory layout that lets an ANN index hold billions
+  // of vectors in RAM. Codes print as a '-'-joined string so the
+  // oracle compare stays scalar. Plan: one explode to (vec, subspace),
+  // broadcast sub-centroids, rank-1 window, ordered re-assembly.
+  private val ann4 = {
+    val nSub = 8; val dSub = 8; val nCent = 16
+    Q(
+      "q_ann4_pq_encode",
+      s"product quantization: $nSub×$dSub split, $nCent int-exact sub-centroids per subspace",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val slices = array((0 until nSub).map(i =>
+          slice(col("embedding"), i * dSub + 1, dSub)): _*)
+        val pieces = e.select(col("vec_id"), posexplode(slices).as(Seq("sub", "subvec")))
+        val cents = e.filter(col("vec_id") < nCent)
+          .select(col("vec_id").as("cent_id"), array((0 until nSub).map(i =>
+            slice(col("embedding"), i * dSub + 1, dSub)): _*).as("cslices"))
+          .select(col("cent_id"), posexplode(col("cslices")).as(Seq("sub", "cvec")))
+        val w = Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("cd").asc, col("cent_id").asc)
+        pieces.join(broadcast(cents), Seq("sub"))
+          .select(col("vec_id"), col("sub"), col("cent_id"),
+            intSqDist(col("subvec"), col("cvec")).as("cd"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .groupBy(col("vec_id"))
+          .agg(array_join(transform(array_sort(collect_list(struct(col("sub"), col("cent_id")))),
+            x => x.getField("cent_id").cast("string")), "-").as("pq_code"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH pieces AS (
+          SELECT vec_id, i - 1 AS sub, list_slice(embedding, (i - 1) * $dSub + 1, i * $dSub) AS subvec
+          FROM embeddings, unnest(range(1, $nSub + 1)) AS t(i)),
+        cents AS (
+          SELECT vec_id AS cent_id, sub, subvec AS cvec FROM pieces WHERE vec_id < $nCent),
+        dists AS (
+          SELECT p.vec_id, p.sub, c.cent_id,
+                 list_sum(list_transform(p.subvec, (x, j) ->
+                   (CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                     - CAST(floor(CAST(c.cvec[j] AS DOUBLE) * 1000) AS BIGINT))
+                   * (CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                     - CAST(floor(CAST(c.cvec[j] AS DOUBLE) * 1000) AS BIGINT)))) AS cd
+          FROM pieces p JOIN cents c ON c.sub = p.sub),
+        codes AS (
+          SELECT vec_id, sub, cent_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY cd ASC, cent_id ASC) AS rn
+            FROM dists) WHERE rn = 1)
+        SELECT vec_id,
+               array_to_string(list(cent_id ORDER BY sub), '-') AS pq_code
+        FROM codes GROUP BY vec_id ORDER BY vec_id"""))
+  }
+
+  override val all: Seq[Q] = Seq(ann1, ann2, ann3, ann4)
 }

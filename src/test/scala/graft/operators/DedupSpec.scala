@@ -86,6 +86,22 @@ class DedupSpec extends SparkSpec {
     assert(fresh == Set(102L))
   }
 
+  test("PQ encode: every sub-centroid vector encodes to its own id in all subspaces") {
+    // vec i < 16 IS the i-th sub-centroid in every subspace, so its
+    // nearest sub-centroid is itself (distance 0) unless another
+    // centroid shares the exact quantized subvector — in which case
+    // the lowest id wins; either way the code must be ≤ i everywhere
+    val out = graft.SparkEntry.queries("q_ann4_pq_encode")(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 16)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("pq_code"))
+    assert(out.length == 16)
+    out.foreach { case (id, code) =>
+      val parts = code.split("-").map(_.toLong)
+      assert(parts.length == 8, s"vec $id: $code")
+      assert(parts.forall(_ <= id), s"vec $id must encode to ids <= itself, got $code")
+    }
+  }
+
   test("dd5/ann2 bucket: Spark intHyperplaneBucket equals the generated DuckDB SQL literal form") {
     import graft.functions.VectorFunctions._
     import spark.implicits._
