@@ -167,32 +167,36 @@ object AnnQueries extends QueryModule {
   // of vectors in RAM. Codes print as a '-'-joined string so the
   // oracle compare stays scalar. Plan: one explode to (vec, subspace),
   // broadcast sub-centroids, rank-1 window, ordered re-assembly.
+  private val PqSub = 8; private val PqDsub = 8; private val PqCent = 16
+
+  /** (vec_id, sub, cent_id): per-subspace nearest-sub-centroid
+    * assignment — shared by the encode gate and the ADC query. */
+  private def pqCodes(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val slices = array((0 until PqSub).map(i =>
+      slice(col("embedding"), i * PqDsub + 1, PqDsub)): _*)
+    val pieces = e.select(col("vec_id"), posexplode(slices).as(Seq("sub", "subvec")))
+    val cents = e.filter(col("vec_id") < PqCent)
+      .select(col("vec_id").as("cent_id"), posexplode(slices).as(Seq("sub", "cvec")))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("cd").asc, col("cent_id").asc)
+    pieces.join(broadcast(cents), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cent_id"),
+        intSqDist(col("subvec"), col("cvec")).as("cd"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cent_id"))
+  }
+
   private val ann4 = {
     val nSub = 8; val dSub = 8; val nCent = 16
     Q(
       "q_ann4_pq_encode",
       s"product quantization: $nSub×$dSub split, $nCent int-exact sub-centroids per subspace",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val slices = array((0 until nSub).map(i =>
-          slice(col("embedding"), i * dSub + 1, dSub)): _*)
-        val pieces = e.select(col("vec_id"), posexplode(slices).as(Seq("sub", "subvec")))
-        val cents = e.filter(col("vec_id") < nCent)
-          .select(col("vec_id").as("cent_id"), array((0 until nSub).map(i =>
-            slice(col("embedding"), i * dSub + 1, dSub)): _*).as("cslices"))
-          .select(col("cent_id"), posexplode(col("cslices")).as(Seq("sub", "cvec")))
-        val w = Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("cd").asc, col("cent_id").asc)
-        pieces.join(broadcast(cents), Seq("sub"))
-          .select(col("vec_id"), col("sub"), col("cent_id"),
-            intSqDist(col("subvec"), col("cvec")).as("cd"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .groupBy(col("vec_id"))
-          .agg(array_join(transform(array_sort(collect_list(struct(col("sub"), col("cent_id")))),
-            x => x.getField("cent_id").cast("string")), "-").as("pq_code"))
-          .orderBy(col("vec_id"))
-      },
+      (s, d) => pqCodes(Tables.embeddings(s, d))
+        .groupBy(col("vec_id"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("sub"), col("cent_id")))),
+          x => x.getField("cent_id").cast("string")), "-").as("pq_code"))
+        .orderBy(col("vec_id")),
       Some(s"""
         WITH pieces AS (
           SELECT vec_id, i - 1 AS sub, list_slice(embedding, (i - 1) * $dSub + 1, i * $dSub) AS subvec
@@ -217,5 +221,71 @@ object AnnQueries extends QueryModule {
         FROM codes GROUP BY vec_id ORDER BY vec_id"""))
   }
 
-  override val all: Seq[Q] = Seq(ann1, ann2, ann3, ann4)
+  // ADC search over the PQ codes — why PQ exists: the query computes
+  // one 8×16 distance table against the sub-centroids (tiny,
+  // broadcast), and every corpus vector's approximate distance is just
+  // 8 table lookups on its code, never touching the original floats.
+  // All distances are the quantized-integer L2, so the oracle
+  // reproduces the ranking exactly.
+  private val ann5 = Q(
+    "q_ann5_pq_adc",
+    "PQ asymmetric-distance search: broadcast query distance tables over the codes",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val codes = pqCodes(e)
+      val slices = array((0 until PqSub).map(i =>
+        slice(col("embedding"), i * PqDsub + 1, PqDsub)): _*)
+      val cents = e.filter(col("vec_id") < PqCent)
+        .select(col("vec_id").as("cent_id"), posexplode(slices).as(Seq("sub", "cvec")))
+      // per-query distance table: (query_id, sub, cent_id, qd)
+      val dt = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), posexplode(slices).as(Seq("sub", "qsub")))
+        .join(broadcast(cents), Seq("sub"))
+        .select(col("query_id"), col("sub"), col("cent_id"),
+          intSqDist(col("qsub"), col("cvec")).as("qd"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adist").asc, col("vec_id").asc)
+      codes.join(broadcast(dt), Seq("sub", "cent_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd")).as("adist"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH pieces AS (
+        SELECT vec_id, i - 1 AS sub, list_slice(embedding, (i - 1) * $PqDsub + 1, i * $PqDsub) AS subvec
+        FROM embeddings, unnest(range(1, $PqSub + 1)) AS t(i)),
+      cents AS (
+        SELECT vec_id AS cent_id, sub, subvec AS cvec FROM pieces WHERE vec_id < $PqCent),
+      dists AS (
+        SELECT p.vec_id, p.sub, c.cent_id,
+               list_sum(list_transform(p.subvec, (x, j) ->
+                 (CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                   - CAST(floor(CAST(c.cvec[j] AS DOUBLE) * 1000) AS BIGINT))
+                 * (CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                   - CAST(floor(CAST(c.cvec[j] AS DOUBLE) * 1000) AS BIGINT)))) AS cd
+        FROM pieces p JOIN cents c ON c.sub = p.sub),
+      codes AS (
+        SELECT vec_id, sub, cent_id FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY cd ASC, cent_id ASC) AS rn
+          FROM dists) WHERE rn = 1),
+      dt AS (
+        SELECT vec_id AS query_id, sub, cent_id, cd AS qd
+        FROM dists WHERE vec_id < 4),
+      adist AS (
+        SELECT dt.query_id, c.vec_id, sum(dt.qd) AS adist
+        FROM codes c JOIN dt ON dt.sub = c.sub AND dt.cent_id = c.cent_id
+        WHERE c.vec_id <> dt.query_id
+        GROUP BY 1, 2)
+      SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rnk
+        FROM adist)
+      WHERE rnk <= 3 ORDER BY query_id, rnk"""))
+
+  override val all: Seq[Q] = Seq(ann1, ann2, ann3, ann4, ann5)
 }
