@@ -287,5 +287,59 @@ object AnnQueries extends QueryModule {
         FROM adist)
       WHERE rnk <= 3 ORDER BY query_id, rnk"""))
 
-  override val all: Seq[Q] = Seq(ann1, ann2, ann3, ann4, ann5)
+  // Binary sign embeddings + Hamming search — the third compression
+  // point after IVF (pruning) and PQ (sub-codes): one bit per
+  // dimension (sign of the quantized component), 64 floats → 64 bits,
+  // distance = popcount(xor). Packed as TWO 32-bit words summed from
+  // distinct powers of two (< 2³², exactly representable in BIGINT in
+  // any engine — a single 64-bit pack would need bit-OR folding or an
+  // overflowing 2⁶³ sum under ANSI). Query = brute force over the
+  // packed words: 16 bytes/vector scanned, never the floats.
+  private val ann6 = {
+    def packSql(half: Int) = {
+      val lo = half * 32
+      s"""list_sum(list_transform(list_slice(embedding, ${lo + 1}, ${lo + 32}), (x, j) ->
+         |  CASE WHEN floor(CAST(x AS DOUBLE) * 1000) > 0
+         |       THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END))""".stripMargin
+    }
+    def pack(half: Int): org.apache.spark.sql.Column = expr(
+      s"""aggregate(zip_with(slice(embedding, ${half * 32 + 1}, 32), sequence(0, 31),
+         |  (x, i) -> IF(floor(CAST(x AS DOUBLE) * 1000D) > 0, shiftleft(1L, i), 0L)),
+         |  0L, (a, b) -> a + b)""".stripMargin)
+    Q(
+      "q_ann6_hamming",
+      "binary sign embeddings: 2×32-bit packs, brute-force Hamming top-3",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), pack(0).as("b_lo"), pack(1).as("b_hi"))
+        val q = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("query_id"), col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming").asc, col("vec_id").asc)
+        broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            (bit_count(col("b_lo").bitwiseXOR(col("q_lo"))) +
+              bit_count(col("b_hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 3)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("hamming"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH packed AS (
+          SELECT vec_id, ${packSql(0)} AS b_lo, ${packSql(1)} AS b_hi
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
+              FROM packed WHERE vec_id < 4)
+        SELECT query_id, vec_id AS neighbor_id, rnk, hamming FROM (
+          SELECT q.query_id, p.vec_id,
+                 CAST(bit_count(xor(p.b_lo, q.q_lo)) + bit_count(xor(p.b_hi, q.q_hi)) AS BIGINT) AS hamming,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   bit_count(xor(p.b_lo, q.q_lo)) + bit_count(xor(p.b_hi, q.q_hi)) ASC,
+                   p.vec_id ASC) AS rnk
+          FROM q CROSS JOIN packed p WHERE p.vec_id <> q.query_id)
+        WHERE rnk <= 3 ORDER BY query_id, rnk"""))
+  }
+
+  override val all: Seq[Q] = Seq(ann1, ann2, ann3, ann4, ann5, ann6)
 }
