@@ -167,7 +167,8 @@ object AnnQueries extends QueryModule {
   // of vectors in RAM. Codes print as a '-'-joined string so the
   // oracle compare stays scalar. Plan: one explode to (vec, subspace),
   // broadcast sub-centroids, rank-1 window, ordered re-assembly.
-  private val PqSub = 8; private val PqDsub = 8; private val PqCent = 16
+  private[operators] val PqSub = 8; private[operators] val PqDsub = 8
+  private[operators] val PqCent = 16
 
   /** (vec_id, sub, cent_id): per-subspace nearest-sub-centroid
     * assignment — shared by the encode gate and the ADC query. */
@@ -341,5 +342,155 @@ object AnnQueries extends QueryModule {
         WHERE rnk <= 3 ORDER BY query_id, rnk"""))
   }
 
-  override val all: Seq[Q] = Seq(ann1, ann2, ann3, ann4, ann5, ann6)
+  // Trained coarse quantizer (VERDICT r3 item 1): the first-16 pick in
+  // ann3 is deterministic but untrained — arbitrary cell occupancy at
+  // real scale. KMeans.train runs seeded integer-exact Lloyd
+  // iterations over a deterministic md5-hash sample (the reference's
+  // own cost-bounding move, OriginCountryEstimator.java:94-99), and
+  // the whole procedure unrolls into the oracle as CTEs, so the gate
+  // checks the TRAINING, not just the final assignment. Scale shape:
+  // training cost is O(sample·k·iters) regardless of corpus size;
+  // corpus assignment is one map-side pass over broadcast centroids.
+  private[operators] val KmK = 16; private[operators] val KmIters = 2
+  private[operators] val KmRate = 0.5
+  private val ann7 = Q(
+    "q_ann7_kmeans_ivf",
+    s"trained IVF coarse quantizer: seeded integer-exact k-means ($KmK cells, " +
+      s"$KmIters Lloyd iterations over a $KmRate md5-hash sample) + full-corpus assignment",
+    (s, d) => {
+      val pts = Tables.embeddings(s, d).select(lit(0L).as("grp"), col("vec_id"),
+        graft.operators.KMeans.quantize(col("embedding")).as("qv"))
+      val cent = graft.operators.KMeans.train(s,
+        Sampling.deterministicSample(pts, "vec_id", KmRate), KmK, KmIters)
+      graft.operators.KMeans.assign(pts, cent)
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH samp AS (
+        SELECT 0 AS grp, vec_id, ${KMeans.quantizeSql("embedding")} AS qv
+        FROM embeddings
+        WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(KmRate)}'),
+      ${KMeans.trainSqlCtes("samp", KmK, KmIters, 64)},
+      pts AS (
+        SELECT vec_id, ${KMeans.quantizeSql("embedding")} AS qv FROM embeddings)
+      SELECT vec_id, cell FROM (
+        SELECT p.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 ${KMeans.sqDistQSql("p.qv", "c.cvec")} ASC, c.cent_id ASC) AS rn
+        FROM pts p CROSS JOIN cent$KmIters c) WHERE rn = 1
+      ORDER BY vec_id"""))
+
+  // IVF-PQ composition (VERDICT r3 item 2): trained coarse cells prune
+  // the search to nprobe cells; trained per-subspace PQ codebooks
+  // compress every corpus vector to 8 codes; the probe ranks by ADC —
+  // 8 lookups into the query's broadcast distance table, the corpus
+  // floats never touched after encode. The persisted form (codes
+  // stored inside the cell-partitioned index, probes partition-pruned)
+  // is IvfIndex.writeIndexPq/probePq, spec-pinned; this gate checks
+  // the full trained pipeline (both k-means chains unrolled in the
+  // oracle) end to end.
+  private val ann8 = {
+    val nprobe = 2; val topk = 3; val nQ = 4
+    Q(
+      "q_ann8_ivfpq",
+      s"IVF-PQ: trained coarse cells ($KmK, $nprobe-probe) + trained $PqSub×$PqCent PQ codebooks, ADC top-$topk",
+      (s, d) => {
+        val km = graft.operators.KMeans
+        val e = Tables.embeddings(s, d)
+        val pts = e.select(lit(0L).as("grp"), col("vec_id"),
+          km.quantize(col("embedding")).as("qv"))
+        val coarse = km.train(s, Sampling.deterministicSample(pts, "vec_id", KmRate),
+          KmK, KmIters)
+        val slices = array((0 until PqSub).map(i =>
+          slice(col("embedding"), i * PqDsub + 1, PqDsub)): _*)
+        val subPts = e.select(col("vec_id"), posexplode(slices).as(Seq("sub", "subvec")))
+          .select(col("sub").cast(LongType).as("grp"), col("vec_id"),
+            km.quantize(col("subvec")).as("qv"))
+        val pqCent = km.train(s, Sampling.deterministicSample(subPts, "vec_id", KmRate),
+          PqCent, KmIters)
+        val cells = km.assign(pts, coarse).select(col("vec_id"), col("cell"))
+        val codes = km.assign(subPts, pqCent)
+          .select(col("grp").as("sub"), col("vec_id"), col("cell").as("code"))
+        // query probes: top-nprobe cells by quantized L2 to the coarse centroids
+        val q = pts.filter(col("vec_id") < nQ)
+        val probes = q.join(broadcast(coarse), Seq("grp"))
+          .select(col("vec_id").as("query_id"), col("cent_id"),
+            km.sqDistQ(col("qv"), col("cvec")).as("cd"))
+          .withColumn("__pr", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("cd").asc, col("cent_id").asc)))
+          .filter(col("__pr") <= nprobe)
+          .select(col("query_id"), col("cent_id").as("cell"))
+        // per-query ADC table: (query_id, sub, code, qd) — tiny, broadcast
+        val dt = subPts.filter(col("vec_id") < nQ).join(broadcast(pqCent), Seq("grp"))
+          .select(col("vec_id").as("query_id"), col("grp").as("sub"),
+            col("cent_id").as("code"), km.sqDistQ(col("qv"), col("cvec")).as("qd"))
+        // candidates = corpus rows in probed cells (probes broadcast:
+        // O(queries·nprobe)); ADC = sum of 8 table lookups on the codes
+        val cand = cells.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        cand.join(codes, Seq("vec_id"))
+          .join(broadcast(dt), Seq("query_id", "sub", "code"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("qd")).as("adist"))
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= topk)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH csamp AS (
+          SELECT 0 AS grp, vec_id, ${KMeans.quantizeSql("embedding")} AS qv
+          FROM embeddings
+          WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(KmRate)}'),
+        ${KMeans.trainSqlCtes("csamp", KmK, KmIters, 64, "c")},
+        pieces AS (
+          SELECT vec_id, i - 1 AS grp,
+                 ${KMeans.quantizeSql(s"list_slice(embedding, (i - 1) * $PqDsub + 1, i * $PqDsub)")} AS qv
+          FROM embeddings, unnest(range(1, $PqSub + 1)) AS t(i)),
+        psamp AS (
+          SELECT grp, vec_id, qv FROM pieces
+          WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(KmRate)}'),
+        ${KMeans.trainSqlCtes("psamp", PqCent, KmIters, PqDsub, "p")},
+        pts AS (
+          SELECT vec_id, ${KMeans.quantizeSql("embedding")} AS qv FROM embeddings),
+        cells AS (
+          SELECT vec_id, cell FROM (
+            SELECT p.vec_id, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                     ${KMeans.sqDistQSql("p.qv", "c.cvec")} ASC, c.cent_id ASC) AS rn
+            FROM pts p CROSS JOIN ccent$KmIters c) WHERE rn = 1),
+        codes AS (
+          SELECT grp AS sub, vec_id, code FROM (
+            SELECT s.grp, s.vec_id, c.cent_id AS code,
+                   row_number() OVER (PARTITION BY s.grp, s.vec_id ORDER BY
+                     ${KMeans.sqDistQSql("s.qv", "c.cvec")} ASC, c.cent_id ASC) AS rn
+            FROM pieces s JOIN pcent$KmIters c ON c.grp = s.grp) WHERE rn = 1),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT p.vec_id AS query_id, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                     ${KMeans.sqDistQSql("p.qv", "c.cvec")} ASC, c.cent_id ASC) AS pr
+            FROM pts p CROSS JOIN ccent$KmIters c WHERE p.vec_id < $nQ) WHERE pr <= $nprobe),
+        dt AS (
+          SELECT s.vec_id AS query_id, s.grp AS sub, c.cent_id AS code,
+                 ${KMeans.sqDistQSql("s.qv", "c.cvec")} AS qd
+          FROM pieces s JOIN pcent$KmIters c ON c.grp = s.grp WHERE s.vec_id < $nQ),
+        adist AS (
+          SELECT pr.query_id, ce.vec_id, sum(dt.qd) AS adist
+          FROM probes pr JOIN cells ce ON ce.cell = pr.cell AND ce.vec_id <> pr.query_id
+          JOIN codes co ON co.vec_id = ce.vec_id
+          JOIN dt ON dt.query_id = pr.query_id AND dt.sub = co.sub AND dt.code = co.code
+          GROUP BY 1, 2)
+        SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+          SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rnk
+          FROM adist)
+        WHERE rnk <= $topk ORDER BY query_id, rnk"""))
+  }
+
+  override val all: Seq[Q] = Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8)
 }

@@ -73,4 +73,76 @@ object IvfIndex {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** Build and persist the IVF-PQ index (q_ann8's production layout):
+    * each vector's trained-coarse cell assignment plus its `nSub`
+    * per-subspace PQ codes, stored as (vec_id, sub, code) rows
+    * partitioned by cell — the EMBEDDING FLOATS ARE NOT WRITTEN, so
+    * after encode the index holds ~nSub small ints per vector and a
+    * probe never reads a float. Cell is assigned first and carried
+    * through the subspace explode, so the build is a single map-side
+    * pass (both centroid sets broadcast), no self-join. */
+  def writeIndexPq(embeddings: DataFrame, coarse: DataFrame, pqCents: DataFrame,
+      path: String, nSub: Int = 8, dSub: Int = 8): Unit = {
+    val pts = embeddings.select(lit(0L).as("grp"), col("vec_id"),
+      KMeans.quantize(col("embedding")).as("qv"), col("embedding"))
+    val slices = array((0 until nSub).map(i =>
+      slice(col("embedding"), i * dSub + 1, dSub)): _*)
+    val subPts = KMeans.assign(pts, coarse)
+      .select(col("vec_id"), col("cell"), posexplode(slices).as(Seq("sub", "subvec")))
+      .select(col("sub").cast(LongType).as("grp"), col("vec_id"), col("cell"),
+        KMeans.quantize(col("subvec")).as("qv"))
+    KMeans.assign(subPts.withColumnRenamed("cell", "ivf_cell"), pqCents)
+      .select(col("vec_id"), col("grp").as("sub"), col("cell").as("code"),
+        col("ivf_cell").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** ADC probe over the persisted IVF-PQ index: probe cells come from
+    * the broadcast coarse centroids and are pushed as a literal
+    * `cell IN (...)` partition filter; the query's 8×k distance table
+    * broadcasts into the pruned code scan; approximate distance is the
+    * sum of `nSub` table lookups. `queries` = (query_id, qv). */
+  def probePq(spark: SparkSession, indexPath: String, queries: DataFrame,
+      coarse: DataFrame, pqCents: DataFrame, nprobe: Int, k: Int,
+      nSub: Int = 8, dSub: Int = 8, excludeSelf: Boolean = false): DataFrame = {
+    val qpts = queries.select(col("query_id"),
+      KMeans.quantize(col("qv")).as("qq"), col("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cd").asc, col("cent_id").asc)
+    val probes = qpts.crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("cent_id"),
+        KMeans.sqDistQ(col("qq"), col("cvec")).as("cd"))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val slices = array((0 until nSub).map(i =>
+      slice(col("qv"), i * dSub + 1, dSub)): _*)
+    val dt = qpts.select(col("query_id"), posexplode(slices).as(Seq("sub", "subvec")))
+      .select(col("sub").cast(LongType).as("grp"), col("query_id"),
+        KMeans.quantize(col("subvec")).as("qsub"))
+      .join(broadcast(pqCents), Seq("grp"))
+      .select(col("query_id"), col("grp").as("sub"), col("cent_id").as("code"),
+        KMeans.sqDistQ(col("qsub"), col("cvec")).as("qd"))
+    // literal IN list from the (queries × nlist — tiny) probe table →
+    // directory-level partition pruning on the code scan
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].longValue()).toSeq.sorted
+    val raw = spark.read.parquet(indexPath)
+    val cellType = raw.schema("cell").dataType
+    val lits = if (cellType == org.apache.spark.sql.types.IntegerType)
+      cells.map(c => lit(c.toInt)) else cells.map(lit(_))
+    val index = raw.filter(col("cell").isin(lits: _*))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    val cand = broadcast(probes.withColumn("cell", col("cell").cast(cellType)))
+      .join(index, Seq("cell"))
+    (if (excludeSelf) cand.filter(col("vec_id") =!= col("query_id")) else cand)
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adist"))
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
 }

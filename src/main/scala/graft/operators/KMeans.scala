@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic integer-exact k-means (Lloyd iterations) for the ANN
+  * quantizers — trains the IVF coarse cells and the per-subspace PQ
+  * sub-centroids that `q_ann3/4/5` previously seeded with the first
+  * corpus vectors (degenerate-but-deterministic). The reference bounds
+  * its similarity work by stratified sampling
+  * (`OriginCountryEstimator.java:94-99,141-146`); quantizer training is
+  * bounded the same way: a deterministic md5-hash sample
+  * ([[Sampling.hashGate]]) of the corpus is the training set, so cost
+  * is O(sample · k · iters) regardless of corpus size.
+  *
+  * Everything is BIGINT arithmetic over floor(x·1000)-quantized
+  * components — seeds are picked by md5 order, distances are integer
+  * L2, and the centroid update is floor(sum/count) — so training is
+  * bit-reproducible across engines, partitionings, and reruns, and the
+  * whole procedure unrolls into ANSI SQL for the DuckDB oracle
+  * ([[trainSqlCtes]] emits the identical CTE chain).
+  *
+  * "Grouped": every group (`grp` column) trains its own k centroids in
+  * the same pass — grp=0 for a single coarse quantizer, grp=subspace
+  * for PQ's per-subspace codebooks. Scale shape: the sample stays
+  * distributed (cached across iterations); only the centroids
+  * (groups·k·dim longs — KBs) ever reach the driver, and they re-enter
+  * every assignment as a broadcast, so corpus-wide assignment is
+  * map-side.
+  */
+object KMeans {
+
+  /** floor(x·1000) quantization of a float/double array → Array[Long].
+    * One IEEE multiply + floor per component — identical in any engine. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast(DoubleType) * lit(1000.0)).cast(LongType))
+
+  /** Integer squared L2 between two already-quantized Array[Long]s. */
+  def sqDistQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  private val centSchema = StructType(Seq(
+    StructField("grp", LongType, nullable = false),
+    StructField("cent_id", LongType, nullable = false),
+    StructField("cvec", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** Train k centroids per group over `points` (grp: Long, vec_id: Long,
+    * qv: Array[Long]) with `iters` Lloyd iterations. Seeds are the k
+    * sample rows with the lowest (md5(vec_id), vec_id) per group — the
+    * standard sample-init, made deterministic. A cell that loses all its
+    * points keeps its previous centroid (deterministic, mirrors the
+    * oracle's left-join coalesce). Returns (grp, cent_id, cvec) as a
+    * driver-local DataFrame (groups·k rows) — broadcast it into
+    * assignments. */
+  def train(spark: SparkSession, points: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val sample = points.select(col("grp").cast(LongType).as("grp"),
+      col("vec_id").cast(LongType).as("vec_id"), col("qv")).persist()
+    try {
+      val wSeed = Window.partitionBy(col("grp"))
+        .orderBy(Sampling.hashGate(col("vec_id")).asc, col("vec_id").asc)
+      var cent: Seq[Row] = sample
+        .withColumn("__rn", row_number().over(wSeed))
+        .filter(col("__rn") <= k)
+        .select(col("grp"), (col("__rn") - 1).cast(LongType).as("cent_id"),
+          col("qv").as("cvec"))
+        .collect().toSeq
+      for (_ <- 0 until iters) {
+        val centDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(cent, 1), centSchema)
+        val wAssign = Window.partitionBy(col("grp"), col("vec_id"))
+          .orderBy(col("cd").asc, col("cent_id").asc)
+        val assigned = sample.join(broadcast(centDf), Seq("grp"))
+          .select(col("grp"), col("vec_id"), col("qv"), col("cent_id"),
+            sqDistQ(col("qv"), col("cvec")).as("cd"))
+          .withColumn("__rn", row_number().over(wAssign))
+          .filter(col("__rn") === 1)
+        // centroid update: per-dimension floor(sum/count) in exact
+        // BIGINT sums (|component| ≤ ~1e4 · sample ≤ 2^53 — the double
+        // division is exact); two-phase groupBy, skew-free
+        val updated = assigned
+          .select(col("grp"), col("cent_id"), posexplode(col("qv")).as(Seq("j", "v")))
+          .groupBy(col("grp"), col("cent_id"), col("j"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .select(col("grp"), col("cent_id"), col("j"),
+            floor(col("s").cast(DoubleType) / col("n")).cast(LongType).as("c"))
+          .groupBy(col("grp"), col("cent_id"))
+          .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+            x => x.getField("c")).as("cvec"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r)).toMap
+        cent = cent.map { old =>
+          updated.getOrElse((old.getLong(0), old.getLong(1)), old)
+        }
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(cent, 1), centSchema)
+    } finally sample.unpersist()
+  }
+
+  /** Nearest-centroid assignment (ties → lowest cent_id): adds `cell`
+    * to `points` (grp, vec_id, qv, ...). Map-side: centroids broadcast. */
+  def assign(points: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("grp"), col("vec_id"))
+      .orderBy(col("cd").asc, col("cent_id").asc)
+    points.join(broadcast(centroids), Seq("grp"))
+      .withColumn("cd", sqDistQ(col("qv"), col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumnRenamed("cent_id", "cell")
+      .drop("cd", "cvec", "__rn")
+  }
+
+  /** Within-cluster sum of squared (quantized) distances for a given
+    * centroid set — the k-means objective; used by specs to prove the
+    * trained codebook beats the degenerate first-k pick. */
+  def wcss(points: DataFrame, centroids: DataFrame): Long =
+    assign(points, centroids)
+      .join(broadcast(centroids.withColumnRenamed("cent_id", "cell")), Seq("grp", "cell"))
+      .select(sqDistQ(col("qv"), col("cvec")).as("cd"))
+      .agg(sum(col("cd"))).collect()(0).getLong(0)
+
+  // ---------------------------------------------------------------- SQL twin
+
+  /** DuckDB CTE chain replaying [[train]] exactly: consumes a CTE
+    * `sampCte` with columns (grp, vec_id, qv LIST<BIGINT>), emits
+    * `{p}cent0..{p}cent{iters}` and returns the body (append after a
+    * WITH that defines `sampCte`). Final centroids live in CTE
+    * `{p}cent{iters}` (grp, cent_id, cvec); `p` prefixes every CTE so
+    * two chains (coarse + PQ) can share one oracle. */
+  def trainSqlCtes(sampCte: String, k: Int, iters: Int, dim: Int, p: String = ""): String = {
+    val seed =
+      s"""${p}cent0 AS (
+         |  SELECT grp, rn - 1 AS cent_id, qv AS cvec FROM (
+         |    SELECT grp, vec_id, qv, row_number() OVER (PARTITION BY grp
+         |      ORDER BY substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) ASC, vec_id ASC) AS rn
+         |    FROM $sampCte) WHERE rn <= $k)""".stripMargin
+    val steps = (0 until iters).map { t =>
+      s"""${p}asg$t AS (
+         |  SELECT grp, vec_id, qv, cent_id FROM (
+         |    SELECT s.grp, s.vec_id, s.qv, c.cent_id,
+         |           row_number() OVER (PARTITION BY s.grp, s.vec_id ORDER BY
+         |             list_sum(list_transform(s.qv, (x, j) ->
+         |               (x - c.cvec[j]) * (x - c.cvec[j]))) ASC, c.cent_id ASC) AS rn
+         |    FROM $sampCte s JOIN ${p}cent$t c ON c.grp = s.grp) WHERE rn = 1),
+         |${p}upd$t AS (
+         |  SELECT grp, cent_id, j,
+         |         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM (SELECT grp, cent_id, unnest(qv) AS v,
+         |               unnest(range(1, ${dim + 1})) AS j FROM ${p}asg$t)
+         |  GROUP BY grp, cent_id, j),
+         |${p}cent${t + 1} AS (
+         |  SELECT p.grp, p.cent_id, coalesce(n.cvec, p.cvec) AS cvec
+         |  FROM ${p}cent$t p LEFT JOIN (
+         |    SELECT grp, cent_id, list(c ORDER BY j) AS cvec
+         |    FROM ${p}upd$t GROUP BY grp, cent_id) n
+         |  ON n.grp = p.grp AND n.cent_id = p.cent_id)""".stripMargin
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
+  /** DuckDB expression quantizing a float LIST column like [[quantize]]. */
+  def quantizeSql(vecExpr: String): String =
+    s"list_transform($vecExpr, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** DuckDB expression for [[sqDistQ]] over LIST<BIGINT> columns. */
+  def sqDistQSql(a: String, b: String): String =
+    s"list_sum(list_transform($a, (x, j) -> (x - $b[j]) * (x - $b[j])))"
+}

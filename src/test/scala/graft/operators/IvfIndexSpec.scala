@@ -36,4 +36,49 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(res.collect().map(_.toSeq).toSeq == expected)
   }
+
+  test("IVF-PQ index: pruned float-free probe ≡ q_ann8") {
+    val e = Tables.embeddings(spark, sf0001)
+    val pts = e.select(lit(0L).as("grp"), col("vec_id"),
+      KMeans.quantize(col("embedding")).as("qv"))
+    val coarse = KMeans.train(spark,
+      Sampling.deterministicSample(pts, "vec_id", AnnQueries.KmRate),
+      AnnQueries.KmK, AnnQueries.KmIters)
+    val slices = array((0 until AnnQueries.PqSub).map(i =>
+      slice(col("embedding"), i * AnnQueries.PqDsub + 1, AnnQueries.PqDsub)): _*)
+    val subPts = e.select(col("vec_id"), posexplode(slices).as(Seq("sub", "subvec")))
+      .select(col("sub").cast(org.apache.spark.sql.types.LongType).as("grp"),
+        col("vec_id"), KMeans.quantize(col("subvec")).as("qv"))
+    val pqCents = KMeans.train(spark,
+      Sampling.deterministicSample(subPts, "vec_id", AnnQueries.KmRate),
+      AnnQueries.PqCent, AnnQueries.KmIters)
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/index"
+    IvfIndex.writeIndexPq(e, coarse, pqCents, dir)
+
+    // the persisted index holds codes only — no float column on disk
+    val onDisk = spark.read.parquet(dir)
+    assert(!onDisk.schema.fieldNames.exists(f => f.contains("embedding") || f.contains("qv")),
+      s"index must not store floats: ${onDisk.schema.treeString}")
+
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val res = IvfIndex.probePq(spark, dir, queries, coarse, pqCents,
+      nprobe = 2, k = 3, excludeSelf = true)
+      .orderBy(col("query_id"), col("rnk"))
+
+    val plan = res.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cell#") && (l.contains("INSET") || l.contains("IN ("))),
+      s"the code scan must be partition-pruned:\n${pf.mkString("\n")}")
+    // the probe never reads a float column from the index
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .filter(_.contains(dir)).mkString("\n")
+    assert(!readSchemas.contains("embedding"),
+      s"probe must not read floats from the index:\n$readSchemas")
+
+    val expected = SparkEntry.queries("q_ann8_ivfpq")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(res.collect().map(_.toSeq).toSeq == expected)
+  }
 }
