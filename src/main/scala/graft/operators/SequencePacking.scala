@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the training-data step after chunking: concatenate
+  * the token stream of all chunks in a fixed deterministic order and cut
+  * it into fixed-size context windows ("bins"). Each chunk's bin is
+  * `floor(exclusive-running-total(n_tokens) / window)`: chunks never
+  * reorder, a chunk that straddles a boundary spills into the next bin
+  * (the concat-and-cut packing used for LLM pretraining batches), and
+  * the whole assignment is a pure function of the input order — so it is
+  * reproducible run-to-run and oracle-expressible as one SQL window.
+  *
+  * Scale shape: a naive `sum() over (order by ...)` with no partition
+  * clause is ONE task holding the whole corpus — the classic global-
+  * cumsum trap. This implementation computes the identical number as a
+  * two-level prefix sum:
+  *
+  *  1. within-GROUP running totals (`group` = a coarse key like
+  *     `doc_id div 10000`), a window PARTITIONED by group — every group
+  *     runs in parallel;
+  *  2. per-group totals (one row per group — corpus-size / group-size,
+  *     tiny) get their own exclusive running total, the group's global
+  *     offset, on the reduced frame;
+  *  3. offsets broadcast-join back; global start = group offset +
+  *     within-group exclusive cumsum. Integer math throughout, so the
+  *     two-level sum is bit-identical to the single window.
+  *
+  * At 100 TB only step 2's frame is small-and-ordered; steps 1 and 3 are
+  * embarrassingly parallel. (Cf. the reference's chunk-then-parallelize
+  * import loop, `database/R/automation/auto_import_gisaid.R:14-33` —
+  * same pattern: a sequential seam reduced to negligible size.)
+  */
+object SequencePacking {
+
+  /** Assign bins over `chunks`. Ordering is (ordCols...), which MUST be
+    * a total order consistent with `groupExpr` (rows of one group
+    * contiguous under it — e.g. group = doc_id div N, order =
+    * (doc_id, chunk_idx)). Adds `bin_id` (the window the chunk STARTS
+    * in) and `bin_off` (its token offset inside that window).
+    */
+  def pack(chunks: DataFrame, tokenCol: String, window: Int,
+      groupExpr: Column, ordCols: Seq[String]): DataFrame = {
+    require(window > 0, "window must be positive")
+    val ord = ordCols.map(col)
+    val g = chunks.withColumn("__g", groupExpr)
+    // step 1: within-group INCLUSIVE running total (parallel across groups)
+    val wIn = Window.partitionBy(col("__g")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = g.withColumn("__cum_in", sum(col(tokenCol)).over(wIn))
+    // step 2: per-group totals → exclusive global offset (tiny frame)
+    val wOff = Window.orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = g.groupBy(col("__g")).agg(sum(col(tokenCol)).as("__gtot"))
+      .withColumn("__goff", coalesce(sum(col("__gtot")).over(wOff), lit(0L)))
+      .select(col("__g"), col("__goff"))
+    // step 3: global exclusive start = group offset + (incl − own)
+    local.join(broadcast(offsets), Seq("__g"))
+      .withColumn("__start", col("__goff") + col("__cum_in") - col(tokenCol))
+      .withColumn("bin_id", expr(s"__start div $window"))
+      .withColumn("bin_off", col("__start") % window)
+      .drop("__g", "__cum_in", "__goff", "__start")
+  }
+
+  /** Bin summary: rows/tokens landed per window (a straight groupBy on
+    * the packed frame — shuffle keyed by bin, no global seam). A bin's
+    * token count can exceed `window` only for its boundary-straddling
+    * last chunk; `spilled = max(0, bin_end − window_end)` tokens of it
+    * belong to the next window at materialization time. */
+  def binStats(packed: DataFrame, tokenCol: String, window: Int): DataFrame =
+    packed.groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col(tokenCol)).as("n_tokens"),
+        min(col("bin_off")).as("first_off"))
+      .withColumn("spilled",
+        greatest(col("first_off") + col("n_tokens") - window, lit(0L)))
+      .drop("first_off")
+}

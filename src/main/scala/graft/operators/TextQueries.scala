@@ -236,37 +236,84 @@ object TextQueries extends QueryModule {
   // explode over integer arithmetic (chunk count from an exact integer
   // ceil), token slices re-joined per chunk — no shuffle at all; the
   // scan's rows fan out in place.
+  private val ChunkLen = 40
+  private val Stride = 30
+
+  /** tx8's chunk frame (doc_id, chunk_idx, chunk_text, n_chunk_tokens) —
+    * shared by the chunking gate and the sequence-packing gate. */
+  private def chunkFrame(doc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    doc.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast(LongType))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        greatest(expr(s"(__n - $ChunkLen + ${Stride - 1}) div $Stride"), lit(0L)))))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("chunk_idx") * Stride + 1).cast("int"), lit(ChunkLen))).as("chunk_text"),
+        least(col("__n") - col("chunk_idx") * Stride, lit(ChunkLen.toLong)).as("n_chunk_tokens"))
+
+  /** tx8/tx9's chunk derivation as DuckDB CTEs (`toks`/`sized`/`chunks`). */
+  private def chunkSqlCtes: String = s"""
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      FROM documents),
+    sized AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(list_slice(w, i * $Stride + 1, i * $Stride + $ChunkLen), ' ') AS chunk_text,
+             least(n - i * $Stride, $ChunkLen) AS n_chunk_tokens
+      FROM (SELECT doc_id, w, n,
+                   unnest(range(0, greatest((n - $ChunkLen + ${Stride - 1}) // $Stride, 0) + 1)) AS i
+            FROM sized))"""
+
   private val tx8 = {
-    val chunkLen = 40
-    val stride = 30
+    val chunkLen = ChunkLen
+    val stride = Stride
     Q(
       "q_tx8_chunking",
       s"token-window chunking: $chunkLen-token chunks on a $stride stride",
-      (s, d) => {
-        val doc = Tables.documents(s, d)
-        doc.select(col("doc_id"), tokens(col("text")).as("__toks"))
-          .withColumn("__n", size(col("__toks")).cast(LongType))
-          .filter(col("__n") > 0)
-          .withColumn("chunk_idx", explode(sequence(lit(0L),
-            greatest(expr(s"(__n - $chunkLen + ${stride - 1}) div $stride"), lit(0L)))))
-          .select(col("doc_id"), col("chunk_idx"),
-            concat_ws(" ", slice(col("__toks"),
-              (col("chunk_idx") * stride + 1).cast("int"), lit(chunkLen))).as("chunk_text"),
-            least(col("__n") - col("chunk_idx") * stride, lit(chunkLen.toLong)).as("n_chunk_tokens"))
-          .orderBy(col("doc_id"), col("chunk_idx"))
-      },
+      (s, d) => chunkFrame(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_idx")),
       Some(s"""
-        WITH toks AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
-          FROM documents),
-        sized AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0)
-        SELECT doc_id, i AS chunk_idx,
-               array_to_string(list_slice(w, i * $stride + 1, i * $stride + $chunkLen), ' ') AS chunk_text,
-               least(n - i * $stride, $chunkLen) AS n_chunk_tokens
-        FROM (SELECT doc_id, w, n,
-                     unnest(range(0, greatest((n - $chunkLen + ${stride - 1}) // $stride, 0) + 1)) AS i
-              FROM sized)
-        ORDER BY doc_id, chunk_idx"""))
+        WITH $chunkSqlCtes
+        SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens
+        FROM chunks ORDER BY doc_id, chunk_idx"""))
+  }
+
+  // Sequence packing (VERDICT r4 item 1): tx8's chunks concatenate in
+  // (doc_id, chunk_idx) order and cut into fixed 64-token context
+  // windows — bin = floor(exclusive-running-token-total / 64). The
+  // Spark side computes the running total as SequencePacking's
+  // two-level prefix sum (parallel within-group windows + a tiny
+  // group-offset seam — no single-task global window); the oracle is
+  // the literal one-window form, and the integer math makes the two
+  // bit-identical.
+  private val tx9 = {
+    val window = 64
+    val groupDocs = 100
+    Q(
+      "q_tx9_sequence_packing",
+      s"sequence packing: chunks concat-and-cut into $window-token bins " +
+        "(two-level prefix sum, no global single-task window)",
+      (s, d) => SequencePacking.pack(
+          chunkFrame(Tables.documents(s, d))
+            .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens")),
+          "n_chunk_tokens", window,
+          expr(s"doc_id div $groupDocs"), Seq("doc_id", "chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          col("bin_id"), col("bin_off"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(s"""
+        WITH $chunkSqlCtes,
+        cum AS (
+          SELECT doc_id, chunk_idx, n_chunk_tokens,
+                 coalesce(sum(n_chunk_tokens) OVER (
+                   ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+          FROM chunks)
+        SELECT doc_id, chunk_idx, n_chunk_tokens,
+               s // $window AS bin_id, s % $window AS bin_off
+        FROM cum ORDER BY doc_id, chunk_idx"""))
   }
 
   // Deterministic corpus mixing (Sampling operator): per-source rates
@@ -369,5 +416,5 @@ object TextQueries extends QueryModule {
         WHERE d.doc_id IS NULL ORDER BY k.doc_id"""))
   }
 
-  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, s1, llm1)
+  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, s1, llm1)
 }
