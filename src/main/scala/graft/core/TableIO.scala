@@ -18,6 +18,23 @@ object TableIO {
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** DFS-safe existence check: goes through the Hadoop `FileSystem`
+    * resolved from the path's scheme, so it is correct on HDFS / object
+    * stores / `file:` URIs alike — `java.io.File` silently answers
+    * false for anything that is not a bare local path, which off local
+    * disk reads as "no state" and rebuilds from scratch. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Append `df`'s rows to a parquet table as NEW FILES (no rewrite of
+    * existing data) — the batch-append half of the streaming-state
+    * contract: per-batch cost is O(batch), not O(corpus). Callers own
+    * idempotence (guard appends on already-present keys). */
+  def appendFiles(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
   /** Write df to `<path>.staging`, then atomically swap it in. The
     * previous table is kept at `<path>.prev` until the next swap
     * (cheap rollback, mirroring the reference keeping the old table
@@ -69,4 +86,44 @@ object TableIO {
       .saveAsTable(table)
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** EXTERNAL bucketed table at an explicit `path`: the catalog entry
+    * is just a pointer + bucket spec over files that OUTLIVE the
+    * session (the in-memory catalog does not). [[ensureBucketedAt]]
+    * re-registers the entry from the surviving files on a fresh
+    * session, so bucketed streaming state is restart-safe: bucket ids
+    * are encoded in the file names, and a re-created table over the
+    * same files reads with the same exchange-free distribution. */
+  def writeBucketedAt(df: DataFrame, table: String, path: String,
+      keys: Seq[String], buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Append a batch to an existing bucketed table as new per-bucket
+    * files (matching bucket spec required — Spark validates). */
+  def appendBucketed(df: DataFrame, table: String,
+      keys: Seq[String], buckets: Int): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Make sure `table` is registered over the bucketed files at
+    * `path` — a no-op when the catalog already has it; after a JVM
+    * restart (empty in-memory catalog, surviving files) it re-creates
+    * the external entry with the schema read from the files. */
+  def ensureBucketedAt(spark: SparkSession, table: String, path: String,
+      keys: Seq[String], buckets: Int): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(path).schema.toDDL
+      val ks = keys.mkString(", ")
+      spark.sql(s"CREATE TABLE $table ($schema) USING PARQUET " +
+        s"CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+    }
 }

@@ -44,9 +44,8 @@ object IncrementalDedup {
 
   /** Persist state as three parquet tables (each an atomic swap;
     * callers make replays idempotent by gating appends on their
-    * exact-dup check). At scale, write `shingles`/`bands` bucketed by
-    * their join keys (TableIO.writeBucketed) for exchange-free
-    * re-joins. */
+    * exact-dup check). The streaming path uses the bucketed append
+    * layer below instead — per-batch cost O(batch), not O(corpus). */
   def writeState(state: CorpusState, dir: String): Unit = {
     graft.core.TableIO.writeAtomicSwap(state.shingles, s"$dir/shingles.parquet")
     graft.core.TableIO.writeAtomicSwap(state.sig, s"$dir/sig.parquet")
@@ -59,8 +58,84 @@ object IncrementalDedup {
       graft.core.TableIO.read(spark, s"$dir/sig.parquet"),
       graft.core.TableIO.read(spark, s"$dir/bands.parquet"))
 
-  def stateExists(dir: String): Boolean =
-    new java.io.File(s"$dir/sig.parquet").exists()
+  /** DFS-safe: resolves the filesystem from the path scheme (HDFS /
+    * object store / file: URI), never `java.io.File` — which answers
+    * false for any non-local path and silently rebuilds dedup state
+    * from scratch, re-admitting duplicates of the whole prior corpus. */
+  def stateExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    graft.core.TableIO.exists(spark, s"$dir/sig.parquet")
+
+  // ---------------- bucketed append-only state ----------------
+  //
+  // The swap-based writeState above rewrites O(corpus) per call; the
+  // streaming intake instead keeps each state table as an EXTERNAL
+  // BUCKETED parquet table under `dir` (bucketed by doc id, the guard
+  // join key) and APPENDS each batch's rows as new bucket files.
+  // Existence is checked at the FILE level and the catalog entry is
+  // re-registered on demand, so the state survives JVM restarts with
+  // the in-memory catalog.
+
+  private val StateTables = Seq("shingles", "sig", "bands")
+
+  /** Deterministic catalog-safe table name for a state table at dir. */
+  private def tableName(dir: String, which: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_state_${h}_$which"
+  }
+
+  def bucketedStateExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    graft.core.TableIO.exists(spark, s"$dir/sig")
+
+  /** `batch` rows whose `batchKey` does NOT appear in `targetKeys`,
+    * computed exchange-free: semi-join the target against the BROADCAST
+    * batch keys (map-side scan of the target — the only corpus-sized
+    * frame — no shuffle, no sort), then anti-join the batch against the
+    * broadcast hit set. Equivalent to `batch LEFT ANTI target` but
+    * never redistributes the target, regardless of join-strategy
+    * selection. */
+  def antiByKey(batch: DataFrame, targetKeys: DataFrame, batchKey: String): DataFrame = {
+    val hits = targetKeys.toDF(batchKey)
+      .join(broadcast(batch.select(batchKey).distinct()), Seq(batchKey), "left_semi")
+    batch.join(broadcast(hits), Seq(batchKey), "left_anti")
+  }
+
+  /** Create (first batch) or append (later batches) the bucketed
+    * state. Each table is SELF-idempotent: before appending, the batch
+    * is guarded against the ids already in THAT table ([[antiByKey]] —
+    * per-table existence, so a crash between the three appends heals on
+    * replay into exactly the tables that missed the batch). */
+  def appendStateBucketed(spark: org.apache.spark.sql.SparkSession,
+      batch: CorpusState, dir: String, idCol: String, buckets: Int): Unit = {
+    val frames = Map("shingles" -> batch.shingles, "sig" -> batch.sig,
+      "bands" -> batch.bands)
+    StateTables.foreach { which =>
+      val t = tableName(dir, which)
+      val path = s"$dir/$which"
+      if (!graft.core.TableIO.exists(spark, path)) {
+        graft.core.TableIO.writeBucketedAt(frames(which), t, path, Seq(idCol), buckets)
+      } else {
+        graft.core.TableIO.ensureBucketedAt(spark, t, path, Seq(idCol), buckets)
+        graft.core.TableIO.appendBucketed(
+          antiByKey(frames(which), spark.table(t).select(idCol), idCol),
+          t, Seq(idCol), buckets)
+      }
+    }
+  }
+
+  /** Read the bucketed state (re-registering catalog entries if this
+    * is a fresh session over surviving files). */
+  def readStateBucketed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, buckets: Int): CorpusState = {
+    StateTables.foreach { which =>
+      graft.core.TableIO.ensureBucketedAt(spark, tableName(dir, which),
+        s"$dir/$which", Seq(idCol), buckets)
+    }
+    CorpusState(
+      spark.table(tableName(dir, "shingles")),
+      spark.table(tableName(dir, "sig")),
+      spark.table(tableName(dir, "bands")))
+  }
 
   /** Fold a batch's own state into the persisted state (append). */
   def appendState(existing: CorpusState, batch: CorpusState): CorpusState =
@@ -89,8 +164,10 @@ object IncrementalDedup {
           .select(col(idCol).as("batch_id"), col("band"), col("band_key"))),
         Seq("band", "band_key"))
       .select(col("batch_id"), col("corpus_id")).distinct()
-    // exact verify over full shingle sets: shuffles only candidates
-    val inter = cand
+    // exact verify over full shingle sets: cand is batch-bounded, so
+    // BROADCAST it — the corpus shingle scan stays map-side (no corpus
+    // shuffle), and only the candidate-matched rows flow downstream
+    val inter = broadcast(cand)
       .join(state.shingles.select(col(idCol).as("corpus_id"), col("shingle")), Seq("corpus_id"))
       .join(batchState.shingles.select(col(idCol).as("batch_id"), col("shingle")),
         Seq("batch_id", "shingle"))

@@ -19,6 +19,24 @@ class TableIOSpec extends SparkSpec {
     assert(!TableIO.rollback(path)) // only one level of rollback
   }
 
+  test("exists resolves the filesystem from the path scheme, not java.io.File") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fsexists").toString
+    val path = s"$dir/state/sig.parquet"
+    Seq((1L, "h")).toDF("doc_id", "h0").write.parquet(path)
+    // a scheme-qualified URI: java.io.File answers false for it even
+    // though the data exists (the silent-state-rebuild bug class);
+    // the Hadoop FileSystem API resolves it correctly
+    val uri = s"file://$dir/state/sig.parquet"
+    assert(!new java.io.File(uri).exists(), "premise: java.io.File can't see URIs")
+    assert(TableIO.exists(spark, uri))
+    assert(TableIO.exists(spark, path))
+    assert(!TableIO.exists(spark, s"file://$dir/state/nope.parquet"))
+    // the dedup state check goes through the same API
+    assert(graft.operators.IncrementalDedup.stateExists(spark, s"file://$dir/state"))
+    assert(!graft.operators.IncrementalDedup.stateExists(spark, s"file://$dir/other"))
+  }
+
   test("bucketed tables join with zero shuffle (the SCALING.md co-location contract)") {
     import spark.implicits._
     val left = (0 until 10000).map(i => (160000L + i % 500, s"seq$i", i % 97))
