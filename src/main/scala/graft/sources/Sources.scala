@@ -80,11 +80,31 @@ object Sources {
       required: Set[String], expected: Set[String]): (DataFrame, DriftReport) = {
     val df = spark.read.json(path)
     val fields = df.schema.fieldNames.toSet
-    val report = DriftReport(
-      missingRequired = (required -- fields).toSeq.sorted,
-      missingExpected = (expected -- fields -- required).toSeq.sorted,
-      unexpected = (fields -- required -- expected).toSeq.sorted)
-    (df, report)
+    (df, driftReport(fields, required, expected))
+  }
+
+  private def driftReport(fields: Set[String], required: Set[String],
+      expected: Set[String]): DriftReport = DriftReport(
+    missingRequired = (required -- fields).toSeq.sorted,
+    missingExpected = (expected -- fields -- required).toSeq.sorted,
+    unexpected = (fields -- required -- expected).toSeq.sorted)
+
+  /** Schema + drift report from a bounded SAMPLE of JSON lines — the
+    * reference's own contract (it drift-checks the first 10 lines of
+    * the feed, GisaidApiImporter.java:165-223), and the escape from
+    * full-feed schema inference: inferring over a 400 GB feed costs a
+    * complete extra decode pass; inferring over the head costs
+    * milliseconds, and the explicit schema makes the real read the
+    * ONLY full pass. Fields that first appear past the sample are
+    * out-of-contract drift by the reference's definition. */
+  def driftFromSample(spark: SparkSession, sample: Seq[String],
+      required: Set[String], expected: Set[String])
+      : (org.apache.spark.sql.types.StructType, DriftReport) = {
+    import spark.implicits._
+    val schema =
+      if (sample.isEmpty) new org.apache.spark.sql.types.StructType()
+      else spark.read.json(spark.createDataset(sample)).schema
+    (schema, driftReport(schema.fieldNames.toSet, required, expected))
   }
 
   /** S8: TSV rule file → broadcast-ready key/value frame. */

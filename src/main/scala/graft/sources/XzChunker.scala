@@ -40,12 +40,34 @@ object XzChunker {
     finally sf.close()
   }
 
+  // test instrumentation: decode-pass counters (local-mode visible) so
+  // specs can pin "no full driver decode" / "no extra distributed pass"
+  private[sources] val driverChunkPasses = new java.util.concurrent.atomic.AtomicInteger
+  private[sources] val blockDecodeTasks = new java.util.concurrent.atomic.AtomicInteger
+
+  /** First `n` lines of the stream, decoded on the DRIVER but stopping
+    * as soon as they are read — xz decodes lazily, so this is bounded
+    * work regardless of feed size (the reference reads exactly its
+    * drift-check head this way, GisaidApiImporter.java:165-223). */
+  def headLines(xzPath: String, n: Int): Seq[String] = {
+    val in = new XZInputStream(new FileInputStream(xzPath))
+    try {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8), 1 << 16)
+      Iterator.continually(reader.readLine()).takeWhile(_ != null).take(n).toList
+    } finally in.close()
+  }
+
   /** Driver-side stream chunker: decode once, write `linesPerChunk`-line
     * chunk files into `outDir`; returns the chunk paths. Constant
     * memory — one line buffered at a time. */
   def chunkToFiles(xzPath: String, outDir: String, linesPerChunk: Int): Seq[String] = {
     require(linesPerChunk > 0, "linesPerChunk must be positive")
+    driverChunkPasses.incrementAndGet()
     new File(outDir).mkdirs()
+    // a stale marker must never describe half-written chunks: drop it
+    // first, re-write it only after the full pass lands (readJson)
+    new File(s"$outDir/$StagedMarker").delete()
     // a shorter feed re-chunked into the same dir must not leave higher-
     // numbered chunks from a previous run for the glob read to ingest
     Option(new File(outDir).listFiles()).getOrElse(Array.empty)
@@ -101,6 +123,7 @@ object XzChunker {
 
   /** Decode the lines owned by [start, end) — runs on an executor. */
   private def decodeRange(path: String, start: Long, end: Long): Iterator[String] = {
+    blockDecodeTasks.incrementAndGet()
     val sf = new SeekableFileInputStream(path)
     val xz = new SeekableXZInputStream(sf)
     // close on task end even if the iterator is abandoned (e.g. limit)
@@ -137,28 +160,77 @@ object XzChunker {
     }
   }
 
-  /** S5 entry point: xz JSON-lines feed → drift-checked DataFrame.
-    * Multi-block files read block-parallel with no driver pass;
-    * single-block files are chunked through `workDir` first. */
+  private val StagedMarker = "_staged.marker"
+
+  /** Does `workDir` hold a COMPLETE staging of `xzPath`'s current
+    * content? True when the marker written after the last full chunk
+    * pass matches the source's (size, mtime) — or when the source is
+    * gone but its staging survives (re-reads keep working after feed
+    * rotation; a CHANGED source always re-stages). */
+  def isStaged(xzPath: String, workDir: String, linesPerChunk: Int): Boolean = {
+    val marker = new File(s"$workDir/$StagedMarker")
+    if (!marker.exists()) false
+    else {
+      val src = new File(xzPath)
+      val recorded = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8)
+      !src.exists() || recorded == stagedStamp(src, linesPerChunk)
+    }
+  }
+
+  private def stagedStamp(src: File, linesPerChunk: Int): String =
+    s"${src.length()}|${src.lastModified()}|$linesPerChunk"
+
+  /** S5 entry point: xz JSON-lines feed → drift-checked DataFrame,
+    * with ONE full decode pass of the feed total.
+    *
+    *  - Schema + drift come from a bounded head sample
+    *    ([[headLines]] / `Sources.driftFromSample`), never full-feed
+    *    inference — which would cost a complete extra decode (hours at
+    *    400 GB) to learn a schema the reference pins from 10 lines.
+    *  - Multi-block files read block-parallel (no driver pass at all).
+    *  - Single-block files are chunked through `workDir` once, and the
+    *    pass is RECORDED ([[isStaged]]): every re-read of the same feed
+    *    goes straight to the chunk files — multi-task, no driver
+    *    decode — instead of re-paying the serial pass.
+    */
   def readJson(spark: SparkSession, xzPath: String, workDir: String,
-      required: Set[String], expected: Set[String], linesPerChunk: Int = 100000)
-      : (DataFrame, Sources.DriftReport) = {
-    if (blockCount(xzPath) > 1) {
-      val df = spark.read.json(linesBlockParallel(spark, xzPath))
-      val fields = df.schema.fieldNames.toSet
-      (df, Sources.DriftReport(
-        missingRequired = (required -- fields).toSeq.sorted,
-        missingExpected = (expected -- fields -- required).toSeq.sorted,
-        unexpected = (fields -- required -- expected).toSeq.sorted))
+      required: Set[String], expected: Set[String], linesPerChunk: Int = 100000,
+      driftSampleLines: Int = 100): (DataFrame, Sources.DriftReport) = {
+    val staged = isStaged(xzPath, workDir, linesPerChunk)
+    if (!staged && blockCount(xzPath) > 1) {
+      val (schema, report) = Sources.driftFromSample(spark,
+        headLines(xzPath, driftSampleLines), required, expected)
+      val df =
+        if (schema.isEmpty) spark.read.json(linesBlockParallel(spark, xzPath))
+        else spark.read.schema(schema).json(linesBlockParallel(spark, xzPath))
+      (df, report)
     } else {
-      val chunks = chunkToFiles(xzPath, workDir, linesPerChunk)
-      // a zero-line feed writes no chunks and the glob would throw
-      // PATH_NOT_FOUND — materialize one empty chunk so the read
-      // yields an empty frame and the drift check reports cleanly
-      if (chunks.isEmpty)
+      if (!staged) {
+        val chunks = chunkToFiles(xzPath, workDir, linesPerChunk)
+        // a zero-line feed writes no chunks and the glob would throw
+        // PATH_NOT_FOUND — materialize one empty chunk so the read
+        // yields an empty frame and the drift check reports cleanly
+        if (chunks.isEmpty)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$workDir/chunk-00000.jsonl"), Array.emptyByteArray)
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$workDir/chunk-00000.jsonl"), Array.emptyByteArray)
-      Sources.readJsonWithDriftCheck(spark, s"$workDir/chunk-*.jsonl", required, expected)
+          java.nio.file.Paths.get(s"$workDir/$StagedMarker"),
+          stagedStamp(new File(xzPath), linesPerChunk).getBytes(StandardCharsets.UTF_8))
+      }
+      // head sample from the staged chunks (plain files, bounded read)
+      val first = new File(workDir).listFiles()
+        .filter(f => f.getName.startsWith("chunk-") && f.getName.endsWith(".jsonl"))
+        .sortBy(_.getName).headOption
+      val sample = first.toSeq.flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().take(driftSampleLines).toList finally src.close()
+      }
+      val (schema, report) = Sources.driftFromSample(spark, sample, required, expected)
+      val df =
+        if (schema.isEmpty) spark.read.json(s"$workDir/chunk-*.jsonl")
+        else spark.read.schema(schema).json(s"$workDir/chunk-*.jsonl")
+      (df, report)
     }
   }
 }

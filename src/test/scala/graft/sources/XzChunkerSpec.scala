@@ -121,6 +121,55 @@ class XzChunkerSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/unused").exists())
   }
 
+  test("multi-block readJson: schema from the head sample, ONE distributed decode pass") {
+    val dir = java.nio.file.Files.createTempDirectory("xz5").toString
+    val lines = jsonLines(300)
+    val blocks = writeMultiBlockXz(s"$dir/feed.json.xz", lines, blockEvery = 1500)
+    XzChunker.blockDecodeTasks.set(0)
+    val (df, drift) = XzChunker.readJson(spark, s"$dir/feed.json.xz", s"$dir/unused",
+      required = Set("covv_accession_id"), expected = Set("covv_virus_name", "n"))
+    assert(!drift.fatal && drift.unexpected.isEmpty)
+    // schema came from the bounded head sample — building the frame ran
+    // NO distributed decode (full-feed inference would have run one)
+    assert(XzChunker.blockDecodeTasks.get() == 0,
+      "schema inference must not decode the feed")
+    assert(df.schema.fieldNames.sorted.toSeq ==
+      Seq("covv_accession_id", "covv_virus_name", "n"))
+    assert(df.count() == 300)
+    assert(XzChunker.blockDecodeTasks.get() == blocks,
+      "the action itself is the only full decode, one task per block")
+  }
+
+  test("single-block staging: re-reads skip the driver decode and survive feed rotation") {
+    val dir = java.nio.file.Files.createTempDirectory("xz6").toString
+    val xz = s"$dir/feed.json.xz"
+    writeSingleBlockXz(xz, jsonLines(250))
+    XzChunker.driverChunkPasses.set(0)
+    val req = Set("covv_accession_id"); val exp = Set("covv_virus_name", "n")
+
+    val (df1, _) = XzChunker.readJson(spark, xz, s"$dir/chunks", req, exp, linesPerChunk = 60)
+    assert(df1.count() == 250)
+    assert(XzChunker.driverChunkPasses.get() == 1, "first read pays the one serial pass")
+
+    // second read: staged — no driver decode, still multi-task
+    val (df2, drift2) = XzChunker.readJson(spark, xz, s"$dir/chunks", req, exp, linesPerChunk = 60)
+    assert(XzChunker.driverChunkPasses.get() == 1, "re-read must not re-decode on the driver")
+    assert(!drift2.fatal && df2.rdd.getNumPartitions > 1 && df2.count() == 250)
+
+    // the source rotates away: the staging keeps serving reads
+    assert(new java.io.File(xz).delete())
+    val (df3, _) = XzChunker.readJson(spark, xz, s"$dir/chunks", req, exp, linesPerChunk = 60)
+    assert(XzChunker.driverChunkPasses.get() == 1)
+    assert(df3.count() == 250)
+
+    // a CHANGED feed at the same path re-stages exactly once
+    writeSingleBlockXz(xz, jsonLines(70))
+    new java.io.File(xz).setLastModified(System.currentTimeMillis() + 5000)
+    val (df4, _) = XzChunker.readJson(spark, xz, s"$dir/chunks", req, exp, linesPerChunk = 60)
+    assert(XzChunker.driverChunkPasses.get() == 2, "changed source must re-stage")
+    assert(df4.count() == 70)
+  }
+
   test("drift check: a missing required field is fatal") {
     val dir = java.nio.file.Files.createTempDirectory("xz4").toString
     writeSingleBlockXz(s"$dir/feed.json.xz", jsonLines(10))
