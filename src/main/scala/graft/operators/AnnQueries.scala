@@ -92,11 +92,13 @@ object AnnQueries extends QueryModule {
 
   // intSqDist moved to VectorFunctions (shared with IvfIndex).
 
-  // IVF ANN: coarse quantizer with 16 deterministic centroids (the
-  // first 16 corpus vectors — a fixed, data-independent pick, the
-  // degenerate-but-deterministic analogue of k-means init), corpus
-  // assigned to its nearest cell by integer-quantized L2; queries probe
-  // their 2 nearest cells and rank candidates by exact cosine. Scale
+  // IVF ANN — UNTRAINED BASELINE VARIANT: the 16 centroids are the
+  // first 16 corpus vectors, a fixed data-independent pick. The
+  // PRODUCTION path is q_ann7 (KMeans.train — seeded Lloyd over a
+  // deterministic sample, oracle-unrolled); this gate is kept as the
+  // training-independent check of the IVF assignment/probe mechanics:
+  // it verifies cell argmin, nprobe cell selection and exact-cosine
+  // re-ranking with centroids that cannot themselves be wrong. Scale
   // shape: assignment = corpus × broadcast(16 centroids), map-side;
   // the corpus shuffles ONCE by cell (in production: write bucketed by
   // cell, making probes partition-pruned scans); probes touch
@@ -164,7 +166,11 @@ object AnnQueries extends QueryModule {
   // of 16 sub-centroids (integer-exact quantized L2, ties to the
   // lowest centroid id) — the 64-float embedding compresses to 8
   // nibbles, the memory layout that lets an ANN index hold billions
-  // of vectors in RAM. Codes print as a '-'-joined string so the
+  // of vectors in RAM. UNTRAINED BASELINE VARIANT: sub-centroids are
+  // the first 16 vectors' slices; the production path trains them
+  // (q_ann8 / IvfIndex.writeIndexPq via KMeans.train). ann4/ann5 stay
+  // as the training-independent checks of encode + ADC mechanics.
+  // Codes print as a '-'-joined string so the
   // oracle compare stays scalar. Plan: one explode to (vec, subspace),
   // broadcast sub-centroids, rank-1 window, ordered re-assembly.
   private[operators] val PqSub = 8; private[operators] val PqDsub = 8
@@ -296,17 +302,21 @@ object AnnQueries extends QueryModule {
   // any engine — a single 64-bit pack would need bit-OR folding or an
   // overflowing 2⁶³ sum under ANSI). Query = brute force over the
   // packed words: 16 bytes/vector scanned, never the floats.
+  /** Sign-bit packing shared by ann6 (brute Hamming) and ann9
+    * (multi-index Hamming): 32 dims per 64-bit word half, bit j set iff
+    * the quantized component is positive. */
+  private def packSql(half: Int) = {
+    val lo = half * 32
+    s"""list_sum(list_transform(list_slice(embedding, ${lo + 1}, ${lo + 32}), (x, j) ->
+       |  CASE WHEN floor(CAST(x AS DOUBLE) * 1000) > 0
+       |       THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END))""".stripMargin
+  }
+  private def pack(half: Int): org.apache.spark.sql.Column = expr(
+    s"""aggregate(zip_with(slice(embedding, ${half * 32 + 1}, 32), sequence(0, 31),
+       |  (x, i) -> IF(floor(CAST(x AS DOUBLE) * 1000D) > 0, shiftleft(1L, i), 0L)),
+       |  0L, (a, b) -> a + b)""".stripMargin)
+
   private val ann6 = {
-    def packSql(half: Int) = {
-      val lo = half * 32
-      s"""list_sum(list_transform(list_slice(embedding, ${lo + 1}, ${lo + 32}), (x, j) ->
-         |  CASE WHEN floor(CAST(x AS DOUBLE) * 1000) > 0
-         |       THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END))""".stripMargin
-    }
-    def pack(half: Int): org.apache.spark.sql.Column = expr(
-      s"""aggregate(zip_with(slice(embedding, ${half * 32 + 1}, 32), sequence(0, 31),
-         |  (x, i) -> IF(floor(CAST(x AS DOUBLE) * 1000D) > 0, shiftleft(1L, i), 0L)),
-         |  0L, (a, b) -> a + b)""".stripMargin)
     Q(
       "q_ann6_hamming",
       "binary sign embeddings: 2×32-bit packs, brute-force Hamming top-3",
@@ -492,5 +502,81 @@ object AnnQueries extends QueryModule {
         WHERE rnk <= $topk ORDER BY query_id, rnk"""))
   }
 
-  override val all: Seq[Q] = Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8)
+  // Multi-index Hamming (VERDICT r4 item 8, ann6's scale path): split
+  // each 64-bit sign word into 8 single-byte band keys; by pigeonhole,
+  // any vector within Hamming radius 7 of a query matches at least one
+  // band EXACTLY, so candidate generation is a keyed equi-join on
+  // (band, key) — the same bucketed plan shape as dd6, never a
+  // corpus-wide popcount scan. Candidates are then verified by exact
+  // popcount and ranked. At billion-vector scale the band table is the
+  // persisted index (bucket/partition by (band, key)) and a query
+  // touches only its 8 bucket cells; the ann6 brute scan stays as the
+  // small-corpus baseline.
+  private val ann9 = {
+    val nQ = 4; val topk = 3
+    // band b reads byte (b % 4) of word (b / 4): divisor literals keep
+    // Spark and the oracle on identical integer arithmetic
+    val arms = (0 until 8).map { b =>
+      (b, if (b < 4) "b_lo" else "b_hi", 1L << (8 * (b % 4)))
+    }
+    Q(
+      "q_ann9_hamming_multiindex",
+      "multi-index Hamming: 8×8-bit band keys generate candidates by equi-join, exact popcount verify",
+      (s, d) => {
+        val packed = Tables.embeddings(s, d)
+          .select(col("vec_id"), pack(0).as("b_lo"), pack(1).as("b_hi"))
+        val bandCols = array(arms.map { case (b, w, div) =>
+          struct(lit(b.toLong).as("band"), expr(s"($w div $div) % 256").as("key"))
+        }: _*)
+        val bands = packed.select(col("vec_id"), explode(bandCols).as("bk"))
+          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val qb = bands.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("band"), col("key"))
+        // candidate gen: keyed equi-join, query side broadcast (O(1))
+        val cand = bands.join(broadcast(qb), Seq("band", "key"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id")).distinct()
+        val q = packed.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming").asc, col("vec_id").asc)
+        // exact verify: candidates broadcast back over the packed scan
+        // (map-side), popcount only on the pruned set
+        broadcast(cand).join(packed, Seq("vec_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            (bit_count(col("b_lo").bitwiseXOR(col("q_lo"))) +
+              bit_count(col("b_hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= topk)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("hamming"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH packed AS (
+          SELECT vec_id, ${packSql(0)} AS b_lo, ${packSql(1)} AS b_hi
+          FROM embeddings),
+        bands AS (
+          ${arms.map { case (b, w, div) =>
+            s"SELECT vec_id, $b AS band, ($w // $div) % 256 AS key FROM packed"
+          }.mkString("\n          UNION ALL ")}),
+        qb AS (SELECT vec_id AS query_id, band, key FROM bands WHERE vec_id < $nQ),
+        cand AS (
+          SELECT DISTINCT qb.query_id, b.vec_id
+          FROM bands b JOIN qb ON b.band = qb.band AND b.key = qb.key
+            AND b.vec_id <> qb.query_id),
+        q AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
+              FROM packed WHERE vec_id < $nQ)
+        SELECT query_id, vec_id AS neighbor_id, rnk, hamming FROM (
+          SELECT c.query_id, p.vec_id,
+                 CAST(bit_count(xor(p.b_lo, q.q_lo)) + bit_count(xor(p.b_hi, q.q_hi)) AS BIGINT) AS hamming,
+                 row_number() OVER (PARTITION BY c.query_id ORDER BY
+                   bit_count(xor(p.b_lo, q.q_lo)) + bit_count(xor(p.b_hi, q.q_hi)) ASC,
+                   p.vec_id ASC) AS rnk
+          FROM cand c JOIN packed p ON p.vec_id = c.vec_id
+          JOIN q ON q.query_id = c.query_id)
+        WHERE rnk <= $topk ORDER BY query_id, rnk"""))
+  }
+
+  override val all: Seq[Q] = Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8, ann9)
 }
