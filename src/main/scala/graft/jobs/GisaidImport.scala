@@ -120,18 +120,23 @@ object GisaidImport {
     // unchanged sequence from its mutations on the second run.
     val mutPath = s"$outDir/gisaid_api_sequence_mutation"
     val mergedMutations =
-      if (new java.io.File(mutPath).exists) {
+      if (TableIO.exists(spark, mutPath)) {
         TableIO.read(spark, mutPath)
           .join(toProcess.select(col("gisaid_epi_isl")), Seq("gisaid_epi_isl"), "left_anti")
           .unionByName(mutations)
           .join(finalTable.select(col("gisaid_epi_isl")), Seq("gisaid_epi_isl"), "left_semi")
       } else mutations
 
-    // 7. atomic writes
+    // 7. atomic writes — every output is MATERIALIZED (localCheckpoint)
+    // before the first swap: mergedMutations lazily reads the live
+    // mutation table and finalTable may read $outDir inputs in non-demo
+    // modes, so executing them after their source path was already
+    // swapped would list stale files (FileNotFound or wrong rows)
     Seq(
       ("gisaid_api_sequence", finalTable.drop("seq_aligned")),
       ("gisaid_api_sequence_mutation", mergedMutations),
       ("sequence_identifier", mergedIds))
+      .map { case (name, df) => (name, df.localCheckpoint()) }
       .foreach { case (name, df) =>
         TableIO.writeAtomicSwap(df, s"$outDir/$name")
         println(s"[gisaid] $name rows=${TableIO.read(spark, s"$outDir/$name").count()}")

@@ -78,7 +78,7 @@ object SpectrumRefresh {
         "bag_test_numbers")
       val optional = Seq("swiss_canton", "bag_meldeformular",
         "consensus_sequence_nextclade_data")
-        .filter(n => new java.io.File(s"$inDir/$n").exists())
+        .filter(n => graft.core.TableIO.exists(spark, s"$inDir/$n"))
       (required ++ optional).map(n => n -> spark.read.parquet(s"$inDir/$n")).toMap
     }
 

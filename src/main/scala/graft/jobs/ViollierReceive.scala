@@ -85,7 +85,7 @@ object ViollierReceive {
       // 5. append-if-absent into test metadata (M2) + atomic swap (M6)
       val tablePath = s"$outDir/test_metadata"
       val existing =
-        if (new java.io.File(tablePath).exists) TableIO.read(spark, tablePath)
+        if (TableIO.exists(spark, tablePath)) TableIO.read(spark, tablePath)
         else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], valid.schema)
       TableIO.writeAtomicSwap(Upsert.insertIfAbsent(existing, valid, Seq("sample_number")), tablePath)
       if (rejected.count() > 0)

@@ -24,11 +24,26 @@ object AsofJoin {
     * prefixed `asof_`) to every `left` row. Right rows tie-break
     * before left rows at equal timestamps unless `strict`; right rows
     * sharing the same (keys, time) resolve to the struct-wise MAXIMUM
-    * payload (deterministic — payload types must be orderable). */
+    * payload (deterministic — payload types must therefore be
+    * ORDERABLE: a map-typed payload fails at analysis).
+    *
+    * Reserved names: `__l`/`__r`/`__t`/`__ord` are claimed internally,
+    * and each payload column `p` lands as `asof_p` — inputs carrying
+    * any of those names are rejected up front rather than silently
+    * shadowed. */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
       strict: Boolean = false): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
+    val reserved = Set("__l", "__r", "__t", "__ord")
+    val clash = (left.columns ++ right.columns).filter(reserved).distinct
+    require(clash.isEmpty,
+      s"as-of join reserves column names ${reserved.mkString(", ")}; " +
+        s"rename input column(s) ${clash.mkString(", ")}")
+    val outClash = payload.map(p => s"asof_$p").filter(left.columns.contains)
+    require(outClash.isEmpty,
+      s"as-of output column(s) ${outClash.mkString(", ")} collide with left input; " +
+        "rename the left column(s) or the payload")
     val leftCols = left.columns.toSeq
     val lSchema = left.schema
     val rSchema = right.select(payload.map(col): _*).schema

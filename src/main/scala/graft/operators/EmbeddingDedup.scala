@@ -52,9 +52,20 @@ object EmbeddingDedup {
   def nearDupPairsExact(embeddings: DataFrame, tNum: Long, tDen: Long,
       planes: Int = 4, tables: Int = 4, dim: Int = 64): DataFrame = {
     require(tNum >= 0 && tDen > 0, "threshold must be a non-negative rational")
+    // BIGINT-exactness precondition: both guard sides stay ≤ 2⁶³ iff
+    // qna·qnb ≤ (3.03e9/max(tNum,tDen))² (with qdot² ≤ qna·qnb by
+    // Cauchy–Schwarz). Unit-scale embeddings (‖x‖≈1 ⇒ qn ≈ 10⁶) clear
+    // this by orders of magnitude; un-normalized inputs with |x| ≳ 3–5
+    // at dim 64 would otherwise OVERFLOW SILENTLY and emit wrong pairs
+    // — so the quantized norm is checked per row and raises instead.
+    val qnBound = (3.03e9 / math.max(tNum, tDen)).toLong
     val e = embeddings.select(col("vec_id"), col("embedding"),
         transform(col("embedding"), x => floor(x.cast(DoubleType) * lit(1000.0)).cast("long")).as("qv"))
       .withColumn("qn", aggregate(transform(col("qv"), x => x * x), lit(0L), (a, v) => a + v))
+      .withColumn("qn", when(col("qn") <= qnBound, col("qn")).otherwise(raise_error(concat(
+        lit(s"nearDupPairsExact: quantized norm exceeds the BIGINT-exact bound $qnBound " +
+          "(embeddings must be ~unit-scale; normalize before calling) at vec_id="),
+        col("vec_id").cast("string")))))
     val cand = (0 until tables).map { t =>
       val signs = md5SignPlanes((t + 1) * planes, dim).drop(t * planes)
       val withB = e.withColumn("bucket", intHyperplaneBucket(col("embedding"), signs))

@@ -64,7 +64,7 @@ object GisaidStream {
           "gisaid_epi_isl", "__v",
           md5(to_json(struct(batch.columns.map(col): _*))).desc).drop("__v")
         val existing =
-          if (new java.io.File(tablePath).exists()) TableIO.read(batch.sparkSession, tablePath)
+          if (TableIO.exists(batch.sparkSession, tablePath)) TableIO.read(batch.sparkSession, tablePath)
           else batch.sparkSession.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), deduped.schema)
         TableIO.writeAtomicSwap(

@@ -55,4 +55,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(generic.orderBy("event_id").collect().toSeq ==
       specialized.orderBy("event_id").collect().toSeq)
   }
+
+  test("reserved internal names and asof_ output collisions are rejected up front") {
+    import spark.implicits._
+    val left = Seq(("a", 10L, 1)).toDF("sym", "t", "trade_id")
+    val right = Seq(("a", 5L, 1.0)).toDF("sym", "t", "px")
+    val badLeft = left.withColumn("__t", org.apache.spark.sql.functions.lit(0L))
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.backward(badLeft, right, Seq("sym"), "t", "t", Seq("px"))
+    }
+    assert(e1.getMessage.contains("__t"))
+    val collide = left.withColumn("asof_px", org.apache.spark.sql.functions.lit(0.0))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.backward(collide, right, Seq("sym"), "t", "t", Seq("px"))
+    }
+    assert(e2.getMessage.contains("asof_px"))
+  }
 }

@@ -40,4 +40,21 @@ class EmbeddingDedupSpec extends SparkSpec {
     assert(r8 >= r1, s"recall must not drop with more tables ($r1 -> $r8)")
     assert(r8 > 0.5, s"8 tables should catch most true pairs, got $r8")
   }
+
+  test("exact variant raises on non-unit-scale inputs instead of silently overflowing") {
+    import spark.implicits._
+    // |x| = 5 at dim 64: qn = 64·5000² ≈ 1.6e9 > the BIGINT-exact bound
+    // — the old behavior was wrong pairs with no error
+    val big = Seq((0L, Array.fill(64)(5.0f)), (1L, Array.fill(64)(5.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      EmbeddingDedup.nearDupPairsExact(big, 7L, 10L).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("unit-scale"),
+      s"expected the overflow guard, got: ${ex.getMessage}")
+    // unit-scale inputs pass through the guard untouched
+    val ok = Seq((0L, Array.fill(64)(0.125f)), (1L, Array.fill(64)(0.125f)))
+      .toDF("vec_id", "embedding")
+    assert(EmbeddingDedup.nearDupPairsExact(ok, 7L, 10L).count() == 1L)
+  }
 }
