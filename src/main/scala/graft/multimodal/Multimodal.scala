@@ -10,13 +10,17 @@ import org.apache.spark.sql.types._
   * columns plus a typed metadata struct; decode / feature-extract /
   * resize / frame-sample run as iterator-to-iterator `mapPartitions`
   * stages (one decoder init per partition, no per-row setup — the
-  * Scala-side equivalent of `mapInPandas` batch shape). The IMAGE
-  * decode path is real: [[ImageCodec]] parses PNG/JPEG/GIF/BMP headers
-  * to (format, width, height) — header-only, no pixel decompression.
-  * Audio/video decode stays a deterministic STUB (no codec libraries
-  * in this environment); the Spark-side contract — schema,
-  * partitioning, batch shape, null handling — is real and tested, and
-  * a production deployment swaps the stub for a real codec.
+  * Scala-side equivalent of `mapInPandas` batch shape). All three
+  * container-decode paths are real: [[ImageCodec]] parses
+  * PNG/JPEG/GIF/BMP headers to (format, width, height); [[AvCodec]]
+  * parses WAV/FLAC audio headers (sample rate, channels, duration) and
+  * MP4/AVI video headers (dimensions, duration) — header-only, no
+  * frame decompression, which is the correct 100 TB shape. WAV PCM16
+  * payloads additionally get a REAL sample decode (rms/peak features —
+  * PCM has no codec). Only compressed FRAME decoding (AAC, H.264, …)
+  * falls back to the deterministic byte-hash feature stub: those need
+  * codec libraries this environment doesn't ship, and a production
+  * deployment swaps that one body.
   */
 object Multimodal {
 
@@ -35,13 +39,15 @@ object Multimodal {
 
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       checksum: Long, feature: Array[Float],
-      format: Option[String], width: Option[Int], height: Option[Int])
+      format: Option[String], width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], duration_ms: Option[Long])
 
-  /** Feature stub for AUDIO/VIDEO payloads (images decode for real via
-    * [[ImageCodec]]) — a real deployment replaces this body with a
-    * codec call; everything around it (batching, schema, distribution)
-    * is production-shaped. The fake is deterministic: an 8-dim feature
-    * from a rolling byte hash. */
+  /** Feature stub for payloads whose FRAMES need a codec library
+    * (AAC/H.264/… — headers still decode for real via [[ImageCodec]] /
+    * [[AvCodec]]; WAV PCM gets real rms/peak) — a production deployment
+    * replaces this one body with a codec call; everything around it
+    * (batching, schema, distribution) is production-shaped. The fake is
+    * deterministic: an 8-dim feature from a rolling byte hash. */
   private[multimodal] def decodeBytes(content: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)
     if (content != null) {
@@ -59,19 +65,35 @@ object Multimodal {
 
   /** Decode/feature-extract stage: iterator-to-iterator mapPartitions,
     * one "decoder" per partition. Null content → null-safe zero row.
-    * Image rows get their real header decode (format/width/height);
-    * audio/video keep the stub feature with no dimensions. */
+    * Every kind gets its real header decode (image dims, audio
+    * rate/duration, video dims/duration); WAV PCM additionally gets
+    * real rms/peak features; unparseable payloads keep the stub
+    * feature with null metadata (row kept — curation filters decide). */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition decoder init would happen here (codec handle)
       it.map { m =>
         val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
-        val feat = decodeBytes(bytes)
-        val info = if (m.kind == "image") ImageCodec.decode(bytes) else None
+        val img = if (m.kind == "image") ImageCodec.decode(bytes) else None
+        val aud = if (m.kind == "audio") AvCodec.decodeAudio(bytes) else None
+        val vid = if (m.kind == "video") AvCodec.decodeVideo(bytes) else None
+        val feat = aud match {
+          case Some(a) if a.format == "wav" =>
+            // PCM is codec-free: the feature pair is real DSP
+            val samples = AvCodec.pcm16Samples(bytes)
+            val (rms, peak) = AvCodec.pcmRmsPeak(samples)
+            Array((rms / 32768.0).toFloat, peak / 32768.0f, a.sampleRate.toFloat,
+              a.channels.toFloat, samples.length.toFloat, 0f, 0f, 0f)
+          case _ => decodeBytes(bytes)
+        }
         MediaFeatures(m.media_id, m.kind, bytes.length.toLong,
           bytes.foldLeft(17L)((a, b) => a * 31 + b), feat,
-          info.map(_.format), info.map(_.width), info.map(_.height))
+          img.map(_.format).orElse(aud.map(_.format)).orElse(vid.map(_.format)),
+          img.map(_.width).orElse(vid.map(_.width)),
+          img.map(_.height).orElse(vid.map(_.height)),
+          aud.map(_.sampleRate),
+          aud.map(_.durationMs).orElse(vid.map(_.durationMs)))
       }
     }
   }

@@ -72,5 +72,73 @@ object MultimodalQueries extends QueryModule {
              CAST(doc_id % 48 + 1 AS INT) AS height
       FROM documents ORDER BY media_id"""))
 
-  override val all: Seq[Q] = Seq(mm1, mm2)
+  private val mm3 = Q(
+    "q_mm3_av_decode",
+    "real audio/video header decode: per-row WAV/FLAC/MP4/AVI synthesis → distributed AvCodec parse",
+    (s, d) => {
+      import s.implicits._
+      // REAL containers (RIFF chunk layout, FLAC STREAMINFO bit-fields,
+      // ISO-BMFF box tree, AVI hdrl) with parameters derived from the
+      // id, so the oracle verifies the encode→decode roundtrip
+      // arithmetically without any codec. All durations are integer
+      // math on both sides.
+      val decoded = Tables.documents(s, d)
+        .select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val av = graft.multimodal.AvCodec
+            id % 4 match {
+              case 0 =>
+                val sr = (8000 + (id % 8) * 1000).toInt
+                val ch = (id % 2 + 1).toInt
+                val frames = ((id % 50 + 1) * 100).toInt
+                val samples = Array.tabulate(frames * ch)(k => ((k * 31 + id) % 65536 - 32768).toShort)
+                val a = av.decodeAudio(av.encodeWav(sr, ch, samples))
+                  .getOrElse(sys.error(s"undecodable wav for id $id"))
+                (id, a.format, None: Option[Int], None: Option[Int],
+                  Some(a.sampleRate), Some(a.channels), a.durationMs)
+              case 1 =>
+                val sr = (16000 + (id % 10) * 100).toInt
+                val a = av.decodeAudio(av.encodeFlacHeader(sr, (id % 3 + 1).toInt, 16, id * 100 + 1))
+                  .getOrElse(sys.error(s"undecodable flac for id $id"))
+                (id, a.format, None: Option[Int], None: Option[Int],
+                  Some(a.sampleRate), Some(a.channels), a.durationMs)
+              case 2 =>
+                val v = av.decodeVideo(av.encodeMp4Header(
+                    ((id % 32 + 1) * 16).toInt, ((id % 18 + 1) * 16).toInt, 1000, id % 10000))
+                  .getOrElse(sys.error(s"undecodable mp4 for id $id"))
+                (id, v.format, Some(v.width), Some(v.height),
+                  None: Option[Int], None: Option[Int], v.durationMs)
+              case _ =>
+                val v = av.decodeVideo(av.encodeAviHeader(
+                    ((id % 40 + 1) * 8).toInt, ((id % 30 + 1) * 8).toInt, id % 300 + 1, 33333L))
+                  .getOrElse(sys.error(s"undecodable avi for id $id"))
+                (id, v.format, Some(v.width), Some(v.height),
+                  None: Option[Int], None: Option[Int], v.durationMs)
+            }
+          }
+        }.toDF("media_id", "format", "width", "height", "sample_rate", "channels", "duration_ms")
+      decoded.orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                             WHEN 2 THEN 'mp4' ELSE 'avi' END AS format,
+             CASE doc_id % 4 WHEN 2 THEN CAST((doc_id % 32 + 1) * 16 AS INT)
+                             WHEN 3 THEN CAST((doc_id % 40 + 1) * 8 AS INT) END AS width,
+             CASE doc_id % 4 WHEN 2 THEN CAST((doc_id % 18 + 1) * 16 AS INT)
+                             WHEN 3 THEN CAST((doc_id % 30 + 1) * 8 AS INT) END AS height,
+             CASE doc_id % 4 WHEN 0 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT)
+                             WHEN 1 THEN CAST(16000 + (doc_id % 10) * 100 AS INT) END AS sample_rate,
+             CASE doc_id % 4 WHEN 0 THEN CAST(doc_id % 2 + 1 AS INT)
+                             WHEN 1 THEN CAST(doc_id % 3 + 1 AS INT) END AS channels,
+             CAST(CASE doc_id % 4
+               WHEN 0 THEN ((doc_id % 50 + 1) * 100 * 1000) // (8000 + (doc_id % 8) * 1000)
+               WHEN 1 THEN ((doc_id * 100 + 1) * 1000) // (16000 + (doc_id % 10) * 100)
+               WHEN 2 THEN doc_id % 10000
+               ELSE ((doc_id % 300 + 1) * 33333) // 1000
+             END AS BIGINT) AS duration_ms
+      FROM documents ORDER BY media_id"""))
+
+  override val all: Seq[Q] = Seq(mm1, mm2, mm3)
 }
