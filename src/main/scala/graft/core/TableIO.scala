@@ -94,9 +94,18 @@ object TableIO {
     * session, so bucketed streaming state is restart-safe: bucket ids
     * are encoded in the file names, and a re-created table over the
     * same files reads with the same exchange-free distribution. */
+  /** Pre-shuffle onto the bucket hash so every writing task holds
+    * exactly one bucket: repartition(buckets, keys) uses the same
+    * murmur hash as the bucket-id assignment, so task i writes bucket
+    * i's single file — without this, a bucketed write emits one file
+    * per (task × bucket) pair and an append-per-batch state table
+    * degenerates into a small-files swamp. */
+  private def oneFilePerBucket(df: DataFrame, keys: Seq[String], buckets: Int): DataFrame =
+    df.repartition(buckets, keys.map(df.col): _*)
+
   def writeBucketedAt(df: DataFrame, table: String, path: String,
       keys: Seq[String], buckets: Int): Unit =
-    df.write.mode("overwrite")
+    oneFilePerBucket(df, keys, buckets).write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
@@ -104,14 +113,40 @@ object TableIO {
       .saveAsTable(table)
 
   /** Append a batch to an existing bucketed table as new per-bucket
-    * files (matching bucket spec required — Spark validates). */
+    * files (matching bucket spec required — Spark validates; one new
+    * file per non-empty bucket per append). */
   def appendBucketed(df: DataFrame, table: String,
       keys: Seq[String], buckets: Int): Unit =
-    df.write.mode("append")
+    oneFilePerBucket(df, keys, buckets).write.mode("append")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Compact an external bucketed table back to one file per bucket:
+    * snapshot (localCheckpoint — the rewrite replaces the files the
+    * plan would lazily re-read), rewrite to a staging path, swap dirs
+    * (previous kept at `.prev` like [[writeAtomicSwap]]), re-register.
+    * Run periodically on append-heavy state tables: appends add a
+    * file per bucket per batch, and scan cost grows with file count
+    * even though the data volume doesn't. */
+  def compactBucketedAt(spark: SparkSession, table: String, path: String,
+      keys: Seq[String], buckets: Int): Unit = {
+    ensureBucketedAt(spark, table, path, keys, buckets)
+    val snapshot = spark.table(table).localCheckpoint()
+    val staging = table + "_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    deleteRecursively(Paths.get(path + ".staging"))
+    writeBucketedAt(snapshot, staging, path + ".staging", keys, buckets)
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val live = Paths.get(path)
+    val prev = Paths.get(path + ".prev")
+    deleteRecursively(prev)
+    Files.move(live, prev, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(path + ".staging"), live, StandardCopyOption.ATOMIC_MOVE)
+    ensureBucketedAt(spark, table, path, keys, buckets)
+  }
 
   /** Make sure `table` is registered over the bucketed files at
     * `path` — a no-op when the catalog already has it; after a JVM

@@ -123,6 +123,18 @@ object IncrementalDedup {
     }
   }
 
+  /** Compact each state table back to one file per bucket. Appends add
+    * a file per bucket per batch; run this on a maintenance cadence
+    * (e.g. every N batches) to keep scan cost proportional to data,
+    * not to batch count. Safe between batches — atomic dir swap with
+    * `.prev` rollback per table. */
+  def compactStateBucketed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, buckets: Int): Unit =
+    StateTables.foreach { which =>
+      graft.core.TableIO.compactBucketedAt(spark, tableName(dir, which),
+        s"$dir/$which", Seq(idCol), buckets)
+    }
+
   /** Read the bucketed state (re-registering catalog entries if this
     * is a fresh session over surviving files). */
   def readStateBucketed(spark: org.apache.spark.sql.SparkSession, dir: String,

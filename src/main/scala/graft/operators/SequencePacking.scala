@@ -76,4 +76,21 @@ object SequencePacking {
       .withColumn("spilled",
         greatest(col("first_off") + col("n_tokens") - window, lit(0L)))
       .drop("first_off")
+
+  /** Materialize the packed windows: one output row per bin carrying
+    * the chunks' text concatenated in stream order — the frame a
+    * training loader actually consumes. One shuffle keyed by bin_id;
+    * in-bin ordering is reconstructed with an array sort over the
+    * collected (ordCols..., text) structs, so the result is
+    * partitioning-independent (bins are small — ≤ window/min_chunk
+    * chunks — so the per-group collect is bounded by construction). */
+  def materializeBins(packed: DataFrame, textCol: String, tokenCol: String,
+      ordCols: Seq[String]): DataFrame = {
+    val rowStruct = struct((ordCols :+ textCol).map(col): _*)
+    packed.groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col(tokenCol)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(rowStruct)), x => x.getField(textCol)),
+          " ").as("bin_text"))
+  }
 }

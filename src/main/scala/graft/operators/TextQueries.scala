@@ -288,6 +288,41 @@ object TextQueries extends QueryModule {
   // group-offset seam — no single-task global window); the oracle is
   // the literal one-window form, and the integer math makes the two
   // bit-identical.
+  // Window materialization: the packed bins from tx9 rendered into the
+  // frames a training loader consumes — one row per bin, chunk texts
+  // concatenated in stream order. One shuffle keyed by bin_id; in-bin
+  // order is an array sort over bounded groups, so the output is
+  // partitioning-independent and the md5 gates the exact text bytes.
+  private val tx10 = {
+    val window = 64
+    val groupDocs = 100
+    Q(
+      "q_tx10_packed_windows",
+      s"materialized $window-token training windows: per-bin ordered concat of packed chunks",
+      (s, d) => SequencePacking.materializeBins(
+          SequencePacking.pack(
+            chunkFrame(Tables.documents(s, d)),
+            "n_chunk_tokens", window,
+            expr(s"doc_id div $groupDocs"), Seq("doc_id", "chunk_idx")),
+          "chunk_text", "n_chunk_tokens", Seq("doc_id", "chunk_idx"))
+        .select(col("bin_id"), col("n_chunks"), col("n_tokens"),
+          md5(col("bin_text")).as("bin_md5"))
+        .orderBy(col("bin_id")),
+      Some(s"""
+        WITH $chunkSqlCtes,
+        cum AS (
+          SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens,
+                 coalesce(sum(n_chunk_tokens) OVER (
+                   ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+          FROM chunks)
+        SELECT s // $window AS bin_id,
+               count(*) AS n_chunks,
+               sum(n_chunk_tokens) AS n_tokens,
+               md5(string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_idx)) AS bin_md5
+        FROM cum GROUP BY 1 ORDER BY bin_id"""))
+  }
+
   private val tx9 = {
     val window = 64
     val groupDocs = 100
@@ -416,5 +451,5 @@ object TextQueries extends QueryModule {
         WHERE d.doc_id IS NULL ORDER BY k.doc_id"""))
   }
 
-  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, s1, llm1)
+  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, s1, llm1)
 }

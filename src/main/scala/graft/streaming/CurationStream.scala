@@ -68,6 +68,17 @@ object CurationStream {
     spark.table(fpTableName(statePath))
   }
 
+  /** Maintenance compaction: rewrite the signature + fingerprint state
+    * to one file per bucket (appends add a file per bucket per batch).
+    * Run between batches on whatever cadence file counts warrant;
+    * results are unchanged, only the file layout shrinks. */
+  def compactState(spark: SparkSession, statePath: String,
+      stateBuckets: Int = 8): Unit = {
+    IncrementalDedup.compactStateBucketed(spark, statePath, "doc_id", stateBuckets)
+    TableIO.compactBucketedAt(spark, fpTableName(statePath),
+      s"$statePath/fp", Seq("fp"), stateBuckets)
+  }
+
   /** Start the intake: dropDir JSON-lines files → near-dup-free corpus
     * at corpusPath (jaccard `threshold` vs existing docs), with
     * signature + fingerprint state maintained under statePath as

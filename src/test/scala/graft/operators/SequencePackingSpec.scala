@@ -55,6 +55,26 @@ class SequencePackingSpec extends SparkSpec {
     }.nonEmpty, "global window must sit on the per-group aggregate, not the corpus")
   }
 
+  test("materializeBins renders windows in stream order, independent of partitioning") {
+    val c = Seq((1L, 0L, "a b c", 3L), (1L, 1L, "d e", 2L), (2L, 0L, "f g h i", 4L),
+      (3L, 0L, "j", 1L), (9L, 0L, "k l m", 3L))
+      .toDF("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+    def run(parts: Int) = SequencePacking.materializeBins(
+        SequencePacking.pack(c.repartition(parts), "n_tokens", 5,
+          expr("doc_id div 2"), Seq("doc_id", "chunk_idx")),
+        "chunk_text", "n_tokens", Seq("doc_id", "chunk_idx"))
+      .orderBy("bin_id").collect().toSeq
+    val one = run(1)
+    assert(one == run(7), "bin text must not depend on partitioning")
+    // stream: a b c | d e | f g h i | j | k l m  (13 tokens, window 5)
+    // starts: 0, 3, 5, 9, 10 → bins 0, 0, 1, 1, 2
+    val byBin = one.map(r => r.getAs[Long]("bin_id") ->
+      ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_tokens"), r.getAs[String]("bin_text")))).toMap
+    assert(byBin(0L) == ((2L, 5L, "a b c d e")))
+    assert(byBin(1L) == ((2L, 5L, "f g h i j")))
+    assert(byBin(2L) == ((1L, 3L, "k l m")))
+  }
+
   test("binStats reports chunk/token totals and boundary spill per window") {
     // one group, windows of 10: chunks 7+7 straddle, then 3
     val c = Seq((1L, 0L, 7L), (1L, 1L, 7L), (1L, 2L, 3L))

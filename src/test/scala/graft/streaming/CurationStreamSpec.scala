@@ -156,6 +156,39 @@ class CurationStreamSpec extends SparkSpec {
     assert(TableIO.read(spark, s"$state/fp").count() == 21)
   }
 
+  test("compaction collapses per-batch bucket files; results and later batches unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("curcompact").toString
+    val dropDir = s"$base/drops"; new java.io.File(dropDir).mkdirs()
+    val corpus = s"$base/corpus.parquet"
+    val state = s"$base/state"
+    def parquets(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    // four batches of fresh docs → ≥4 append generations of bucket files
+    (1 to 4).foreach { b =>
+      writeDrop(dropDir, s"d$b.jsonl", (1L to 5L).map(i =>
+        (b * 100L + i) -> s"batch $b document $i has its own unmistakably distinct wording"))
+      CurationStream.start(spark, dropDir, corpus, state, s"$base/ckpt").awaitTermination()
+    }
+    val before = parquets(s"$state/fp")
+    assert(before > 8, s"appends should accumulate files, got $before")
+    val fpBefore = TableIO.read(spark, s"$state/fp").collect().map(_.toString).sorted.toSeq
+
+    CurationStream.compactState(spark, state)
+    assert(parquets(s"$state/fp") <= 8, "compaction must leave ≤ one file per bucket")
+    assert(parquets(s"$state/sig") <= 8)
+    assert(TableIO.read(spark, s"$state/fp").collect().map(_.toString).sorted.toSeq
+      == fpBefore, "compaction must not change the data")
+
+    // the stream keeps working against the compacted state: a replayed
+    // doc still drops, a fresh one still lands
+    writeDrop(dropDir, "d5.jsonl", Seq(
+      101L -> "batch 1 document 1 has its own unmistakably distinct wording",
+      999L -> "a wholly new post-compaction document that matches nothing else"))
+    CurationStream.start(spark, dropDir, corpus, state, s"$base/ckpt").awaitTermination()
+    val n = TableIO.read(spark, corpus).count()
+    assert(n == 21, s"expected 20 originals + 1 fresh, got $n")
+  }
+
   test("bucketed state survives a catalog wipe (fresh-session restart)") {
     val base = java.nio.file.Files.createTempDirectory("currestart").toString
     val dropDir = s"$base/drops"; new java.io.File(dropDir).mkdirs()
