@@ -38,7 +38,11 @@ object CorpusCuration {
     * kernel — docs whose most frequent token exceeds the fraction are
     * dropped); `benchmark` adds eval-set decontamination (dc1 kernel —
     * docs sharing ≥ `decontamMinHits` word `decontamN`-grams with the
-    * benchmark are dropped, benchmark n-grams broadcast). */
+    * benchmark are dropped, benchmark n-grams broadcast);
+    * `maxDupSpanFrac` adds the exact substring-span gate (dd9 kernel,
+    * Lee et al. — docs whose duplicated-`dupSpanN`-gram coverage
+    * exceeds the fraction are dropped; coverage is measured within the
+    * gated frame, so earlier-occurring originals always survive). */
   final case class Config(
       minQuality: Double = 0.3,
       langs: Seq[String] = Seq("de", "en", "es", "fr"),
@@ -47,7 +51,9 @@ object CorpusCuration {
       maxTopTokenFrac: Option[Double] = None,
       benchmark: Option[DataFrame] = None,
       decontamN: Int = 5,
-      decontamMinHits: Long = 1L)
+      decontamMinHits: Long = 1L,
+      maxDupSpanFrac: Option[Double] = None,
+      dupSpanN: Int = 5)
 
   /** (curated corpus, funnel report). */
   def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
@@ -79,9 +85,21 @@ object CorpusCuration {
     }
 
     // 2c. optional decontamination (dc1): benchmark n-grams broadcast.
-    val gated = cfg.benchmark.fold(repGated) { bench =>
+    val deconGated = cfg.benchmark.fold(repGated) { bench =>
       graft.operators.Decontamination.decontaminate(
         repGated, bench, "doc_id", "text", cfg.decontamN, cfg.decontamMinHits)
+    }
+
+    // 2d. optional substring-span gate (dd9): duplicated-span coverage
+    // fraction ≤ cap. One extra gram-keyed shuffle only when enabled.
+    val gated = cfg.maxDupSpanFrac.fold(deconGated) { cap =>
+      val cov = graft.operators.SubstringDedup.spanCoverage(
+          deconGated, "doc_id", "text", cfg.dupSpanN)
+        .select(col("doc_id"), col("n_tokens").as("__nt"), col("dup_tokens").as("__dt"))
+      deconGated.join(cov, Seq("doc_id"), "left")
+        .filter(coalesce(col("__dt"), lit(0L)).cast("double")
+          / greatest(col("__nt"), lit(1L)) <= cap)
+        .drop("__nt", "__dt")
     }
 
     // 3. exact dedup — keep the lowest doc_id per fingerprint.
@@ -129,7 +147,8 @@ object CorpusCuration {
     // report, not 4×. With optional gate stages on, n_gated must
     // reflect their drops too, so it counts the composed `gated` frame
     // (a second chain run — the price of the optional stages).
-    val optionalStagesOn = cfg.maxTopTokenFrac.isDefined || cfg.benchmark.isDefined
+    val optionalStagesOn = cfg.maxTopTokenFrac.isDefined ||
+      cfg.benchmark.isDefined || cfg.maxDupSpanFrac.isDefined
     val inputGated =
       if (optionalStagesOn)
         stats.agg(count(lit(1)).as("n_input"))

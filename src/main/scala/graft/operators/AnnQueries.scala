@@ -578,5 +578,144 @@ object AnnQueries extends QueryModule {
         WHERE rnk <= $topk ORDER BY query_id, rnk"""))
   }
 
-  override val all: Seq[Q] = Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8, ann9)
+  // Residual IVF-PQ (the canonical IVFADC of Jégou et al., PAMI'11 §IV):
+  // PQ encodes the RESIDUAL qv − centroid(cell) instead of the raw
+  // vector, so the codebooks spend their 16 codes on the within-cell
+  // displacement — the distribution that remains after coarse
+  // quantization — rather than re-describing cell positions. The ADC
+  // table becomes per-(query, probed cell): the query's residual against
+  // that cell's centroid, still queries·nprobe·8·16 rows — tiny,
+  // broadcast. Residuals are BIGINT differences of already-quantized
+  // components, so the whole pipeline (both k-means chains + residual
+  // arithmetic) stays integer-exact and oracle-unrollable.
+  private val ann10 = {
+    val nprobe = 2; val topk = 3; val nQ = 4
+    Q(
+      "q_ann10_ivfpq_residual",
+      s"residual IVF-PQ (IVFADC): trained coarse cells, PQ codebooks over residuals, per-cell ADC top-$topk",
+      (s, d) => {
+        val km = graft.operators.KMeans
+        val e = Tables.embeddings(s, d)
+        val pts = e.select(lit(0L).as("grp"), col("vec_id"),
+          km.quantize(col("embedding")).as("qv"))
+        val coarse = km.train(s, Sampling.deterministicSample(pts, "vec_id", KmRate),
+          KmK, KmIters)
+        val cells = km.assign(pts, coarse)
+        val centByCell = coarse.select(col("cent_id").as("cell"), col("cvec"))
+        // corpus residuals vs the assigned centroid (broadcast join)
+        val resid = cells.join(broadcast(centByCell), Seq("cell"))
+          .select(col("vec_id"), col("cell"),
+            zip_with(col("qv"), col("cvec"), (x, y) => x - y).as("rv"))
+        val subSlices = array((0 until PqSub).map(i =>
+          slice(col("rv"), i * PqDsub + 1, PqDsub)): _*)
+        val subPts = resid.select(col("vec_id"), posexplode(subSlices).as(Seq("sub", "sv")))
+          .select(col("sub").cast(LongType).as("grp"), col("vec_id"), col("sv").as("qv"))
+        val pqCent = km.train(s, Sampling.deterministicSample(subPts, "vec_id", KmRate),
+          PqCent, KmIters)
+        val codes = km.assign(subPts, pqCent)
+          .select(col("grp").as("sub"), col("vec_id"), col("cell").as("code"))
+        // query probes over the coarse centroids
+        val probes = pts.filter(col("vec_id") < nQ).join(broadcast(coarse), Seq("grp"))
+          .select(col("vec_id").as("query_id"), col("cent_id"),
+            km.sqDistQ(col("qv"), col("cvec")).as("cd"))
+          .withColumn("__pr", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("cd").asc, col("cent_id").asc)))
+          .filter(col("__pr") <= nprobe)
+          .select(col("query_id"), col("cent_id").as("cell"))
+        // per-(query, probed cell) residual → ADC table; everything tiny
+        val qres = pts.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("qv"))
+          .join(broadcast(probes), Seq("query_id"))
+          .join(broadcast(centByCell), Seq("cell"))
+          .select(col("query_id"), col("cell"),
+            zip_with(col("qv"), col("cvec"), (x, y) => x - y).as("rv"))
+        val dt = qres.select(col("query_id"), col("cell"),
+            posexplode(subSlices).as(Seq("sub", "qsub")))
+          .select(col("query_id"), col("cell"), col("sub").cast(LongType).as("sub"), col("qsub"))
+          .join(broadcast(pqCent.withColumnRenamed("grp", "sub")), Seq("sub"))
+          .select(col("query_id"), col("cell"), col("sub"), col("cent_id").as("code"),
+            km.sqDistQ(col("qsub"), col("cvec")).as("qd"))
+        // candidates = corpus rows of probed cells; ADC = 8 lookups each
+        val cand = cells.select(col("vec_id"), col("cell"))
+          .join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        cand.join(codes, Seq("vec_id"))
+          .join(broadcast(dt), Seq("query_id", "cell", "sub", "code"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("qd")).as("adist"))
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= topk)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH csamp AS (
+          SELECT 0 AS grp, vec_id, ${KMeans.quantizeSql("embedding")} AS qv
+          FROM embeddings
+          WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(KmRate)}'),
+        ${KMeans.trainSqlCtes("csamp", KmK, KmIters, 64, "c")},
+        pts AS (
+          SELECT vec_id, ${KMeans.quantizeSql("embedding")} AS qv FROM embeddings),
+        cells AS (
+          SELECT vec_id, cell FROM (
+            SELECT p.vec_id, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                     ${KMeans.sqDistQSql("p.qv", "c.cvec")} ASC, c.cent_id ASC) AS rn
+            FROM pts p CROSS JOIN ccent$KmIters c) WHERE rn = 1),
+        resid AS (
+          SELECT ce.vec_id, ce.cell,
+                 list_transform(p.qv, (x, j) -> x - c.cvec[j]) AS rv
+          FROM cells ce JOIN pts p ON p.vec_id = ce.vec_id
+          JOIN ccent$KmIters c ON c.cent_id = ce.cell),
+        pieces AS (
+          SELECT vec_id, i - 1 AS grp,
+                 list_slice(rv, (i - 1) * $PqDsub + 1, i * $PqDsub) AS qv
+          FROM resid, unnest(range(1, $PqSub + 1)) AS t(i)),
+        psamp AS (
+          SELECT grp, vec_id, qv FROM pieces
+          WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(KmRate)}'),
+        ${KMeans.trainSqlCtes("psamp", PqCent, KmIters, PqDsub, "p")},
+        codes AS (
+          SELECT grp AS sub, vec_id, code FROM (
+            SELECT s.grp, s.vec_id, c.cent_id AS code,
+                   row_number() OVER (PARTITION BY s.grp, s.vec_id ORDER BY
+                     ${KMeans.sqDistQSql("s.qv", "c.cvec")} ASC, c.cent_id ASC) AS rn
+            FROM pieces s JOIN pcent$KmIters c ON c.grp = s.grp) WHERE rn = 1),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT p.vec_id AS query_id, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                     ${KMeans.sqDistQSql("p.qv", "c.cvec")} ASC, c.cent_id ASC) AS pr
+            FROM pts p CROSS JOIN ccent$KmIters c WHERE p.vec_id < $nQ) WHERE pr <= $nprobe),
+        qres AS (
+          SELECT pr.query_id, pr.cell,
+                 list_transform(p.qv, (x, j) -> x - c.cvec[j]) AS rv
+          FROM probes pr JOIN pts p ON p.vec_id = pr.query_id
+          JOIN ccent$KmIters c ON c.cent_id = pr.cell),
+        qpieces AS (
+          SELECT query_id, cell, i - 1 AS sub,
+                 list_slice(rv, (i - 1) * $PqDsub + 1, i * $PqDsub) AS qv
+          FROM qres, unnest(range(1, $PqSub + 1)) AS t(i)),
+        dt AS (
+          SELECT s.query_id, s.cell, s.sub, c.cent_id AS code,
+                 ${KMeans.sqDistQSql("s.qv", "c.cvec")} AS qd
+          FROM qpieces s JOIN pcent$KmIters c ON c.grp = s.sub),
+        adist AS (
+          SELECT pr.query_id, ce.vec_id, sum(dt.qd) AS adist
+          FROM probes pr
+          JOIN cells ce ON ce.cell = pr.cell AND ce.vec_id <> pr.query_id
+          JOIN codes co ON co.vec_id = ce.vec_id
+          JOIN dt ON dt.query_id = pr.query_id AND dt.cell = pr.cell
+                 AND dt.sub = co.sub AND dt.code = co.code
+          GROUP BY 1, 2)
+        SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+          SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rnk
+          FROM adist)
+        WHERE rnk <= $topk ORDER BY query_id, rnk"""))
+  }
+
+  override val all: Seq[Q] = Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8, ann9, ann10)
 }

@@ -408,5 +408,88 @@ object DedupQueries extends QueryModule {
       WHERE CAST(i.ninter AS DOUBLE) / (sb.n + sc.n - i.ninter) >= 0.7
       ORDER BY 1, 2"""))
 
-  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dd7)
+  // Semantic dedup (SemDeDup): trained k-means cells bound the pair
+  // search — near-dup pairs are only sought within a cell, never across
+  // the corpus. 8 cells keep the planted near-dup pairs mostly
+  // co-celled at sf0.01; threshold 7/20 as in dd6 (the corpus tops out
+  // near cos 0.51). The oracle replays the ENTIRE pipeline — Lloyd
+  // training included — so the gate checks training, assignment and the
+  // BIGINT-exact within-cell verify end to end.
+  private val dd8 = {
+    val k = 8; val iters = 2; val rate = 0.5
+    Q(
+      "q_dd8_semantic_dedup",
+      s"SemDeDup: trained $k-cell k-means clustering, within-cell BIGINT-exact cosine dedup (7/20)",
+      (s, d) => SemanticDedup.dedup(s, Tables.embeddings(s, d),
+          k = k, iters = iters, sampleRate = rate, tNum = 7, tDen = 20)
+        .orderBy(col("vec_id")),
+      Some(s"""
+        WITH samp AS (
+          SELECT 0 AS grp, vec_id, ${KMeans.quantizeSql("embedding")} AS qv
+          FROM embeddings
+          WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(rate)}'),
+        ${KMeans.trainSqlCtes("samp", k, iters, 64)},
+        pts AS (
+          SELECT vec_id, ${KMeans.quantizeSql("embedding")} AS qv FROM embeddings),
+        cells AS (
+          SELECT vec_id, qv, cell FROM (
+            SELECT p.vec_id, p.qv, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                     ${KMeans.sqDistQSql("p.qv", "c.cvec")} ASC, c.cent_id ASC) AS rn
+            FROM pts p CROSS JOIN cent$iters c) WHERE rn = 1),
+        qq AS (
+          SELECT vec_id, cell, qv,
+                 list_sum(list_transform(qv, x -> x * x)) AS qn
+          FROM cells),
+        v AS (
+          SELECT b.vec_id,
+                 list_sum(list_transform(a.qv, (x, j) -> x * b.qv[j])) AS qdot,
+                 a.qn AS qna, b.qn AS qnb
+          FROM qq a JOIN qq b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        dropped AS (
+          SELECT DISTINCT vec_id FROM v
+          WHERE qdot > 0 AND 400 * qdot * qdot >= 49 * qna * qnb)
+        SELECT q.vec_id, q.cell,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM qq q LEFT JOIN dropped d ON d.vec_id = q.vec_id
+        ORDER BY q.vec_id"""))
+  }
+
+  // Exact substring-span dedup (Lee et al.): per-document coverage of
+  // 5-token spans whose text occurred earlier in the corpus. The
+  // oracle's single rank-by-gram window is the semantic definition; the
+  // implementation first drops single-occurrence grams with a
+  // map-side-combinable count (the dd4 two-phase move), so the window
+  // only ever sees the duplicated slice.
+  private val dd9 = {
+    val k = 5
+    Q(
+      "q_dd9_substring_spans",
+      s"exact substring dedup: per-doc coverage of duplicated $k-token spans",
+      (s, d) => SubstringDedup.spanCoverage(Tables.documents(s, d), "doc_id", "text", k)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toksq AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS gram
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${k - 2})) AS i
+                FROM toksq WHERE len(w) >= $k)),
+        flagged AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+            FROM grams) WHERE rn > 1),
+        cov AS (
+          SELECT DISTINCT doc_id, pos + o AS idx
+          FROM flagged, unnest(range(0, $k)) AS t(o)),
+        dup AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+        SELECT t.doc_id, len(t.w) AS n_tokens,
+               coalesce(d.dup_tokens, 0) AS dup_tokens
+        FROM toksq t LEFT JOIN dup d ON d.doc_id = t.doc_id
+        ORDER BY t.doc_id"""))
+  }
+
+  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dd7, dd8, dd9)
 }

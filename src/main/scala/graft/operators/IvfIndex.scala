@@ -145,4 +145,89 @@ object IvfIndex {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
+
+  // --------------------------------------------------- residual IVF-PQ
+
+  /** Per-subspace RESIDUAL points (grp=sub, vec_id, cell, qv): the
+    * vector's quantized displacement from its assigned coarse centroid,
+    * sliced into `nSub` subvectors — the training AND encode input of
+    * the residual form (q_ann10 / IVFADC). Shared so the index build
+    * encodes with exactly the frame the codebooks were trained on. */
+  def residualSubPoints(embeddings: DataFrame, coarse: DataFrame,
+      nSub: Int = 8, dSub: Int = 8): DataFrame = {
+    val pts = embeddings.select(lit(0L).as("grp"), col("vec_id"),
+      KMeans.quantize(col("embedding")).as("qv"))
+    val rSlices = array((0 until nSub).map(i =>
+      slice(col("rv"), i * dSub + 1, dSub)): _*)
+    KMeans.assign(pts, coarse)
+      .join(broadcast(coarse.select(col("cent_id").as("cell"), col("cvec"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("qv"), col("cvec"), (x, y) => x - y).as("rv"))
+      .select(col("vec_id"), col("cell"), posexplode(rSlices).as(Seq("sub", "sv")))
+      .select(col("sub").cast(LongType).as("grp"), col("vec_id"), col("cell"),
+        col("sv").as("qv"))
+  }
+
+  /** Persist the RESIDUAL IVF-PQ index: same (vec_id, sub, code)
+    * cell-partitioned float-free layout as [[writeIndexPq]], but codes
+    * quantize the residual to the assigned coarse centroid — the
+    * codebooks describe within-cell displacement, which is what remains
+    * after coarse pruning (IVFADC, Jégou et al. PAMI'11 §IV).
+    * `pqCents` must be trained on [[residualSubPoints]] of the same
+    * coarse set. */
+  def writeIndexPqResidual(embeddings: DataFrame, coarse: DataFrame,
+      pqCents: DataFrame, path: String, nSub: Int = 8, dSub: Int = 8): Unit =
+    KMeans.assign(
+        residualSubPoints(embeddings, coarse, nSub, dSub)
+          .withColumnRenamed("cell", "ivf_cell"), pqCents)
+      .select(col("vec_id"), col("grp").as("sub"), col("cell").as("code"),
+        col("ivf_cell").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** ADC probe over the residual index. Identical pruning/broadcast
+    * shape to [[probePq]]; the one structural change is that the
+    * distance table is keyed by (query, PROBED CELL, sub, code) — the
+    * query's residual differs per probed cell — and joins on the cell
+    * as well. Still queries·nprobe·nSub·k rows: tiny, broadcast. */
+  def probePqResidual(spark: SparkSession, indexPath: String, queries: DataFrame,
+      coarse: DataFrame, pqCents: DataFrame, nprobe: Int, k: Int,
+      nSub: Int = 8, dSub: Int = 8, excludeSelf: Boolean = false): DataFrame = {
+    val qpts = queries.select(col("query_id"), KMeans.quantize(col("qv")).as("qq"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cd").asc, col("cent_id").asc)
+    val probes = qpts.crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("cent_id"),
+        KMeans.sqDistQ(col("qq"), col("cvec")).as("cd"))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val rSlices = array((0 until nSub).map(i =>
+      slice(col("rv"), i * dSub + 1, dSub)): _*)
+    val dt = qpts.join(broadcast(probes), Seq("query_id"))
+      .join(broadcast(coarse.select(col("cent_id").as("cell"), col("cvec"))), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qq"), col("cvec"), (x, y) => x - y).as("rv"))
+      .select(col("query_id"), col("cell"), posexplode(rSlices).as(Seq("sub", "qsub")))
+      .select(col("query_id"), col("cell"), col("sub").cast(LongType).as("grp"), col("qsub"))
+      .join(broadcast(pqCents), Seq("grp"))
+      .select(col("query_id"), col("cell"), col("grp").as("sub"),
+        col("cent_id").as("code"), KMeans.sqDistQ(col("qsub"), col("cvec")).as("qd"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].longValue()).toSeq.sorted
+    val raw = spark.read.parquet(indexPath)
+    val cellType = raw.schema("cell").dataType
+    val lits = if (cellType == org.apache.spark.sql.types.IntegerType)
+      cells.map(c => lit(c.toInt)) else cells.map(lit(_))
+    val index = raw.filter(col("cell").isin(lits: _*))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    val cand = broadcast(probes.withColumn("cell", col("cell").cast(cellType)))
+      .join(index, Seq("cell"))
+    (if (excludeSelf) cand.filter(col("vec_id") =!= col("query_id")) else cand)
+      .join(broadcast(dt.withColumn("cell", col("cell").cast(cellType))),
+        Seq("query_id", "cell", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adist"))
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
 }

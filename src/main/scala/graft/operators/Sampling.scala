@@ -41,6 +41,25 @@ object Sampling {
     df.filter(hashGate(col(idCol)) < threshold)
   }
 
+  /** Deterministic train/val/test assignment: consecutive md5-gate
+    * ranges sized by `fractions` (name → share; shares sum to ≤ 1, the
+    * LAST split absorbs any remainder so every row lands somewhere).
+    * Pure codegen CASE on the scan — no shuffle, no rand(); a row's
+    * split never changes as the corpus grows, and holdout membership is
+    * reproducible across engines (the exact property eval pipelines
+    * need — a train/test leak from reassignment is invisible later). */
+  def assignSplits(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "shares must sum to <= 1")
+    val cuts = fractions.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val splitCol = fractions.init.zip(cuts).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), cut), acc) =>
+        when(hashGate(col(idCol)) < lit(hexThreshold(cut)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", splitCol)
+  }
+
   /** Driver-side rate computation from target shares: rate(s) =
     * min(1, share(s)·totalTarget / count(s)). The per-source counts
     * are one aggregation over the corpus; sources are few by contract

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact substring-span deduplication (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better", arXiv:2107.06499):
+  * whole-document dedup (dd1) and near-dup (dd2/dd4) miss the common
+  * case of a long span repeated INSIDE otherwise-distinct documents
+  * (boilerplate, licenses, quoted text). The suffix-array pass of the
+  * paper marks any k-token span whose text occurred earlier in the
+  * corpus; this operator computes the same span flags relationally:
+  * every k-gram occurrence is ranked by global first occurrence
+  * ((doc_id, pos) order), and occurrences with rank > 1 mark their k
+  * token positions as duplicated. Output is per-document duplicated-
+  * token coverage — the quantity a curation pipeline thresholds on (or
+  * uses to cut the flagged spans).
+  *
+  * Scale shape: the only corpus-wide operation is a groupBy/window
+  * keyed by the k-gram. Ranking is applied AFTER a count-based
+  * semi-join keeps only grams occurring ≥ 2 times — the same
+  * Zipf-head guard as dd4's two-phase aggregate: the first groupBy is
+  * map-side-combinable, and the window runs over the (far smaller)
+  * duplicated-gram slice only. Span→position fan-out is a bounded
+  * explode (factor k) on flagged occurrences only.
+  */
+object SubstringDedup {
+
+  private def toks(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Per-document duplicated-span coverage: (idCol, n_tokens,
+    * dup_tokens) where dup_tokens counts token positions covered by at
+    * least one k-gram whose text occurred earlier in the corpus
+    * (earlier = lower (doc_id, pos)). Documents shorter than k carry
+    * dup_tokens = 0. */
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val t = docs.select(col(idCol), toks(col(textCol)).as("__w"))
+    val grams = t.filter(size(col("__w")) >= k)
+      .select(col(idCol), posexplode(
+        expr(s"transform(sequence(1, size(__w) - ${k - 1}), i -> concat_ws(' ', slice(__w, i, $k)))"))
+        .as(Seq("__p0", "__gram")))
+      .select(col(idCol), (col("__p0") + 1).cast(LongType).as("__pos"), col("__gram"))
+    // phase 1: duplicated grams only (two-phase agg; Zipf head stays
+    // out of the window below)
+    val dupGrams = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("__gram"))
+    val wFirst = Window.partitionBy(col("__gram")).orderBy(col(idCol), col("__pos"))
+    val flagged = grams.join(dupGrams, Seq("__gram"), "left_semi")
+      .withColumn("__rn", row_number().over(wFirst))
+      .filter(col("__rn") > 1)
+    // phase 2: flagged spans cover [pos, pos+k-1]; count distinct
+    // covered positions per document
+    val covered = flagged
+      .select(col(idCol), explode(expr(s"sequence(__pos, __pos + ${k - 1})")).as("__idx"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_tokens"))
+    t.select(col(idCol), size(col("__w")).cast(LongType).as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+}

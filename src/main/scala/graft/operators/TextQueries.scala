@@ -312,13 +312,13 @@ object TextQueries extends QueryModule {
         WITH $chunkSqlCtes,
         cum AS (
           SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens,
-                 coalesce(sum(n_chunk_tokens) OVER (
+                 CAST(coalesce(sum(n_chunk_tokens) OVER (
                    ORDER BY doc_id, chunk_idx
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
           FROM chunks)
         SELECT s // $window AS bin_id,
                count(*) AS n_chunks,
-               sum(n_chunk_tokens) AS n_tokens,
+               CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
                md5(string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_idx)) AS bin_md5
         FROM cum GROUP BY 1 ORDER BY bin_id"""))
   }
@@ -342,9 +342,9 @@ object TextQueries extends QueryModule {
         WITH $chunkSqlCtes,
         cum AS (
           SELECT doc_id, chunk_idx, n_chunk_tokens,
-                 coalesce(sum(n_chunk_tokens) OVER (
+                 CAST(coalesce(sum(n_chunk_tokens) OVER (
                    ORDER BY doc_id, chunk_idx
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
           FROM chunks)
         SELECT doc_id, chunk_idx, n_chunk_tokens,
                s // $window AS bin_id, s % $window AS bin_off
@@ -373,6 +373,94 @@ object TextQueries extends QueryModule {
         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
           CASE source $caseArms ELSE '${Sampling.hexThreshold(default)}' END
         ORDER BY doc_id"""))
+  }
+
+  // Deterministic global shuffle + round-robin sharding (Sharding
+  // operator) — the training-export step: md5-shuffled global order,
+  // rank dealt into equal shards. The oracle's single global window is
+  // the SEMANTIC definition; the implementation computes the identical
+  // rank as a two-level prefix sum (no corpus-wide single-task window).
+  private val s2 = {
+    val nShards = 8
+    Q(
+      "q_s2_shuffle_shard",
+      s"deterministic md5-shuffled corpus sharding into $nShards round-robin shards",
+      (s, d) => Sharding.shuffleShards(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id", nShards)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH r AS (
+          SELECT doc_id, row_number() OVER (
+            ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) - 1 AS rk
+          FROM documents)
+        SELECT doc_id, rk % $nShards AS shard, rk // $nShards AS pos
+        FROM r ORDER BY doc_id"""))
+  }
+
+  // Deterministic train/val/test split (Sampling.assignSplits): one
+  // codegen CASE over consecutive md5-gate ranges — no shuffle, no
+  // rand(); holdout membership is stable under corpus growth. Both
+  // sides inline identical hex thresholds.
+  private val s3 = {
+    val fracs = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val cuts = fracs.init.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
+    val caseArms = fracs.init.zip(cuts).map { case ((n, _), c) =>
+      s"WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(c)}' THEN '$n'"
+    }.mkString(" ")
+    Q(
+      "q_s3_train_val_test",
+      "deterministic 90/5/5 train/val/test split via md5 gate ranges",
+      (s, d) => Sampling.assignSplits(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id", fracs)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, CASE $caseArms ELSE '${fracs.last._1}' END AS split
+        FROM documents ORDER BY doc_id"""))
+  }
+
+  // Lexical-rarity quality signal (the exact-arithmetic cousin of a
+  // perplexity filter): per-document count of occurrences of CORPUS-
+  // rare tokens (global count ≤ 2) — high rare fraction flags OCR
+  // noise/gibberish, zero flags boilerplate. Scale shape: the corpus
+  // unigram count is a two-phase groupBy; the occurrence re-join is
+  // keyed by token but RESTRICTED to rare tokens, each of which has ≤ 2
+  // occurrences by definition — the Zipf head ("the") never re-joins,
+  // so the join cannot skew (same head-exclusion move as dd4/dd9).
+  private val tx11 = {
+    val rareMax = 2
+    Q(
+      "q_tx11_rare_tokens",
+      s"lexical rarity: per-doc occurrences of corpus-rare tokens (count ≤ $rareMax)",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val occ = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("tok"))
+        val rare = occ.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .filter(col("c") <= rareMax).select(col("tok"))
+        val nRare = occ.join(rare, Seq("tok"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+        docs.select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+          .join(nRare, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH occ AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+          FROM documents),
+        rare AS (
+          SELECT tok FROM (SELECT tok, count(*) AS c FROM occ GROUP BY tok)
+          WHERE c <= $rareMax),
+        r AS (
+          SELECT doc_id, count(*) AS n_rare FROM occ
+          WHERE tok IN (SELECT tok FROM rare) GROUP BY doc_id),
+        t AS (
+          SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+          FROM documents)
+        SELECT t.doc_id, t.n_tokens, coalesce(r.n_rare, 0) AS n_rare
+        FROM t LEFT JOIN r ON r.doc_id = t.doc_id
+        ORDER BY t.doc_id"""))
   }
 
   // The composed curation funnel (jobs/CorpusCuration) as a gate query:
@@ -451,5 +539,6 @@ object TextQueries extends QueryModule {
         WHERE d.doc_id IS NULL ORDER BY k.doc_id"""))
   }
 
-  override val all: Seq[Q] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, s1, llm1)
+  override val all: Seq[Q] =
+    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, s1, s2, s3, llm1)
 }

@@ -81,6 +81,28 @@ class CorpusCurationSpec extends SparkSpec {
     assert(dc.select("doc_id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("optional substring-span gate drops heavy quoters, keeps originals") {
+    import spark.implicits._
+    val original = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // doc 2 = a fresh half + a verbatim half of doc 1 → ~50% coverage
+    val quoter = "one two three four five six seven eight nine ten " +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, original, "en", "web"),
+      (2L, quoter, "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    // cap above the quoter's coverage: both survive
+    val (loose, _) = CorpusCuration.run(docs, CorpusCuration.Config(
+      minQuality = 0.0, langs = Seq("en", "und"), maxDupSpanFrac = Some(0.6)))
+    assert(loose.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // cap below it: the quoter drops, the original (earlier occurrence) stays
+    val (strict, report) = CorpusCuration.run(docs, CorpusCuration.Config(
+      minQuality = 0.0, langs = Seq("en", "und"), maxDupSpanFrac = Some(0.3)))
+    assert(strict.select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(report.head().getAs[Long]("n_gated") == 1)
+  }
+
   test("runs clean over the sf0.001 documents table") {
     val docs = graft.Tables.documents(spark, sf0001)
     val (curated, report) = CorpusCuration.run(docs)

@@ -81,4 +81,44 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(res.collect().map(_.toSeq).toSeq == expected)
   }
+
+  test("residual IVF-PQ index: pruned float-free probe ≡ q_ann10") {
+    val e = Tables.embeddings(spark, sf0001)
+    val pts = e.select(lit(0L).as("grp"), col("vec_id"),
+      KMeans.quantize(col("embedding")).as("qv"))
+    val coarse = KMeans.train(spark,
+      Sampling.deterministicSample(pts, "vec_id", AnnQueries.KmRate),
+      AnnQueries.KmK, AnnQueries.KmIters)
+    // codebooks trained on the residual sub-points of the SAME coarse set
+    val subPts = IvfIndex.residualSubPoints(e, coarse)
+    val pqCents = KMeans.train(spark,
+      Sampling.deterministicSample(subPts, "vec_id", AnnQueries.KmRate),
+      AnnQueries.PqCent, AnnQueries.KmIters)
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqr").toString + "/index"
+    IvfIndex.writeIndexPqResidual(e, coarse, pqCents, dir)
+
+    val onDisk = spark.read.parquet(dir)
+    assert(!onDisk.schema.fieldNames.exists(f => f.contains("embedding") || f.contains("qv")),
+      s"index must not store floats: ${onDisk.schema.treeString}")
+
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val res = IvfIndex.probePqResidual(spark, dir, queries, coarse, pqCents,
+      nprobe = 2, k = 3, excludeSelf = true)
+      .orderBy(col("query_id"), col("rnk"))
+
+    val plan = res.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cell#") && (l.contains("INSET") || l.contains("IN ("))),
+      s"the code scan must be partition-pruned:\n${pf.mkString("\n")}")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .filter(_.contains(dir)).mkString("\n")
+    assert(!readSchemas.contains("embedding"),
+      s"probe must not read floats from the index:\n$readSchemas")
+
+    val expected = SparkEntry.queries("q_ann10_ivfpq_residual")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(res.collect().map(_.toSeq).toSeq == expected)
+  }
 }

@@ -27,6 +27,29 @@ class SamplingSpec extends SparkSpec {
     assert(s.subsetOf(g) && g.filter(_ < 1000L) == s)
   }
 
+  test("assignSplits: exhaustive, disjoint, stable under growth, ~proportional") {
+    import spark.implicits._
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val df = (0L until 4000L).toDF("id")
+    val s = Sampling.assignSplits(df, "id", fracs)
+    val byId = s.as[(Long, String)].collect().toMap
+    assert(byId.size == 4000, "every row gets exactly one split")
+    val sizes = s.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(sizes("train") - 3200L) < 160, s"got $sizes")
+    assert(math.abs(sizes("val") - 400L) < 80, s"got $sizes")
+    assert(math.abs(sizes("test") - 400L) < 80, s"got $sizes")
+    // growth stability: ids keep their split when the corpus grows
+    val grown = Sampling.assignSplits((0L until 8000L).toDF("id"), "id", fracs)
+      .as[(Long, String)].collect().toMap
+    assert(byId.forall { case (id, sp) => grown(id) == sp })
+    // no shuffle: pure projection over the scan
+    val exchanges = s.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "split assignment must be map-side only")
+  }
+
   test("ratesForShares hits target sizes within hash-gate tolerance") {
     import spark.implicits._
     val df = ((0L until 2000L).map(i => (i, "big")) ++
