@@ -36,4 +36,24 @@ object Decontamination {
       idCol: String, textCol: String, n: Int = 13, minHits: Long = 1L): DataFrame =
     corpus.join(contaminationHits(corpus, benchmark, idCol, textCol, n, minHits)
       .select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** Span-level contamination COVERAGE — the fraction-of-tokens metric
+    * contamination reports quote (PaLM §6.1 reports both doc counts and
+    * token fractions): per corpus doc, (idCol, n_tokens, contam_tokens)
+    * where contam_tokens counts token positions covered by at least one
+    * n-gram that appears anywhere in the benchmark. Same asymmetric
+    * shape as [[contaminationHits]] — benchmark grams broadcast, corpus
+    * pays one positional-gram explode + broadcast semi-join + a bounded
+    * k-explode on flagged spans only; no window, no corpus shuffle
+    * before the final per-doc count. */
+  def spanContamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bGrams = SubstringDedup.positionalGrams(
+        SubstringDedup.tokenFrame(benchmark, idCol, textCol), idCol, n)
+      .select(col("__gram")).distinct()
+    val t = SubstringDedup.tokenFrame(corpus, idCol, textCol)
+    val flagged = SubstringDedup.positionalGrams(t, idCol, n)
+      .join(broadcast(bGrams), Seq("__gram"), "left_semi")
+    SubstringDedup.coverageOf(t, flagged, idCol, n, "contam_tokens")
+  }
 }

@@ -353,6 +353,47 @@ object DedupQueries extends QueryModule {
       HAVING count(*) >= 1
       ORDER BY doc_id"""))
 
+  // Span-level contamination coverage (dc1's token-fraction twin): the
+  // same %11 eval split, but measuring HOW MUCH of each corpus doc the
+  // benchmark covers — flagged 5-gram spans merge into distinct token
+  // positions. Benchmark grams broadcast; the span fan-out is a bounded
+  // 5-explode on flagged occurrences only.
+  private val dc2 = {
+    val k = 5
+    Q(
+      "q_dc2_contamination_coverage",
+      s"span-level decontamination: per-doc token coverage of benchmark $k-grams",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+        Decontamination.spanContamination(
+            doc.filter(col("doc_id") % 11 =!= 0),
+            doc.filter(col("doc_id") % 11 === 0),
+            "doc_id", "text", n = k)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH toksq AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS gram
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${k - 2})) AS i
+                FROM toksq WHERE len(w) >= $k)),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 11 = 0),
+        flagged AS (
+          SELECT doc_id, pos FROM grams
+          WHERE doc_id % 11 <> 0 AND gram IN (SELECT gram FROM bench)),
+        cov AS (
+          SELECT DISTINCT doc_id, pos + o AS idx
+          FROM flagged, unnest(range(0, $k)) AS t(o)),
+        c AS (SELECT doc_id, count(*) AS contam_tokens FROM cov GROUP BY doc_id)
+        SELECT t.doc_id, len(t.w) AS n_tokens,
+               coalesce(c.contam_tokens, 0) AS contam_tokens
+        FROM toksq t LEFT JOIN c ON c.doc_id = t.doc_id
+        WHERE t.doc_id % 11 <> 0
+        ORDER BY t.doc_id"""))
+  }
+
   // Incremental ingest dedup: the doc_id % 10 == 7 slice plays the
   // arriving batch, the rest the existing corpus; batch bands broadcast
   // into the corpus band scan (no corpus×corpus pairs, no corpus
@@ -491,5 +532,5 @@ object DedupQueries extends QueryModule {
         ORDER BY t.doc_id"""))
   }
 
-  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dd7, dd8, dd9)
+  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dd7, dd8, dd9)
 }

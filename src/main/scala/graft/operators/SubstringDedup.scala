@@ -31,6 +31,35 @@ object SubstringDedup {
   private def toks(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** (idCol, __w): whitespace tokens per doc — the shared split. */
+  private[operators] def tokenFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), toks(col(textCol)).as("__w"))
+
+  /** Positional k-grams (idCol, __pos, __gram): every k-token window
+    * of every document, 1-based start position. Docs shorter than k
+    * emit nothing. Map-side: one bounded explode over the scan. */
+  private[operators] def positionalGrams(t: DataFrame, idCol: String, k: Int): DataFrame =
+    t.filter(size(col("__w")) >= k)
+      .select(col(idCol), posexplode(
+        expr(s"transform(sequence(1, size(__w) - ${k - 1}), i -> concat_ws(' ', slice(__w, i, $k)))"))
+        .as(Seq("__p0", "__gram")))
+      .select(col(idCol), (col("__p0") + 1).cast(LongType).as("__pos"), col("__gram"))
+
+  /** Coverage count per doc from flagged (idCol, __pos) span starts:
+    * merges overlapping [pos, pos+k-1] spans by counting DISTINCT
+    * covered positions (bounded k-explode on flagged rows only). */
+  private[operators] def coverageOf(t: DataFrame, flagged: DataFrame, idCol: String,
+      k: Int, outCol: String): DataFrame = {
+    val covered = flagged
+      .select(col(idCol), explode(expr(s"sequence(__pos, __pos + ${k - 1})")).as("__idx"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as(outCol))
+    t.select(col(idCol), size(col("__w")).cast(LongType).as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col(outCol), lit(0L)).as(outCol))
+  }
+
   /** Per-document duplicated-span coverage: (idCol, n_tokens,
     * dup_tokens) where dup_tokens counts token positions covered by at
     * least one k-gram whose text occurred earlier in the corpus
@@ -38,12 +67,8 @@ object SubstringDedup {
     * dup_tokens = 0. */
   def spanCoverage(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val t = docs.select(col(idCol), toks(col(textCol)).as("__w"))
-    val grams = t.filter(size(col("__w")) >= k)
-      .select(col(idCol), posexplode(
-        expr(s"transform(sequence(1, size(__w) - ${k - 1}), i -> concat_ws(' ', slice(__w, i, $k)))"))
-        .as(Seq("__p0", "__gram")))
-      .select(col(idCol), (col("__p0") + 1).cast(LongType).as("__pos"), col("__gram"))
+    val t = tokenFrame(docs, idCol, textCol)
+    val grams = positionalGrams(t, idCol, k)
     // phase 1: duplicated grams only (two-phase agg; Zipf head stays
     // out of the window below)
     val dupGrams = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__n"))
@@ -52,15 +77,6 @@ object SubstringDedup {
     val flagged = grams.join(dupGrams, Seq("__gram"), "left_semi")
       .withColumn("__rn", row_number().over(wFirst))
       .filter(col("__rn") > 1)
-    // phase 2: flagged spans cover [pos, pos+k-1]; count distinct
-    // covered positions per document
-    val covered = flagged
-      .select(col(idCol), explode(expr(s"sequence(__pos, __pos + ${k - 1})")).as("__idx"))
-      .distinct()
-      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_tokens"))
-    t.select(col(idCol), size(col("__w")).cast(LongType).as("n_tokens"))
-      .join(covered, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+    coverageOf(t, flagged, idCol, k, "dup_tokens")
   }
 }

@@ -144,6 +144,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*("), s"ANN scan stage must stay in whole-stage codegen:\n$p")
   }
 
+  test("q_dd8: pair search joins on the cell key — no cartesian, no O(corpus) hint") {
+    val qe = SparkEntry.queries("q_dd8_semantic_dedup")(spark, sf0001).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"SemDeDup pairs must equi-join on the cluster cell:\n$p")
+    // the only broadcast hints allowed are the trained centroids
+    // (driver-created k-row frames) — never a corpus parquet scan
+    val hints = qe.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.forall(_.child.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.isEmpty), s"broadcast hints must only cover centroid frames:\n${qe.analyzed}")
+    // (the constant-grp centroid join may compile to a nested loop over
+    // the BROADCAST 16-row centroid frame — fine, same as q_ann1; the
+    // CartesianProduct check above is what guards the corpus side)
+  }
+
+  test("q_dd9: the gram stream aggregates two-phase; the rank window sees only dup grams") {
+    val p = plan("q_dd9_substring_spans")
+    // duplicated-gram key set via partial+final aggregate (map-side
+    // combine absorbs the Zipf head before any shuffle)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"dup-gram DF must be a two-phase aggregate:\n$p")
+    // exactly one rank window, above the semi-join (optimized-plan
+    // structure pinned in SubstringDedupSpec; here: no second window)
+    assert("Window".r.findAllIn(p).size <= 2, s"unexpected extra windows:\n$p")
+  }
+
+  test("q_s2/q_s3: sampling family stays off the corpus-wide single-task window") {
+    // s2's only unpartitioned window runs over the 256-row group seam
+    val s2 = SparkEntry.queries("q_s2_shuffle_shard")(spark, sf0001)
+    val windows = s2.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(global.size == 1 && global.head.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "s2's global window must sit on the per-group aggregate")
+    // s3 is a pure projection: no exchange at all
+    val s3 = SparkEntry.queries("q_s3_train_val_test")(spark, sf0001)
+    val exchanges = s3.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "split assignment must be map-side only")
+  }
+
+  test("q_tx11: rare-token re-join is keyed by token and restricted to the rare tail") {
+    val p = plan("q_tx11_rare_tokens")
+    assert(p.contains("LeftSemi"), s"occurrences must semi-join the rare set:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rarity join must stay keyed:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     // AQE prints codegen spans only in the finalized plan — collect()
     // executes this exact queryExecution (write/count would clone it)

@@ -43,6 +43,27 @@ class SubstringDedupSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("spanContamination: benchmark coverage per doc, benchmark grams broadcast") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x y alpha beta gamma delta epsilon q r s"), // quotes 5 bench tokens
+      (2L, "p q r s t u v")                             // clean
+    ).toDF("doc_id", "text")
+    val r = Decontamination.spanContamination(corpus, bench, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // doc 1's only bench-matching gram is "alpha beta gamma delta
+    // epsilon" at pos 3 -> coverage = tokens 3..7 = 5
+    assert(r.toSeq == Seq((1L, 10L, 5L), (2L, 7L, 0L)))
+    // plan: the benchmark gram set must carry the broadcast hint
+    val qe = Decontamination.spanContamination(corpus, bench, "doc_id", "text", 5)
+      .queryExecution
+    assert(qe.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.nonEmpty, "benchmark grams must broadcast")
+  }
+
   test("the rank window runs over the duplicated-gram slice, not the full gram stream") {
     val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val plan = SubstringDedup.spanCoverage(docs, "doc_id", "text", 5)
