@@ -240,8 +240,9 @@ object TextQueries extends QueryModule {
   private val Stride = 30
 
   /** tx8's chunk frame (doc_id, chunk_idx, chunk_text, n_chunk_tokens) —
-    * shared by the chunking gate and the sequence-packing gate. */
-  private def chunkFrame(doc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    * shared by the chunking gate, the sequence-packing gate and the
+    * TrainingExport composition. */
+  private[graft] def chunkFrame(doc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     doc.select(col("doc_id"), tokens(col("text")).as("__toks"))
       .withColumn("__n", size(col("__toks")).cast(LongType))
       .filter(col("__n") > 0)
