@@ -12,7 +12,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     AggQueries, JoinQueries, WindowSetQueries, MergeQueries,
     DedupQueries, AnnQueries, TextQueries, EventQueries,
-    GenomicsQueries, SimilarityQueries, MultimodalQueries, GraphQueries)
+    GenomicsQueries, SimilarityQueries, MultimodalQueries, GraphQueries,
+    BpeQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -400,12 +400,11 @@ object AnnQueries extends QueryModule {
   // is IvfIndex.writeIndexPq/probePq, spec-pinned; this gate checks
   // the full trained pipeline (both k-means chains unrolled in the
   // oracle) end to end.
-  private val ann8 = {
-    val nprobe = 2; val topk = 3; val nQ = 4
-    Q(
-      "q_ann8_ivfpq",
-      s"IVF-PQ: trained coarse cells ($KmK, $nprobe-probe) + trained $PqSub×$PqCent PQ codebooks, ADC top-$topk",
-      (s, d) => {
+  /** The trained IVF-PQ ADC pipeline shared by ann8 (direct ADC top-k)
+    * and ann11 (ADC shortlist + exact re-rank): returns
+    * (query_id, vec_id, adist) for all candidates in the probed cells. */
+  private def ivfpqAdist(s: org.apache.spark.sql.SparkSession, d: String,
+      nQ: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
         val km = graft.operators.KMeans
         val e = Tables.embeddings(s, d)
         val pts = e.select(lit(0L).as("grp"), col("vec_id"),
@@ -440,19 +439,15 @@ object AnnQueries extends QueryModule {
         val cand = cells.join(broadcast(probes), Seq("cell"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("adist").asc, col("vec_id").asc)
         cand.join(codes, Seq("vec_id"))
           .join(broadcast(dt), Seq("query_id", "sub", "code"))
           .groupBy(col("query_id"), col("vec_id"))
           .agg(sum(col("qd")).as("adist"))
-          .withColumn("rnk", row_number().over(w).cast(LongType))
-          .filter(col("rnk") <= topk)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
-          .orderBy(col("query_id"), col("rnk"))
-      },
-      Some(s"""
-        WITH csamp AS (
+  }
+
+  /** ann8's oracle CTE chain through `adist` — shared with ann11. */
+  private def ivfpqAdistSqlCtes(nQ: Int, nprobe: Int): String =
+    s"""csamp AS (
           SELECT 0 AS grp, vec_id, ${KMeans.quantizeSql("embedding")} AS qv
           FROM embeddings
           WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(KmRate)}'),
@@ -494,11 +489,84 @@ object AnnQueries extends QueryModule {
           FROM probes pr JOIN cells ce ON ce.cell = pr.cell AND ce.vec_id <> pr.query_id
           JOIN codes co ON co.vec_id = ce.vec_id
           JOIN dt ON dt.query_id = pr.query_id AND dt.sub = co.sub AND dt.code = co.code
-          GROUP BY 1, 2)
+          GROUP BY 1, 2)"""
+
+  private val ann8 = {
+    val nprobe = 2; val topk = 3; val nQ = 4
+    Q(
+      "q_ann8_ivfpq",
+      s"IVF-PQ: trained coarse cells ($KmK, $nprobe-probe) + trained $PqSub×$PqCent PQ codebooks, ADC top-$topk",
+      (s, d) => {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        ivfpqAdist(s, d, nQ, nprobe)
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= topk)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH ${ivfpqAdistSqlCtes(nQ, nprobe)}
         SELECT query_id, vec_id AS neighbor_id, rnk FROM (
           SELECT query_id, vec_id, row_number() OVER (
             PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rnk
           FROM adist)
+        WHERE rnk <= $topk ORDER BY query_id, rnk"""))
+  }
+
+  // ADC shortlist + exact re-rank — how an IVF-PQ index is actually
+  // served: the quantized ADC distance picks a SHORTLIST (top-R,
+  // R >> k) cheaply, then only those R vectors' floats are fetched for
+  // an exact-cosine re-rank that repairs quantization error in the
+  // final ordering. Scale shape: the float table is touched by a keyed
+  // join on O(queries·R) ids — point lookups against the bucketed
+  // vector store, never a corpus scan; everything upstream is ann8's
+  // float-free probe. The oracle replays both k-means chains, the ADC
+  // shortlist, and the re-rank.
+  private val ann11 = {
+    val nprobe = 2; val short = 10; val topk = 3; val nQ = 4
+    Q(
+      "q_ann11_ivfpq_rerank",
+      s"IVF-PQ serving path: ADC top-$short shortlist, exact-cosine re-rank to top-$topk",
+      (s, d) => {
+        graft.functions.VecExpressions.register(s)
+        val wShort = Window.partitionBy(col("query_id"))
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        val shortlist = ivfpqAdist(s, d, nQ, nprobe)
+          .withColumn("__s", row_number().over(wShort))
+          .filter(col("__s") <= short)
+          .select(col("query_id"), col("vec_id"))
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val wRank = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        // shortlist is O(queries·R) → broadcast; the float fetch is a
+        // keyed join touching R rows per query
+        broadcast(shortlist).join(e, Seq("vec_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(wRank).cast(LongType))
+          .filter(col("rnk") <= topk)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH ${ivfpqAdistSqlCtes(nQ, nprobe)},
+        short AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS srnk
+            FROM adist)
+          WHERE srnk <= $short)
+        SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+          SELECT s.query_id, s.vec_id, row_number() OVER (
+            PARTITION BY s.query_id ORDER BY
+              list_cosine_similarity(q.embedding, e.embedding) DESC, s.vec_id ASC) AS rnk
+          FROM short s
+          JOIN embeddings e ON e.vec_id = s.vec_id
+          JOIN embeddings q ON q.vec_id = s.query_id)
         WHERE rnk <= $topk ORDER BY query_id, rnk"""))
   }
 
@@ -717,5 +785,6 @@ object AnnQueries extends QueryModule {
         WHERE rnk <= $topk ORDER BY query_id, rnk"""))
   }
 
-  override val all: Seq[Q] = Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8, ann9, ann10)
+  override val all: Seq[Q] =
+    Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8, ann9, ann10, ann11)
 }

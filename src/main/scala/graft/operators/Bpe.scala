@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed byte-pair-encoding vocabulary training (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units",
+  * arXiv:1508.07909) — the tokenizer-learning step of a training-data
+  * pipeline. Classic BPE is a sequential loop: count adjacent symbol
+  * pairs over the word-frequency table, merge the most frequent pair
+  * everywhere, repeat. This operator keeps that loop but makes every
+  * round fully relational:
+  *
+  *   - pair counting is a lead()-window + two-phase groupBy over the
+  *     token table (map-side combinable — the Zipf head never lands on
+  *     one task);
+  *   - the winning pair (count desc, pair asc — deterministic) is a
+  *     single collected row (the KMeans-centroid move: only KBs ever
+  *     reach the driver);
+  *   - greedy left-to-right merge application — the part that looks
+  *     inherently sequential — is expressed as a RUN-PARITY window:
+  *     within every maximal run of consecutive match positions, exactly
+  *     the 1st, 3rd, 5th … matches merge. That is precisely what the
+  *     sequential scan (merge, skip consumed symbol, continue) does, so
+  *     the relational form is bit-equal to the textbook algorithm
+  *     (BpeSpec pins this against a sequential fold reference).
+  *
+  * Scale shape: the corpus is touched ONCE (whitespace tokenize +
+  * groupBy word). Every training round runs over the word-frequency
+  * token table — vocabulary-sized, orders of magnitude smaller than a
+  * 100 TB corpus and independent of corpus growth once the vocabulary
+  * saturates. Rounds localCheckpoint the (small) token table so K
+  * rounds never stack K windows into one Catalyst plan.
+  *
+  * The whole procedure — pair counts, argmax, run-parity application —
+  * unrolls into the DuckDB oracle as a CTE chain ([[trainSqlCtes]]), so
+  * the q_bpe1/q_bpe2 gates verify the TRAINING round by round, not just
+  * a final artifact (the q_ann7 pattern).
+  */
+object Bpe {
+
+  /** One learned merge: at `step`, (left, right) was the most frequent
+    * adjacent pair with `pair_count` weighted occurrences. */
+  final case class BpeMerge(step: Long, pair_left: String, pair_right: String,
+      pair_count: Long)
+
+  /** Corpus → (word, freq): the single corpus-wide pass. Whitespace
+    * tokens, exact counts (two-phase groupBy). */
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(filter(split(col(textCol), " "), t => t =!= "")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** (word, freq) → initial token table (word, freq, pos, tok): one
+    * single-character token per position, 1-based. */
+  def charTokens(words: DataFrame): DataFrame =
+    words.select(col("word"), col("freq"),
+        posexplode(split(col("word"), "")).as(Seq("__p", "tok")))
+      .select(col("word"), col("freq"),
+        (col("__p") + 1).cast(LongType).as("pos"), col("tok"))
+
+  private val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+
+  /** Most frequent adjacent pair of the current token table, ties to
+    * the lexicographically smallest (left, right); None when no
+    * adjacent pairs remain. */
+  private def bestPair(toks: DataFrame): Option[BpeMerge] = {
+    val paired = toks.withColumn("__nxt", lead(col("tok"), 1).over(byWord))
+    paired.filter(col("__nxt").isNotNull)
+      .select(col("tok").as("l"), col("__nxt").as("r"), col("freq"))
+      .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+      .limit(1).collect().headOption
+      .map(row => BpeMerge(0L, row.getString(0), row.getString(1), row.getLong(2)))
+  }
+
+  /** Greedy application of one merge to the token table — the
+    * run-parity form of the sequential left-to-right scan. */
+  private[operators] def applyMerge(toks: DataFrame, l: String, r: String): DataFrame = {
+    val paired = toks.withColumn("__nxt", lead(col("tok"), 1).over(byWord))
+    val matches = paired
+      .filter(col("tok") === lit(l) && col("__nxt") === lit(r))
+      .select(col("word"), col("pos"))
+    // run-parity: group consecutive match positions (pos - row_number
+    // is constant within a run), keep odd ranks — exactly the matches
+    // the sequential scan merges
+    val chosen = matches
+      .withColumn("__grp", col("pos") - row_number().over(byWord))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("word"), col("__grp")).orderBy(col("pos"))))
+      .filter(col("__rn") % 2 === 1)
+      .select(col("word"), col("pos"))
+    val merged = chosen.select(col("word"), col("pos"), lit(true).as("__m"))
+    val dropped = chosen.select(col("word"), (col("pos") + 1).as("pos"), lit(true).as("__d"))
+    toks.join(merged, Seq("word", "pos"), "left")
+      .join(dropped, Seq("word", "pos"), "left")
+      .filter(col("__d").isNull)
+      .select(col("word"), col("freq"), col("pos").as("__opos"),
+        when(col("__m"), concat(col("tok"), lit(r))).otherwise(col("tok")).as("tok"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("word")).orderBy(col("__opos"))).cast(LongType))
+      .select(col("word"), col("freq"), col("pos"), col("tok"))
+  }
+
+  /** Train `nMerges` BPE merges over the word-frequency table. Returns
+    * the learned merge list (ordered) and the final token table
+    * (word, freq, pos, tok). Stops early if no adjacent pair remains. */
+  def train(words: DataFrame, nMerges: Int): (Seq[BpeMerge], DataFrame) = {
+    require(nMerges > 0, "need at least one merge")
+    var toks = charTokens(words).localCheckpoint()
+    val merges = Seq.newBuilder[BpeMerge]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      bestPair(toks) match {
+        case Some(m) =>
+          merges += m.copy(step = step.toLong)
+          toks = applyMerge(toks, m.pair_left, m.pair_right).localCheckpoint()
+          step += 1
+        case None => exhausted = true
+      }
+    }
+    (merges.result(), toks)
+  }
+
+  /** Segment NEW words with an already-learned merge list (tokenizer
+    * application): the same greedy run-parity rounds, one per merge, in
+    * merge order. */
+  def segment(words: DataFrame, merges: Seq[BpeMerge]): DataFrame =
+    merges.foldLeft(charTokens(words).localCheckpoint()) { (t, m) =>
+      applyMerge(t, m.pair_left, m.pair_right).localCheckpoint()
+    }
+
+  /** Final token table → (word, freq, toks) with toks '|'-joined in
+    * position order — the gate/report shape. */
+  def segmentation(toks: DataFrame): DataFrame =
+    toks.groupBy(col("word"), col("freq"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), "|").as("toks"))
+
+  // ---- oracle (DuckDB) twins -------------------------------------------
+
+  /** words CTE over `documents`: (word, freq). */
+  def wordsSqlCte(name: String = "words"): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT w AS word, count(*) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |        FROM documents)
+       |  GROUP BY w)""".stripMargin
+
+  /** The full training chain as CTEs: toks0 (char split) then, per
+    * round k, pair counting (pairs_k/pc_k), the argmax (best_k), match
+    * positions (m_k), run-parity selection (chosen_k) and the rebuilt
+    * token table (toks_k) — a bit-exact replay of [[train]].
+    *
+    * Multiply-referenced CTEs are AS MATERIALIZED: each round
+    * references the previous one several times, and default inlining
+    * re-evaluates the whole prefix per reference — exponential in the
+    * round count (measured: minutes at 6 rounds vs 0.6 s materialized). */
+  def trainSqlCtes(wordsCte: String, nMerges: Int): String = {
+    def round(k: Int): String = {
+      val p = k - 1
+      s"""pairs$k AS MATERIALIZED (
+         |  SELECT word, freq, pos, tok, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM toks$p),
+         |pc$k AS (
+         |  SELECT tok AS l, nxt AS r, sum(freq) AS cnt
+         |  FROM pairs$k WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |best$k AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM pc$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |m$k AS (
+         |  SELECT p.word, p.pos FROM pairs$k p, best$k b
+         |  WHERE p.tok = b.l AND p.nxt = b.r),
+         |chosen$k AS MATERIALIZED (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos, row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+         |    FROM (SELECT word, pos,
+         |                 pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+         |          FROM m$k))
+         |  WHERE rn % 2 = 1),
+         |toks$k AS MATERIALIZED (
+         |  SELECT word, freq, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, tok
+         |  FROM (
+         |    SELECT t.word, t.freq, t.pos,
+         |           CASE WHEN c1.pos IS NOT NULL THEN t.tok || b.r ELSE t.tok END AS tok,
+         |           c2.pos AS dropped
+         |    FROM toks$p t
+         |    CROSS JOIN best$k b
+         |    LEFT JOIN chosen$k c1 ON c1.word = t.word AND c1.pos = t.pos
+         |    LEFT JOIN chosen$k c2 ON c2.word = t.word AND c2.pos = t.pos - 1)
+         |  WHERE dropped IS NULL)""".stripMargin
+    }
+    s"""toks0 AS MATERIALIZED (
+       |  SELECT word, freq, i AS pos, substring(word, CAST(i AS INT), 1) AS tok
+       |  FROM $wordsCte, unnest(range(1, len(word) + 1)) AS t(i)),
+       |${(1 to nMerges).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** Final select over the chain: the learned merge table. */
+  def mergesSelectSql(nMerges: Int): String =
+    s"""SELECT * FROM (
+       |  ${(1 to nMerges).map(k =>
+            s"SELECT CAST($k AS BIGINT) AS step, l AS pair_left, r AS pair_right, " +
+            s"CAST(cnt AS BIGINT) AS pair_count FROM best$k").mkString("\n  UNION ALL ")}
+       |) ORDER BY step""".stripMargin
+}
+
+/** BPE gates: q_bpe1 verifies the learned merges (the training), q_bpe2
+  * the resulting segmentation of every vocabulary word (the
+  * application) — both against a full round-by-round oracle replay. */
+object BpeQueries extends QueryModule {
+
+  private[operators] val NMerges = 6
+
+  private val bpe1 = Q(
+    "q_bpe1_merges",
+    s"distributed BPE training: $NMerges greedy pair merges over the word-frequency table",
+    (s, d) => {
+      import s.implicits._
+      val (merges, _) = Bpe.train(Bpe.wordFrequencies(Tables.documents(s, d), "text"), NMerges)
+      merges.toDF().orderBy(col("step"))
+    },
+    Some(s"""
+      WITH ${Bpe.wordsSqlCte()},
+      ${Bpe.trainSqlCtes("words", NMerges)}
+      ${Bpe.mergesSelectSql(NMerges)}"""))
+
+  private val bpe2 = Q(
+    "q_bpe2_segment",
+    s"BPE segmentation: every vocabulary word tokenized with the $NMerges learned merges",
+    (s, d) => {
+      val (_, toks) = Bpe.train(Bpe.wordFrequencies(Tables.documents(s, d), "text"), NMerges)
+      Bpe.segmentation(toks).orderBy(col("word"))
+    },
+    Some(s"""
+      WITH ${Bpe.wordsSqlCte()},
+      ${Bpe.trainSqlCtes("words", NMerges)}
+      SELECT word, freq, array_to_string(list(tok ORDER BY pos), '|') AS toks
+      FROM toks$NMerges GROUP BY word, freq ORDER BY word"""))
+
+  override val all: Seq[Q] = Seq(bpe1, bpe2)
+}

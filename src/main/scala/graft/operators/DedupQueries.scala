@@ -38,48 +38,45 @@ object DedupQueries extends QueryModule {
             FROM documents)
       GROUP BY fp ORDER BY keep_id"""))
 
-  // MinHash + LSH: word-bigram shingles, k=8 salted-md5 minima,
-  // 4 bands × 2 rows, Jaccard-verified at ≥ 0.7. (Char n-grams are
-  // degenerate on a small-vocab corpus — nearly all pairs collide;
-  // word shingles keep the banded candidate set near the true-dup set.)
-  private val dd2 = Q(
-    "q_dd2_minhash_lsh",
-    "MinHash+LSH near-dup: shingle → 8-perm signature → banded candidates → Jaccard verify",
-    (s, d) => {
-      val doc = Tables.documents(s, d)
-      // one cached pass builds signatures AND set sizes; the shingle
-      // table is cached separately for the verification join
-      val sh = wordShingles(doc, "doc_id", "text", 2).cache()
-      val sig = minhashSignature(sh, "doc_id", 8).cache()
-      val bands = lshBands(sig, "doc_id", 8, 2)
-      val a = bands.select(col("doc_id").as("da"), col("band"), col("band_key"))
-      val b = bands.select(col("doc_id").as("db"), col("band"), col("band_key"))
-      // candidate generation = self shuffle-join partitioned by
-      // (band, band_key) — the standard LSH plan: every frame here is
-      // O(corpus), so nothing carries a broadcast hint (at 1 B docs a
-      // broadcast band table is a driver OOM). AQE may still pick a
-      // runtime broadcast when a side is actually small — a runtime
-      // size decision, not a plan commitment.
-      val cand = a.join(b, Seq("band", "band_key"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db")).distinct()
-      // verification joins shuffle-keyed by doc id / (doc id, shingle);
-      // candidate count is O(near-dup pairs), not O(N²)
-      val sa = sh.select(col("doc_id").as("da"), col("shingle"))
-      val sb = sh.select(col("doc_id").as("db"), col("shingle"))
-      val inter = cand
-        .join(sa, "da")
-        .join(sb, Seq("db", "shingle"))
-        .groupBy(col("da"), col("db")).agg(cnt.as("ninter"))
-      val jac = inter
-        .join(sig.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(sig.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          (col("ninter").cast(DoubleType) / (col("na") + col("nb") - col("ninter"))).as("jaccard"))
-      jac.filter(col("jaccard") >= 0.7).orderBy(col("doc_a"), col("doc_b"))
-    },
-    Some("""
-      WITH toks AS (
+  /** dd2's verified MinHash+LSH near-dup pairs (doc_a, doc_b, jaccard),
+    * factored out so the cluster gate (dd10) composes the identical
+    * pipeline. Plan notes inline. */
+  private[operators] def minhashJaccardPairs(doc: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    // one cached pass builds signatures AND set sizes; the shingle
+    // table is cached separately for the verification join
+    val sh = wordShingles(doc, "doc_id", "text", 2).cache()
+    val sig = minhashSignature(sh, "doc_id", 8).cache()
+    val bands = lshBands(sig, "doc_id", 8, 2)
+    val a = bands.select(col("doc_id").as("da"), col("band"), col("band_key"))
+    val b = bands.select(col("doc_id").as("db"), col("band"), col("band_key"))
+    // candidate generation = self shuffle-join partitioned by
+    // (band, band_key) — the standard LSH plan: every frame here is
+    // O(corpus), so nothing carries a broadcast hint (at 1 B docs a
+    // broadcast band table is a driver OOM). AQE may still pick a
+    // runtime broadcast when a side is actually small — a runtime
+    // size decision, not a plan commitment.
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    // verification joins shuffle-keyed by doc id / (doc id, shingle);
+    // candidate count is O(near-dup pairs), not O(N²)
+    val sa = sh.select(col("doc_id").as("da"), col("shingle"))
+    val sb = sh.select(col("doc_id").as("db"), col("shingle"))
+    val inter = cand
+      .join(sa, "da")
+      .join(sb, Seq("db", "shingle"))
+      .groupBy(col("da"), col("db")).agg(cnt.as("ninter"))
+    inter
+      .join(sig.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sig.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("ninter").cast(DoubleType) / (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** dd2's oracle CTE chain up to `pairs` (da, db) — shared with dd10. */
+  private val minhashPairCtes = """toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
         FROM documents),
       sh AS (
@@ -108,14 +105,63 @@ object DedupQueries extends QueryModule {
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.da
         JOIN sh sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
-        GROUP BY c.da, c.db)
-      SELECT i.da AS doc_a, i.db AS doc_b,
-             CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard
-      FROM inter i
-      JOIN sizes sa ON sa.doc_id = i.da
-      JOIN sizes sb ON sb.doc_id = i.db
-      WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.7
-      ORDER BY 1, 2"""))
+        GROUP BY c.da, c.db),
+      jac AS (
+        SELECT i.da, i.db,
+               CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.da
+        JOIN sizes sb ON sb.doc_id = i.db
+        WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.7)"""
+
+  // MinHash + LSH: word-bigram shingles, k=8 salted-md5 minima,
+  // 4 bands × 2 rows, Jaccard-verified at ≥ 0.7. (Char n-grams are
+  // degenerate on a small-vocab corpus — nearly all pairs collide;
+  // word shingles keep the banded candidate set near the true-dup set.)
+  private val dd2 = Q(
+    "q_dd2_minhash_lsh",
+    "MinHash+LSH near-dup: shingle → 8-perm signature → banded candidates → Jaccard verify",
+    (s, d) => minhashJaccardPairs(Tables.documents(s, d), 0.7)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $minhashPairCtes
+      SELECT da AS doc_a, db AS doc_b, jaccard FROM jac ORDER BY 1, 2"""))
+
+  // Near-dup CLUSTERS (dd2 composed with connected components): pair
+  // logic alone over-drops — a~b, b~c, a!~c keeps only a with greedy
+  // pair rules even though b would survive as c's representative. The
+  // cluster form closes the pair graph transitively and keeps exactly
+  // one representative (the min doc id) per component. The oracle
+  // replays the ENTIRE chain — shingles, signatures, bands, verified
+  // pairs, then a recursive-CTE closure — so the gate checks the
+  // composition end to end (candidate generation included), not the
+  // closure in isolation like q_cc1. Scale shape: CC input is the
+  // verified PAIR list (O(near-dups), corpus-free); rounds are
+  // O(cluster diameter) ≈ 2-3 for near-clique dup graphs.
+  private val dd10 = Q(
+    "q_dd10_dup_clusters",
+    "near-dup clusters: LSH-verified pairs closed into components, min-id representative kept",
+    (s, d) => {
+      // materialize the pair list before the closure: components()
+      // references its edge input twice (symmetric union), which would
+      // execute the whole LSH chain twice inside one job
+      val pairs = minhashJaccardPairs(Tables.documents(s, d), 0.7)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      ConnectedComponents.components(pairs, "doc_a", "doc_b")
+        .select(col("vertex").as("doc_id"), col("component").as("cluster_id"),
+          (col("vertex") === col("component")).cast(LongType).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairCtes,
+      sym AS (SELECT da AS a, db AS b FROM jac UNION SELECT db, da FROM jac),
+      reach(v, label) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.a, r.label FROM sym s JOIN reach r ON r.v = s.b)
+      SELECT v AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
+             CAST(CASE WHEN v = min(label) THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM reach GROUP BY v ORDER BY doc_id"""))
 
   // SimHash 16-bit signatures (integer-exact, oracle-checkable).
   private val dd3 = {
@@ -532,5 +578,5 @@ object DedupQueries extends QueryModule {
         ORDER BY t.doc_id"""))
   }
 
-  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dd7, dd8, dd9)
+  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dd7, dd8, dd9, dd10)
 }

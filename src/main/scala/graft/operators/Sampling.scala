@@ -60,6 +60,42 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** Salted hash gate for epoch upsampling — decorrelated from the
+    * plain [[hashGate]] so that mixing (s1) and upsampling decisions
+    * are independent for the same id. */
+  def epochGate(id: Column): Column =
+    substring(md5(concat(id.cast("string"), lit(":epoch"))), 1, 8)
+
+  /** Epoch-weighted upsampling — the "source A for 2.5 epochs, B for
+    * 1, C for 0.25" mixing step of a training run. Every row is
+    * emitted floor(e) times, plus once more iff its salted md5 gate
+    * falls under frac(e) — so a source with e = 2.5 repeats each doc 2
+    * or 3 times and the corpus-level expectation is exactly 2.5×, with
+    * NO rand(): re-running, re-partitioning, or growing the corpus
+    * never changes a given row's repeat count (the reproducibility
+    * property checkpointed training needs). Output adds `rep`
+    * (0-based repeat index) — downstream sharding treats (id, rep) as
+    * the unit. Plan: a codegen CASE computes reps, a bounded explode
+    * emits them; no shuffle, no join. */
+  def epochMix(df: DataFrame, sourceCol: String, idCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0 && e <= 100.0),
+      "epochs must be in [0, 100]")
+    def whole(e: Double): Long = math.floor(e).toLong
+    def fracThr(e: Double): String = hexThreshold(e - math.floor(e))
+    val sorted = epochs.toSeq.sortBy(_._1)
+    val base = sorted.foldRight(lit(whole(defaultEpochs)): Column) {
+      case ((src, e), acc) => when(col(sourceCol) === src, lit(whole(e))).otherwise(acc)
+    }
+    val thr = sorted.foldRight(lit(fracThr(defaultEpochs)): Column) {
+      case ((src, e), acc) => when(col(sourceCol) === src, lit(fracThr(e))).otherwise(acc)
+    }
+    df.withColumn("__reps", base + when(epochGate(col(idCol)) < thr, 1L).otherwise(0L))
+      .filter(col("__reps") > 0)
+      .withColumn("rep", explode(expr("sequence(0L, __reps - 1)")))
+      .drop("__reps")
+  }
+
   /** Driver-side rate computation from target shares: rate(s) =
     * min(1, share(s)·totalTarget / count(s)). The per-source counts
     * are one aggregation over the corpus; sources are few by contract

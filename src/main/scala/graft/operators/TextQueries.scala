@@ -419,6 +419,41 @@ object TextQueries extends QueryModule {
         FROM documents ORDER BY doc_id"""))
   }
 
+  // Epoch-weighted upsampling (Sampling.epochMix): high-quality
+  // sources repeat > 1 epoch, low-quality fractional — each doc's
+  // repeat count is floor(e) plus a salted-md5 coin for frac(e), so
+  // the mix is deterministic row-by-row. Both sides inline identical
+  // floor/frac-threshold case arms.
+  private val s4 = {
+    val epochs = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
+    val default = 0.0
+    def arm(e: Double): (Long, String) =
+      (math.floor(e).toLong, Sampling.hexThreshold(e - math.floor(e)))
+    val baseArms = epochs.toSeq.sortBy(_._1).map { case (s, e) =>
+      s"WHEN '$s' THEN ${arm(e)._1}" }.mkString(" ")
+    val thrArms = epochs.toSeq.sortBy(_._1).map { case (s, e) =>
+      s"WHEN '$s' THEN '${arm(e)._2}'" }.mkString(" ")
+    Q(
+      "q_s4_epoch_mix",
+      "epoch-weighted deterministic upsampling: floor(e) repeats + salted-md5 fractional coin",
+      (s, d) => Sampling.epochMix(Tables.documents(s, d), "source", "doc_id",
+          epochs, default)
+        .select(col("doc_id"), col("source"), col("rep"))
+        .orderBy(col("doc_id"), col("rep")),
+      Some(s"""
+        WITH r AS (
+          SELECT doc_id, source,
+                 CAST(CASE source $baseArms ELSE ${arm(default)._1} END AS BIGINT)
+                 + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 8) <
+                        CASE source $thrArms ELSE '${arm(default)._2}' END
+                        THEN 1 ELSE 0 END AS reps
+          FROM documents)
+        SELECT doc_id, source, rep
+        FROM r, unnest(range(0, reps)) AS t(rep)
+        WHERE reps > 0
+        ORDER BY doc_id, rep"""))
+  }
+
   // Lexical-rarity quality signal (the exact-arithmetic cousin of a
   // perplexity filter): per-document count of occurrences of CORPUS-
   // rare tokens (global count ≤ 2) — high rare fraction flags OCR
@@ -541,5 +576,5 @@ object TextQueries extends QueryModule {
   }
 
   override val all: Seq[Q] =
-    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, s1, s2, s3, llm1)
+    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, s1, s2, s3, s4, llm1)
 }

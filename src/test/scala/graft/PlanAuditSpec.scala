@@ -198,6 +198,25 @@ class PlanAuditSpec extends SparkSpec {
       s"rarity join must stay keyed:\n$p")
   }
 
+  test("q_s4: epoch upsampling is map-side only (CASE + bounded explode, no shuffle)") {
+    val s4 = SparkEntry.queries("q_s4_epoch_mix")(spark, sf0001)
+    val exchanges = s4.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the gate's final orderBy adds a range exchange; nothing else may shuffle
+    assert(exchanges.size <= 1, s"upsampling must not shuffle:\n${exchanges.mkString}")
+  }
+
+  test("q_ann11: float re-rank join is keyed on the broadcast shortlist — no corpus scan join") {
+    // the serving-path contract: the corpus float table is only ever
+    // touched through a keyed join against the O(queries·R) shortlist
+    val df = SparkEntry.queries("q_ann11_ivfpq_rerank")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"shortlist must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"re-rank must never cross-join the corpus:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     // AQE prints codegen spans only in the finalized plan — collect()
     // executes this exact queryExecution (write/count would clone it)

@@ -86,6 +86,27 @@ class DedupSpec extends SparkSpec {
     assert(fresh == Set(102L))
   }
 
+  test("dd10 clusters: pair graph closes into components with one representative each") {
+    // a 3-clique of exact dups (pairwise jaccard 1 → banding cannot
+    // miss them) plus a 2-cluster and a singleton: greedy pair logic
+    // would drop 2,3,5 by inspecting pairs independently — the cluster
+    // form must produce components {1,2,3} and {4,5}, keep the min id
+    // of each, and leave the pairless doc 7 out entirely
+    val t1 = (0 until 30).map(i => s"w$i").mkString(" ")
+    val t2 = (50 until 80).map(i => s"w$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, t1, "en", "s"), (2L, t1, "en", "s"), (3L, t1, "en", "s"),
+      (4L, t2, "en", "s"), (5L, t2, "en", "s"),
+      (7L, "totally different text here now", "en", "s")))
+    val out = SparkEntry.queries("q_dd10_dup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(t => (t._1, t._2)).toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)))
+    // kept iff the doc IS its component's min id — one keeper per cluster
+    assert(out.forall { case (v, c, k) => (k == 1L) == (v == c) })
+    assert(!out.exists(_._1 == 7L))
+  }
+
   test("PQ encode: every sub-centroid vector encodes to its own id in all subspaces") {
     // vec i < 16 IS the i-th sub-centroid in every subspace, so its
     // nearest sub-centroid is itself (distance 0) unless another

@@ -50,6 +50,41 @@ class SamplingSpec extends SparkSpec {
     assert(exchanges.isEmpty, "split assignment must be map-side only")
   }
 
+  test("epochMix: deterministic repeats, correct expectation, growth-stable") {
+    import spark.implicits._
+    val df = ((0L until 2000L).map(i => (i, "hi")) ++
+      (2000L until 4000L).map(i => (i, "lo"))).toDF("id", "source")
+    val epochs = Map("hi" -> 2.5, "lo" -> 0.25)
+    val mixed = Sampling.epochMix(df, "source", "id", epochs, 0.0).cache()
+    // repeat indexes are dense 0..reps-1 per id
+    val reps = mixed.groupBy("id").agg(count(lit(1)).as("n"), max("rep").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    assert(reps.forall { case (_, n, mx) => mx == n - 1 })
+    val byId = reps.map { case (id, n, _) => id -> n }.toMap
+    // per-row count is floor(e) or floor(e)+1; corpus totals ≈ e × n
+    assert(byId.filter(_._1 < 2000L).values.forall(n => n == 2L || n == 3L))
+    val hiTotal = byId.filter(_._1 < 2000L).values.sum
+    val loTotal = byId.filter(_._1 >= 2000L).values.sum
+    assert(math.abs(hiTotal - 5000L) < 250, s"got $hiTotal")
+    assert(math.abs(loTotal - 500L) < 100, s"got $loTotal")
+    // partitioning invariance + growth stability: a doc's repeat count
+    // never changes when the corpus is repartitioned or grown
+    val re = Sampling.epochMix(df.repartition(17), "source", "id", epochs, 0.0)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(re == byId)
+    val grown = Sampling.epochMix(
+      df.union(Seq((9999L, "hi")).toDF("id", "source")), "source", "id", epochs, 0.0)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(byId.forall { case (id, n) => grown(id) == n })
+    // map-side only: no shuffle anywhere in the plan
+    val exchanges = Sampling.epochMix(df, "source", "id", epochs, 0.0)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.isEmpty, "epoch upsampling must be map-side only")
+    mixed.unpersist()
+  }
+
   test("ratesForShares hits target sizes within hash-gate tolerance") {
     import spark.implicits._
     val df = ((0L until 2000L).map(i => (i, "big")) ++
