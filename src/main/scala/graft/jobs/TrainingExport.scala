@@ -33,7 +33,12 @@ object TrainingExport {
       groupDocs: Int = 100,
       nShards: Int = 8,
       fractions: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-      curation: CorpusCuration.Config = CorpusCuration.Config())
+      curation: CorpusCuration.Config = CorpusCuration.Config(),
+      /** Optional per-source epoch weights ([[Sampling.epochMix]]),
+        * applied to the FIRST split (train) only — holdouts are never
+        * upsampled. Empty = every source exactly once. */
+      epochs: Map[String, Double] = Map.empty,
+      defaultEpochs: Double = 1.0)
 
   /** Packed window frames per split: name → (bin_id, n_chunks,
     * n_tokens, bin_text). Caches the curated+split frame once; each
@@ -41,8 +46,22 @@ object TrainingExport {
   def packedSplits(docs: DataFrame, cfg: Config): Seq[(String, DataFrame)] = {
     val (curated, _) = CorpusCuration.run(docs, cfg.curation)
     val split = Sampling.assignSplits(curated, "doc_id", cfg.fractions).cache()
+    val trainName = cfg.fractions.head._1
+    // step 2.5 (optional): epoch-weighted upsampling of the TRAIN slice
+    // — each (doc, rep) becomes its own unit under a collision-free
+    // remapped id (rep < k), so packing/sharding treat repeats as
+    // independent documents while val/test stay exactly once
+    def upsampled(name: String, slice: DataFrame): DataFrame =
+      if (cfg.epochs.isEmpty || name != trainName) slice
+      else {
+        val k = math.ceil((cfg.epochs.values ++ Seq(cfg.defaultEpochs)).max).toLong + 1
+        Sampling.epochMix(slice, "source", "doc_id", cfg.epochs, cfg.defaultEpochs)
+          .withColumn("doc_id", col("doc_id") * k + col("rep"))
+          .drop("rep")
+      }
     cfg.fractions.map { case (name, _) =>
-      val chunks = TextQueries.chunkFrame(split.filter(col("split") === name))
+      val chunks = TextQueries.chunkFrame(
+        upsampled(name, split.filter(col("split") === name)))
         .select(col("doc_id"), col("chunk_idx"), col("chunk_text"), col("n_chunk_tokens"))
       val packed = SequencePacking.pack(chunks, "n_chunk_tokens", cfg.window,
         expr(s"doc_id div ${cfg.groupDocs}"), Seq("doc_id", "chunk_idx"))

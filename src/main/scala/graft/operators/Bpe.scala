@@ -240,5 +240,37 @@ object BpeQueries extends QueryModule {
       SELECT word, freq, array_to_string(list(tok ORDER BY pos), '|') AS toks
       FROM toks$NMerges GROUP BY word, freq ORDER BY word"""))
 
-  override val all: Seq[Q] = Seq(bpe1, bpe2)
+  // Corpus tokenization with the learned merges — the operator a
+  // training pipeline actually runs after BPE training: the vocabulary
+  // segmentation (word → subword count) is corpus-vocab-sized and
+  // BROADCASTS; the corpus is one scan + word explode + broadcast join
+  // + groupBy. The corpus text is never re-segmented per occurrence —
+  // each distinct word is segmented once, in the (small) vocab table.
+  private val bpe3 = Q(
+    "q_bpe3_corpus_tokens",
+    "corpus tokenization with learned BPE: per-doc subword counts via broadcast vocab map",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (_, toks) = Bpe.train(Bpe.wordFrequencies(docs, "text"), NMerges)
+      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("n_sub"))
+      docs.select(col("doc_id"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+        .join(broadcast(vocab), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${Bpe.wordsSqlCte()},
+      ${Bpe.trainSqlCtes("words", NMerges)},
+      vocab AS (SELECT word, count(*) AS n_sub FROM toks$NMerges GROUP BY word),
+      occ AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        FROM documents)
+      SELECT o.doc_id, count(*) AS n_words,
+             CAST(sum(v.n_sub) AS BIGINT) AS n_bpe_tokens
+      FROM occ o JOIN vocab v USING (word)
+      GROUP BY o.doc_id ORDER BY o.doc_id"""))
+
+  override val all: Seq[Q] = Seq(bpe1, bpe2, bpe3)
 }

@@ -217,6 +217,23 @@ class PlanAuditSpec extends SparkSpec {
       s"re-rank must never cross-join the corpus:\n$p")
   }
 
+  test("q_sk1: salted aggregation runs as two two-phase aggregates") {
+    // stage 1 groups by (key, salt) — a hot key spreads across `salts`
+    // tasks; stage 2 re-aggregates ≤ salts rows per key. Each stage is
+    // itself partial+final, so the plan carries 4 HashAggregates.
+    val p = plan("q_sk1_salted_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected two two-phase aggregates:\n$p")
+  }
+
+  test("q_bpe3: vocabulary segmentation broadcasts into the corpus scan") {
+    // the corpus is one scan + explode + broadcast join — the word →
+    // subword-count map is vocab-sized, never a corpus shuffle key
+    val df = SparkEntry.queries("q_bpe3_corpus_tokens")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"vocab map must broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     // AQE prints codegen spans only in the finalized plan — collect()
     // executes this exact queryExecution (write/count would clone it)

@@ -33,6 +33,36 @@ class TrainingExportSpec extends SparkSpec {
     assert(gotTokens == expectedTokens, s"got $gotTokens expected $expectedTokens")
   }
 
+  test("epoch weights upsample the train split only; integer epochs are token-exact") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val base = TrainingExport.Config(
+      fractions = Seq("train" -> 0.7, "val" -> 0.3), nShards = 2)
+    val cfg = base.copy(epochs = Map("src0" -> 2.0, "src1" -> 3.0), defaultEpochs = 1.0)
+
+    def tokens(c: TrainingExport.Config): Map[String, Long] = {
+      val out = java.nio.file.Files.createTempDirectory("texport3").toString
+      TrainingExport.writeExport(docs, out, c)
+      spark.read.parquet(out).groupBy("split").agg(sum("n_tokens").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val plain = tokens(base)
+    val mixed = tokens(cfg)
+    // val split untouched by upsampling
+    assert(mixed("val") == plain("val"))
+    // integer epochs: train tokens = Σ source-multiplier × source tokens
+    val (curated, _) = CorpusCuration.run(docs, base.curation)
+    val train = Sampling.assignSplits(curated, "doc_id", base.fractions)
+      .filter(col("split") === "train")
+    val bySource = graft.operators.TextQueries.chunkFrame(train)
+      .join(train.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(sum("n_chunk_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = bySource.map { case (src, t) =>
+      t * Map("src0" -> 2L, "src1" -> 3L).getOrElse(src, 1L)
+    }.sum
+    assert(mixed("train") == expected, s"got ${mixed("train")} expected $expected")
+  }
+
   test("export is deterministic: two runs produce identical window sets") {
     val docs = graft.Tables.documents(spark, sf0001).filter(col("doc_id") < 120)
     val cfg = TrainingExport.Config(
