@@ -146,6 +146,34 @@ object IvfIndex {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** ADC shortlist + exact re-rank over the persisted index — the
+    * serving path (q_ann11's production twin): [[probePq]] ranks a
+    * top-`shortlist` float-free, then ONLY those O(queries·shortlist)
+    * ids fetch their floats from `floats` (the bucketed vector store)
+    * through a keyed join for the exact-cosine top-`k`. Quantized
+    * recall, exact precision at the top; the float table is never
+    * scanned corpus-wide. `queries` = (query_id, qv);
+    * `floats` = (vec_id, embedding). */
+  def probePqRerank(spark: SparkSession, indexPath: String, queries: DataFrame,
+      coarse: DataFrame, pqCents: DataFrame, floats: DataFrame,
+      nprobe: Int, shortlist: Int, k: Int,
+      nSub: Int = 8, dSub: Int = 8, excludeSelf: Boolean = false): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    graft.functions.VecExpressions.register(spark)
+    val short = probePq(spark, indexPath, queries, coarse, pqCents,
+        nprobe, shortlist, nSub, dSub, excludeSelf)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(short).join(floats, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
+
   // --------------------------------------------------- residual IVF-PQ
 
   /** Per-subspace RESIDUAL points (grp=sub, vec_id, cell, qv): the

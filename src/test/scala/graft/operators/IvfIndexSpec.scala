@@ -82,6 +82,41 @@ class IvfIndexSpec extends SparkSpec {
     assert(res.collect().map(_.toSeq).toSeq == expected)
   }
 
+  test("IVF-PQ serving path: persisted shortlist + float re-rank ≡ q_ann11") {
+    val e = Tables.embeddings(spark, sf0001)
+    val pts = e.select(lit(0L).as("grp"), col("vec_id"),
+      KMeans.quantize(col("embedding")).as("qv"))
+    val coarse = KMeans.train(spark,
+      Sampling.deterministicSample(pts, "vec_id", AnnQueries.KmRate),
+      AnnQueries.KmK, AnnQueries.KmIters)
+    val slices = array((0 until AnnQueries.PqSub).map(i =>
+      slice(col("embedding"), i * AnnQueries.PqDsub + 1, AnnQueries.PqDsub)): _*)
+    val subPts = e.select(col("vec_id"), posexplode(slices).as(Seq("sub", "subvec")))
+      .select(col("sub").cast(org.apache.spark.sql.types.LongType).as("grp"),
+        col("vec_id"), KMeans.quantize(col("subvec")).as("qv"))
+    val pqCents = KMeans.train(spark,
+      Sampling.deterministicSample(subPts, "vec_id", AnnQueries.KmRate),
+      AnnQueries.PqCent, AnnQueries.KmIters)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqrr").toString + "/index"
+    IvfIndex.writeIndexPq(e, coarse, pqCents, dir)
+
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val res = IvfIndex.probePqRerank(spark, dir, queries, coarse, pqCents,
+      floats = e, nprobe = 2, shortlist = 10, k = 3, excludeSelf = true)
+      .orderBy(col("query_id"), col("rnk"))
+
+    // the float fetch is a keyed join on the broadcast shortlist —
+    // never a cartesian over the vector store
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"shortlist must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"re-rank must stay keyed:\n$plan")
+
+    val expected = SparkEntry.queries("q_ann11_ivfpq_rerank")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(res.collect().map(_.toSeq).toSeq == expected)
+  }
+
   test("residual IVF-PQ index: pruned float-free probe ≡ q_ann10") {
     val e = Tables.embeddings(spark, sf0001)
     val pts = e.select(lit(0L).as("grp"), col("vec_id"),
