@@ -532,10 +532,15 @@ object AnnQueries extends QueryModule {
         graft.functions.VecExpressions.register(s)
         val wShort = Window.partitionBy(col("query_id"))
           .orderBy(col("adist").asc, col("vec_id").asc)
+        // localCheckpoint the O(queries·R) shortlist: bounded by
+        // construction, it cuts the ADC chain out of the final plan so
+        // the serving query is EXACTLY the re-rank joins (PlanAuditSpec
+        // pins that plan with no unrelated joins muddying the audit)
         val shortlist = ivfpqAdist(s, d, nQ, nprobe)
           .withColumn("__s", row_number().over(wShort))
           .filter(col("__s") <= short)
           .select(col("query_id"), col("vec_id"))
+          .localCheckpoint()
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") < nQ)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))

@@ -158,7 +158,13 @@ object Bpe {
     * Multiply-referenced CTEs are AS MATERIALIZED: each round
     * references the previous one several times, and default inlining
     * re-evaluates the whole prefix per reference — exponential in the
-    * round count (measured: minutes at 6 rounds vs 0.6 s materialized). */
+    * round count (measured: minutes at 6 rounds vs 0.6 s materialized).
+    *
+    * best_k joins into toks_k as `LEFT JOIN ... ON true`, NOT a cross
+    * join: when the vocabulary fully merges before round k, best_k is
+    * EMPTY and a cross join would wipe the token table — the left join
+    * passes toks through unchanged, mirroring [[train]]'s early stop
+    * (both sides then also emit fewer than nMerges merge rows). */
   def trainSqlCtes(wordsCte: String, nMerges: Int): String = {
     def round(k: Int): String = {
       val p = k - 1
@@ -187,7 +193,7 @@ object Bpe {
          |           CASE WHEN c1.pos IS NOT NULL THEN t.tok || b.r ELSE t.tok END AS tok,
          |           c2.pos AS dropped
          |    FROM toks$p t
-         |    CROSS JOIN best$k b
+         |    LEFT JOIN best$k b ON true
          |    LEFT JOIN chosen$k c1 ON c1.word = t.word AND c1.pos = t.pos
          |    LEFT JOIN chosen$k c2 ON c2.word = t.word AND c2.pos = t.pos - 1)
          |  WHERE dropped IS NULL)""".stripMargin

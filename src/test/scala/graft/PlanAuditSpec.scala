@@ -208,11 +208,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_ann11: float re-rank join is keyed on the broadcast shortlist — no corpus scan join") {
-    // the serving-path contract: the corpus float table is only ever
-    // touched through a keyed join against the O(queries·R) shortlist
+    // the shortlist is localCheckpointed, so this plan is EXACTLY the
+    // serving query: both its joins (shortlist→floats, →queries) must
+    // be broadcast — any SortMergeJoin here would be a corpus shuffle
+    // of the float table, the exact regression this audit guards
     val df = SparkEntry.queries("q_ann11_ivfpq_rerank")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"shortlist must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the float fetch must not shuffle the vector store:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"re-rank must never cross-join the corpus:\n$p")
   }
@@ -227,11 +231,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_bpe3: vocabulary segmentation broadcasts into the corpus scan") {
-    // the corpus is one scan + explode + broadcast join — the word →
-    // subword-count map is vocab-sized, never a corpus shuffle key
+    // training ran eagerly (localCheckpoint), so this plan is ONLY the
+    // application query: one scan + explode + a single broadcast join
+    // of the vocab map — no shuffle join anywhere
     val df = SparkEntry.queries("q_bpe3_corpus_tokens")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"vocab map must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle on the word key:\n$p")
   }
 
   test("whole-stage codegen covers the scalar pipeline queries") {

@@ -29,14 +29,22 @@ def jvms():
         return -1
 
 
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+bench_json = "/tmp/bench_self.json"
+if os.path.exists(bench_json):
+    os.remove(bench_json)  # a stale record must never pass as this run's
 pre_load, pre_jvms = loadavg(), jvms()
 env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir, SPARK_GRAFT_CPUS=cpus,
-           SPARK_GRAFT_BENCH_OUT="/tmp/bench_self.json")
-subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env, check=True,
-               stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+           SPARK_GRAFT_BENCH_OUT=bench_json)
+log = "/tmp/bench_guarded.log"
+with open(log, "w") as lf:
+    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                       cwd=repo, stdout=lf, stderr=subprocess.STDOUT)
+if r.returncode != 0 or not os.path.exists(bench_json):
+    sys.exit(f"bench failed (exit {r.returncode}) — see {log}")
 post_load, post_jvms = loadavg(), jvms()
 
-rec = json.load(open("/tmp/bench_self.json"))
+rec = json.load(open(bench_json))
 # both snapshots run while no bench JVM is alive: pre before sbt
 # starts, post after it exits — any nonzero count is a FOREIGN jvm
 rec["contention"] = {"loadavg_pre": pre_load, "loadavg_post": post_load,
