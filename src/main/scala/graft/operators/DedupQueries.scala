@@ -495,6 +495,54 @@ object DedupQueries extends QueryModule {
       WHERE CAST(i.ninter AS DOUBLE) / (sb.n + sc.n - i.ninter) >= 0.7
       ORDER BY 1, 2"""))
 
+  // Incremental batch-vs-corpus EMBEDDING near-dup (dd7's vector twin,
+  // dd6's incremental form): the vec_id % 10 == 7 slice plays the
+  // arriving batch; its bucket tables broadcast into the corpus bucket
+  // scan (2 plane families), candidates verify with the BIGINT-exact
+  // quantized cosine. No corpus shuffle at candidate time, no
+  // corpus×corpus pair ever formed.
+  private val dd11 = {
+    val planes = 4; val tables = 2; val dim = 64
+    val planeSets = (0 until tables).map(t =>
+      md5SignPlanes((t + 1) * planes, dim).drop(t * planes))
+    Q(
+      "q_dd11_incremental_embedding",
+      "incremental embedding near-dup: broadcast batch buckets vs corpus, BIGINT-exact verify",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        EmbeddingDedup.nearDupAgainstCorpusExact(
+            e.filter(col("vec_id") % 10 === 7), e.filter(col("vec_id") % 10 =!= 7),
+            tNum = 7, tDen = 20, planes = planes, tables = tables, dim = dim)
+          .orderBy(col("batch_id"), col("corpus_id"))
+      },
+      Some(s"""
+        WITH q AS (
+          SELECT vec_id,
+                 ${intHyperplaneBucketSql("embedding", planeSets(0))} AS b0,
+                 ${intHyperplaneBucketSql("embedding", planeSets(1))} AS b1,
+                 list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        qq AS (
+          SELECT vec_id, b0, b1, qv,
+                 list_sum(list_transform(qv, x -> x * x)) AS qn
+          FROM q),
+        cand AS (
+          SELECT DISTINCT b.vec_id AS batch_id, c.vec_id AS corpus_id
+          FROM qq b JOIN qq c
+            ON (b.b0 = c.b0 OR b.b1 = c.b1)
+          WHERE b.vec_id % 10 = 7 AND c.vec_id % 10 <> 7),
+        v AS (
+          SELECT cand.batch_id, cand.corpus_id,
+                 list_sum(list_transform(b.qv, (x, j) -> x * c.qv[j])) AS qdot,
+                 b.qn AS qna, c.qn AS qnb
+          FROM cand
+          JOIN qq b ON b.vec_id = cand.batch_id
+          JOIN qq c ON c.vec_id = cand.corpus_id)
+        SELECT batch_id, corpus_id FROM v
+        WHERE qdot > 0 AND 400 * qdot * qdot >= 49 * qna * qnb
+        ORDER BY 1, 2"""))
+  }
+
   // Semantic dedup (SemDeDup): trained k-means cells bound the pair
   // search — near-dup pairs are only sought within a cell, never across
   // the corpus. 8 cells keep the planted near-dup pairs mostly
@@ -578,5 +626,6 @@ object DedupQueries extends QueryModule {
         ORDER BY t.doc_id"""))
   }
 
-  override val all: Seq[Q] = Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dd7, dd8, dd9, dd10)
+  override val all: Seq[Q] =
+    Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dd7, dd8, dd9, dd10, dd11)
 }

@@ -40,6 +40,24 @@ object EmbeddingDedup {
       .select(col("va").as("vec_a"), col("vb").as("vec_b"))
   }
 
+  /** Quantized frame with the BIGINT-exactness guard: both guard sides
+    * of the rational cosine test stay ≤ 2⁶³ iff qna·qnb ≤
+    * (3.03e9/max(tNum,tDen))² (with qdot² ≤ qna·qnb by
+    * Cauchy–Schwarz). Unit-scale embeddings (‖x‖≈1 ⇒ qn ≈ 10⁶) clear
+    * this by orders of magnitude; un-normalized inputs with |x| ≳ 3–5
+    * at dim 64 would otherwise OVERFLOW SILENTLY and emit wrong pairs
+    * — so the quantized norm is checked per row and raises instead. */
+  private def quantGuarded(embeddings: DataFrame, tNum: Long, tDen: Long): DataFrame = {
+    val qnBound = (3.03e9 / math.max(tNum, tDen)).toLong
+    embeddings.select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => floor(x.cast(DoubleType) * lit(1000.0)).cast("long")).as("qv"))
+      .withColumn("qn", aggregate(transform(col("qv"), x => x * x), lit(0L), (a, v) => a + v))
+      .withColumn("qn", when(col("qn") <= qnBound, col("qn")).otherwise(raise_error(concat(
+        lit(s"embedding dedup: quantized norm exceeds the BIGINT-exact bound $qnBound " +
+          "(embeddings must be ~unit-scale; normalize before calling) at vec_id="),
+        col("vec_id").cast("string")))))
+  }
+
   /** Gate-exact variant: same multi-table candidate generation, but
     * the verify is pure BIGINT math — components quantized to
     * floor(x·1000), threshold passed as the rational tNum/tDen, and
@@ -52,20 +70,7 @@ object EmbeddingDedup {
   def nearDupPairsExact(embeddings: DataFrame, tNum: Long, tDen: Long,
       planes: Int = 4, tables: Int = 4, dim: Int = 64): DataFrame = {
     require(tNum >= 0 && tDen > 0, "threshold must be a non-negative rational")
-    // BIGINT-exactness precondition: both guard sides stay ≤ 2⁶³ iff
-    // qna·qnb ≤ (3.03e9/max(tNum,tDen))² (with qdot² ≤ qna·qnb by
-    // Cauchy–Schwarz). Unit-scale embeddings (‖x‖≈1 ⇒ qn ≈ 10⁶) clear
-    // this by orders of magnitude; un-normalized inputs with |x| ≳ 3–5
-    // at dim 64 would otherwise OVERFLOW SILENTLY and emit wrong pairs
-    // — so the quantized norm is checked per row and raises instead.
-    val qnBound = (3.03e9 / math.max(tNum, tDen)).toLong
-    val e = embeddings.select(col("vec_id"), col("embedding"),
-        transform(col("embedding"), x => floor(x.cast(DoubleType) * lit(1000.0)).cast("long")).as("qv"))
-      .withColumn("qn", aggregate(transform(col("qv"), x => x * x), lit(0L), (a, v) => a + v))
-      .withColumn("qn", when(col("qn") <= qnBound, col("qn")).otherwise(raise_error(concat(
-        lit(s"nearDupPairsExact: quantized norm exceeds the BIGINT-exact bound $qnBound " +
-          "(embeddings must be ~unit-scale; normalize before calling) at vec_id="),
-        col("vec_id").cast("string")))))
+    val e = quantGuarded(embeddings, tNum, tDen)
     val cand = (0 until tables).map { t =>
       val signs = md5SignPlanes((t + 1) * planes, dim).drop(t * planes)
       val withB = e.withColumn("bucket", intHyperplaneBucket(col("embedding"), signs))
@@ -82,5 +87,37 @@ object EmbeddingDedup {
       .filter(col("qdot") > 0 &&
         lit(tDen * tDen) * col("qdot") * col("qdot") >= lit(tNum * tNum) * col("qna") * col("qnb"))
       .select(col("va").as("vec_a"), col("vb").as("vec_b"))
+  }
+
+  /** Incremental batch-vs-corpus embedding near-dup (dd7's vector
+    * twin): the arriving batch's bucket table BROADCASTS into the
+    * corpus bucket scan per plane family — candidate generation is
+    * map-side with zero corpus shuffle and no corpus×corpus pair is
+    * ever formed; only candidate-matched corpus rows pay the
+    * BIGINT-exact verify. Batch must be small relative to the corpus
+    * (the incremental-ingest contract). Returns (batch_id, corpus_id). */
+  def nearDupAgainstCorpusExact(batch: DataFrame, corpus: DataFrame,
+      tNum: Long, tDen: Long,
+      planes: Int = 4, tables: Int = 2, dim: Int = 64): DataFrame = {
+    require(tNum >= 0 && tDen > 0, "threshold must be a non-negative rational")
+    val b = quantGuarded(batch, tNum, tDen)
+    val c = quantGuarded(corpus, tNum, tDen)
+    val cand = (0 until tables).map { t =>
+      val signs = md5SignPlanes((t + 1) * planes, dim).drop(t * planes)
+      val bb = b.withColumn("bucket", intHyperplaneBucket(col("embedding"), signs))
+        .select(col("vec_id").as("batch_id"), col("bucket"))
+      val cb = c.withColumn("bucket", intHyperplaneBucket(col("embedding"), signs))
+        .select(col("vec_id").as("corpus_id"), col("bucket"))
+      cb.join(broadcast(bb), Seq("bucket"))
+        .select(col("batch_id"), col("corpus_id"))
+    }.reduce(_ union _).distinct()
+    val qb = b.select(col("vec_id").as("batch_id"), col("qv").as("qva"), col("qn").as("qna"))
+    val qc = c.select(col("vec_id").as("corpus_id"), col("qv").as("qvb"), col("qn").as("qnb"))
+    cand.join(broadcast(qb), "batch_id").join(qc, "corpus_id")
+      .withColumn("qdot",
+        aggregate(zip_with(col("qva"), col("qvb"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .filter(col("qdot") > 0 &&
+        lit(tDen * tDen) * col("qdot") * col("qdot") >= lit(tNum * tNum) * col("qna") * col("qnb"))
+      .select(col("batch_id"), col("corpus_id"))
   }
 }

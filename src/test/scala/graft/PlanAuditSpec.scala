@@ -221,6 +221,16 @@ class PlanAuditSpec extends SparkSpec {
       s"re-rank must never cross-join the corpus:\n$p")
   }
 
+  test("q_dd11: batch buckets broadcast into the corpus scan; no corpus self-join") {
+    // incremental embedding dedup's contract (same as dd7's): the
+    // corpus is never shuffled for candidate generation — the batch
+    // bucket tables carry the broadcast
+    val df = SparkEntry.queries("q_dd11_incremental_embedding")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"batch buckets must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no corpus cartesian:\n$p")
+  }
+
   test("q_sk1: salted aggregation runs as two two-phase aggregates") {
     // stage 1 groups by (key, salt) — a hot key spreads across `salts`
     // tasks; stage 2 re-aggregates ≤ salts rows per key. Each stage is
