@@ -626,6 +626,52 @@ object DedupQueries extends QueryModule {
         ORDER BY t.doc_id"""))
   }
 
+  // The CUT step of Lee et al. (dd9 measures coverage; this REWRITES):
+  // every 5-token span whose text occurred earlier in the corpus is
+  // deleted, keeping the first occurrence corpus-wide. The oracle
+  // reconstructs the cleaned text from surviving token positions the
+  // same way.
+  private val dd12 = {
+    val k = 5
+    Q(
+      "q_dd12_span_removal",
+      s"exact substring dedup, cut step: duplicated $k-token spans removed from the text",
+      (s, d) => SubstringDedup.cutSpans(Tables.documents(s, d), "doc_id", "text", k)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toksq AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS gram
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${k - 2})) AS i
+                FROM toksq WHERE len(w) >= $k)),
+        flagged AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+            FROM grams) WHERE rn > 1),
+        cov AS (
+          SELECT DISTINCT doc_id, pos + o AS idx
+          FROM flagged, unnest(range(0, $k)) AS t(o)),
+        toks_pos AS (
+          SELECT doc_id, i AS idx, list_extract(w, i) AS tok
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toksq)),
+        kept AS (
+          SELECT p.doc_id, p.idx, p.tok
+          FROM toks_pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.idx = p.idx
+          WHERE c.idx IS NULL),
+        r AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 array_to_string(list(tok ORDER BY idx), ' ') AS clean_text
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, len(t.w) AS n_tokens,
+               coalesce(r.n_kept, 0) AS n_kept,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM toksq t LEFT JOIN r ON r.doc_id = t.doc_id
+        ORDER BY t.doc_id"""))
+  }
+
   override val all: Seq[Q] =
-    Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dd7, dd8, dd9, dd10, dd11)
+    Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dd7, dd8, dd9, dd10, dd11, dd12)
 }

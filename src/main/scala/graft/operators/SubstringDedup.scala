@@ -60,23 +60,58 @@ object SubstringDedup {
         coalesce(col(outCol), lit(0L)).as(outCol))
   }
 
-  /** Per-document duplicated-span coverage: (idCol, n_tokens,
-    * dup_tokens) where dup_tokens counts token positions covered by at
-    * least one k-gram whose text occurred earlier in the corpus
-    * (earlier = lower (doc_id, pos)). Documents shorter than k carry
-    * dup_tokens = 0. */
-  def spanCoverage(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
-    val t = tokenFrame(docs, idCol, textCol)
+  /** Flagged duplicate-span starts (idCol, __pos): every k-gram
+    * occurrence whose text occurred earlier in the corpus (earlier =
+    * lower (doc_id, pos)) — shared by the coverage metric and the cut. */
+  private def flaggedSpans(t: DataFrame, idCol: String, k: Int): DataFrame = {
     val grams = positionalGrams(t, idCol, k)
     // phase 1: duplicated grams only (two-phase agg; Zipf head stays
     // out of the window below)
     val dupGrams = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select(col("__gram"))
     val wFirst = Window.partitionBy(col("__gram")).orderBy(col(idCol), col("__pos"))
-    val flagged = grams.join(dupGrams, Seq("__gram"), "left_semi")
+    grams.join(dupGrams, Seq("__gram"), "left_semi")
       .withColumn("__rn", row_number().over(wFirst))
       .filter(col("__rn") > 1)
-    coverageOf(t, flagged, idCol, k, "dup_tokens")
+  }
+
+  /** Per-document duplicated-span coverage: (idCol, n_tokens,
+    * dup_tokens) where dup_tokens counts token positions covered by at
+    * least one k-gram whose text occurred earlier in the corpus.
+    * Documents shorter than k carry dup_tokens = 0. */
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val t = tokenFrame(docs, idCol, textCol)
+    coverageOf(t, flaggedSpans(t, idCol, k), idCol, k, "dup_tokens")
+  }
+
+  /** The CUT step of Lee et al.: rewrite each document with every
+    * duplicated k-token span REMOVED (the paper's ExactSubstr
+    * deduplication — keep the first occurrence corpus-wide, delete the
+    * text of every later one). Returns (idCol, n_tokens, n_kept,
+    * clean_text): the whitespace-normalized text of the surviving
+    * token positions, '' when everything was cut. Scale shape: the
+    * rebuild is one anti-join of the positional token explode against
+    * the covered-position set (both keyed by (doc, position)) and a
+    * per-document sort-aggregate — no global window, no text shuffle
+    * beyond the doc-keyed groupBy. */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val t = tokenFrame(docs, idCol, textCol)
+    val covered = flaggedSpans(t, idCol, k)
+      .select(col(idCol), explode(expr(s"sequence(__pos, __pos + ${k - 1})")).as("__idx"))
+      .distinct()
+    val kept = t.select(col(idCol), posexplode(col("__w")).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).cast(LongType).as("__idx"), col("__tok"))
+      .join(covered, Seq(idCol, "__idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("__idx"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("clean_text"))
+    t.select(col(idCol), size(col("__w")).cast(LongType).as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

@@ -35,6 +35,27 @@ class SubstringDedupSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 2L, 0L), (2L, 2L, 0L)))
   }
 
+  test("cutSpans removes exactly the covered positions; exact copies vanish") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f z"),        // positions 3..8 covered (two overlapping spans)
+      (3L, "a b c d e f g h"),          // exact copy of doc 1 -> fully cut
+      (4L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val r = SubstringDedup.cutSpans(docs, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (1L, 8L, 8L, "a b c d e f g h"),
+      (2L, 9L, 3L, "x y z"),
+      (3L, 8L, 0L, ""),
+      (4L, 5L, 5L, "p q r s t")))
+    // cut and coverage agree: n_tokens - n_kept == dup_tokens
+    val cov = SubstringDedup.spanCoverage(docs, "doc_id", "text", 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r.forall { case (id, n, kept, _) => n - kept == cov(id) })
+  }
+
   test("result is partitioning-independent") {
     val docs = graft.Tables.documents(spark, sf0001)
     def run(parts: Int) = SubstringDedup.spanCoverage(
