@@ -330,7 +330,7 @@ object DedupQueries extends QueryModule {
   private val dd6 = {
     val planes = 4; val tables = 2; val dim = 64
     val planeSets = (0 until tables).map(t =>
-      md5SignPlanes((t + 1) * planes, dim).drop(t * planes))
+      planeFamily(t, planes, dim))
     Q(
       "q_dd6_multitable_lsh",
       "multi-table LSH embedding near-dup: 2 plane families, integer-exact verify",
@@ -418,20 +418,12 @@ object DedupQueries extends QueryModule {
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH toksq AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
-          FROM documents),
-        grams AS (
-          SELECT doc_id, i AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS gram
-          FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${k - 2})) AS i
-                FROM toksq WHERE len(w) >= $k)),
+        WITH ${SubstringDedup.toksGramsSqlCtes(k)},
         bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 11 = 0),
         flagged AS (
           SELECT doc_id, pos FROM grams
           WHERE doc_id % 11 <> 0 AND gram IN (SELECT gram FROM bench)),
-        cov AS (
-          SELECT DISTINCT doc_id, pos + o AS idx
-          FROM flagged, unnest(range(0, $k)) AS t(o)),
+        ${SubstringDedup.covSqlCte(k)},
         c AS (SELECT doc_id, count(*) AS contam_tokens FROM cov GROUP BY doc_id)
         SELECT t.doc_id, len(t.w) AS n_tokens,
                coalesce(c.contam_tokens, 0) AS contam_tokens
@@ -504,7 +496,7 @@ object DedupQueries extends QueryModule {
   private val dd11 = {
     val planes = 4; val tables = 2; val dim = 64
     val planeSets = (0 until tables).map(t =>
-      md5SignPlanes((t + 1) * planes, dim).drop(t * planes))
+      planeFamily(t, planes, dim))
     Q(
       "q_dd11_incremental_embedding",
       "incremental embedding near-dup: broadcast batch buckets vs corpus, BIGINT-exact verify",
@@ -604,21 +596,9 @@ object DedupQueries extends QueryModule {
       (s, d) => SubstringDedup.spanCoverage(Tables.documents(s, d), "doc_id", "text", k)
         .orderBy(col("doc_id")),
       Some(s"""
-        WITH toksq AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
-          FROM documents),
-        grams AS (
-          SELECT doc_id, i AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS gram
-          FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${k - 2})) AS i
-                FROM toksq WHERE len(w) >= $k)),
-        flagged AS (
-          SELECT doc_id, pos FROM (
-            SELECT doc_id, pos,
-                   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
-            FROM grams) WHERE rn > 1),
-        cov AS (
-          SELECT DISTINCT doc_id, pos + o AS idx
-          FROM flagged, unnest(range(0, $k)) AS t(o)),
+        WITH ${SubstringDedup.toksGramsSqlCtes(k)},
+        ${SubstringDedup.dupFlaggedSqlCte},
+        ${SubstringDedup.covSqlCte(k)},
         dup AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
         SELECT t.doc_id, len(t.w) AS n_tokens,
                coalesce(d.dup_tokens, 0) AS dup_tokens
@@ -639,21 +619,9 @@ object DedupQueries extends QueryModule {
       (s, d) => SubstringDedup.cutSpans(Tables.documents(s, d), "doc_id", "text", k)
         .orderBy(col("doc_id")),
       Some(s"""
-        WITH toksq AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
-          FROM documents),
-        grams AS (
-          SELECT doc_id, i AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS gram
-          FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${k - 2})) AS i
-                FROM toksq WHERE len(w) >= $k)),
-        flagged AS (
-          SELECT doc_id, pos FROM (
-            SELECT doc_id, pos,
-                   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
-            FROM grams) WHERE rn > 1),
-        cov AS (
-          SELECT DISTINCT doc_id, pos + o AS idx
-          FROM flagged, unnest(range(0, $k)) AS t(o)),
+        WITH ${SubstringDedup.toksGramsSqlCtes(k)},
+        ${SubstringDedup.dupFlaggedSqlCte},
+        ${SubstringDedup.covSqlCte(k)},
         toks_pos AS (
           SELECT doc_id, i AS idx, list_extract(w, i) AS tok
           FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toksq)),

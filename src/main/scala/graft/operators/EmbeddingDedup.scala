@@ -24,7 +24,7 @@ object EmbeddingDedup {
     val cand = (0 until tables).map { t =>
       // distinct plane family per table: salt the md5 derivation by
       // shifting the plane index block
-      val signs = md5SignPlanes((t + 1) * planes, dim).drop(t * planes)
+      val signs = planeFamily(t, planes, dim)
       val withB = e.withColumn("bucket", intHyperplaneBucket(col("embedding"), signs))
       val a = withB.select(col("vec_id").as("va"), col("bucket"))
       val b = withB.select(col("vec_id").as("vb"), col("bucket"))
@@ -72,7 +72,7 @@ object EmbeddingDedup {
     require(tNum >= 0 && tDen > 0, "threshold must be a non-negative rational")
     val e = quantGuarded(embeddings, tNum, tDen)
     val cand = (0 until tables).map { t =>
-      val signs = md5SignPlanes((t + 1) * planes, dim).drop(t * planes)
+      val signs = planeFamily(t, planes, dim)
       val withB = e.withColumn("bucket", intHyperplaneBucket(col("embedding"), signs))
       val a = withB.select(col("vec_id").as("va"), col("bucket"))
       val b = withB.select(col("vec_id").as("vb"), col("bucket"))
@@ -103,7 +103,7 @@ object EmbeddingDedup {
     val b = quantGuarded(batch, tNum, tDen)
     val c = quantGuarded(corpus, tNum, tDen)
     val cand = (0 until tables).map { t =>
-      val signs = md5SignPlanes((t + 1) * planes, dim).drop(t * planes)
+      val signs = planeFamily(t, planes, dim)
       val bb = b.withColumn("bucket", intHyperplaneBucket(col("embedding"), signs))
         .select(col("vec_id").as("batch_id"), col("bucket"))
       val cb = c.withColumn("bucket", intHyperplaneBucket(col("embedding"), signs))
@@ -113,7 +113,13 @@ object EmbeddingDedup {
     }.reduce(_ union _).distinct()
     val qb = b.select(col("vec_id").as("batch_id"), col("qv").as("qva"), col("qn").as("qna"))
     val qc = c.select(col("vec_id").as("corpus_id"), col("qv").as("qvb"), col("qn").as("qnb"))
-    cand.join(broadcast(qb), "batch_id").join(qc, "corpus_id")
+    // cand is batch-bounded, so BROADCAST the (cand ⋈ batch-vectors)
+    // side into the corpus scan — the verify stays map-side over the
+    // corpus exactly like candidate generation (dd7 precedent:
+    // IncrementalDedup.pairsAgainstState); without the hint Catalyst's
+    // corpus-derived size estimate for cand plans a SortMergeJoin that
+    // shuffles every corpus row's 64-long qv array.
+    qc.join(broadcast(cand.join(broadcast(qb), "batch_id")), "corpus_id")
       .withColumn("qdot",
         aggregate(zip_with(col("qva"), col("qvb"), (x, y) => x * y), lit(0L), (a, v) => a + v))
       .filter(col("qdot") > 0 &&

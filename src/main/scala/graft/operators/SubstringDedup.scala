@@ -45,14 +45,21 @@ object SubstringDedup {
         .as(Seq("__p0", "__gram")))
       .select(col(idCol), (col("__p0") + 1).cast(LongType).as("__pos"), col("__gram"))
 
-  /** Coverage count per doc from flagged (idCol, __pos) span starts:
-    * merges overlapping [pos, pos+k-1] spans by counting DISTINCT
-    * covered positions (bounded k-explode on flagged rows only). */
-  private[operators] def coverageOf(t: DataFrame, flagged: DataFrame, idCol: String,
-      k: Int, outCol: String): DataFrame = {
-    val covered = flagged
+  /** Distinct covered positions (idCol, __idx) from flagged (idCol,
+    * __pos) span starts — merges overlapping [pos, pos+k-1] spans via
+    * a bounded k-explode on flagged rows only. THE definition of
+    * "covered" shared by the coverage metric and the cut step (the
+    * CutSpans spec pins n_tokens - n_kept == dup_tokens, which holds
+    * only while both build on this frame). */
+  private def coveredPositions(flagged: DataFrame, idCol: String, k: Int): DataFrame =
+    flagged
       .select(col(idCol), explode(expr(s"sequence(__pos, __pos + ${k - 1})")).as("__idx"))
       .distinct()
+
+  /** Coverage count per doc from flagged (idCol, __pos) span starts. */
+  private[operators] def coverageOf(t: DataFrame, flagged: DataFrame, idCol: String,
+      k: Int, outCol: String): DataFrame = {
+    val covered = coveredPositions(flagged, idCol, k)
       .groupBy(col(idCol)).agg(count(lit(1)).as(outCol))
     t.select(col(idCol), size(col("__w")).cast(LongType).as("n_tokens"))
       .join(covered, Seq(idCol), "left")
@@ -95,12 +102,37 @@ object SubstringDedup {
     * the covered-position set (both keyed by (doc, position)) and a
     * per-document sort-aggregate — no global window, no text shuffle
     * beyond the doc-keyed groupBy. */
+  /** DuckDB oracle fragments shared by the dd9/dd12 gates (dc2 reuses
+    * the tokenize/gram/cov pieces with its own benchmark `flagged`).
+    * ONE copy so the oracles can never diverge from each other: a
+    * tokenization or window change edits these strings once. */
+  // toksq: whitespace tokens per documents row; grams: positional
+  // k-grams, 1-based (the SQL twin of tokenFrame + positionalGrams)
+  def toksGramsSqlCtes(k: Int): String = s"""toksq AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS gram
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${k - 2})) AS i
+                FROM toksq WHERE len(w) >= $k))"""
+
+  // flagged: occurrences whose gram text occurred earlier ((doc, pos)
+  // rank > 1) — the SQL twin of flaggedSpans
+  def dupFlaggedSqlCte: String = """flagged AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+            FROM grams) WHERE rn > 1)"""
+
+  // cov: distinct covered token positions — the twin of coveredPositions
+  def covSqlCte(k: Int): String = s"""cov AS (
+          SELECT DISTINCT doc_id, pos + o AS idx
+          FROM flagged, unnest(range(0, $k)) AS t(o))"""
+
   def cutSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val t = tokenFrame(docs, idCol, textCol)
-    val covered = flaggedSpans(t, idCol, k)
-      .select(col(idCol), explode(expr(s"sequence(__pos, __pos + ${k - 1})")).as("__idx"))
-      .distinct()
+    val covered = coveredPositions(flaggedSpans(t, idCol, k), idCol, k)
     val kept = t.select(col(idCol), posexplode(col("__w")).as(Seq("__p0", "__tok")))
       .select(col(idCol), (col("__p0") + 1).cast(LongType).as("__idx"), col("__tok"))
       .join(covered, Seq(idCol, "__idx"), "left_anti")

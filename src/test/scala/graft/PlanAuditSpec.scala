@@ -228,6 +228,8 @@ class PlanAuditSpec extends SparkSpec {
     val df = SparkEntry.queries("q_dd11_incremental_embedding")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"batch buckets must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"neither candidate generation nor verify may shuffle the corpus:\n$p")
     assert(!p.contains("CartesianProduct"), s"no corpus cartesian:\n$p")
   }
 
