@@ -1,0 +1,285 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Mergeable sketches — the bounded-memory cardinality / frequency
+  * operators a 100 TB engine needs when exact distinct-counting would
+  * shuffle billions of keys.
+  *
+  * Two classic sketches, both built md5-deterministic so any engine
+  * reproduces them bit-for-bit (same discipline as the LSH gates):
+  *
+  *  - KMV (k-minimum-values) distinct-count estimation
+  *    (Bar-Yossef et al. 2002, "Counting distinct elements in a data
+  *    stream"): keep the k smallest distinct hash values; with the
+  *    hash uniform on [0, 2^56), E[distinct] ≈ (k-1)·2^56 / h_(k).
+  *    The sketch is a bounded sorted array, merged by "union, keep k
+  *    smallest" — a classic commutative monoid, so Spark evaluates it
+  *    as a two-phase ObjectHashAggregate: partial sketches combine
+  *    map-side and only (group, k·8 bytes) rows ever shuffle. The
+  *    estimate itself is INTEGER-EXACT: floor((k-1)·2^56 / h_(k)) in
+  *    BIGINT division, so the DuckDB oracle (which ranks the full
+  *    distinct set — fine at gate scale) must match hash-for-hash.
+  *
+  *  - Count-min sketch frequency estimation (Cormode & Muthukrishnan
+  *    2005): d independent hash rows × w buckets of additive counters;
+  *    est(key) = min_j cell(j, bucket_j(key)) ≥ true count. The build
+  *    is one map-side-combinable groupBy to a FIXED d·w cells — the
+  *    sketch of a 100 TB corpus is still 4096 rows, so the probe join
+  *    broadcasts the sketch no matter how large the input was.
+  *
+  * The reference has no sketch operators (its scale never needed
+  * them); these are part of the beyond-the-reference large-scale
+  * toolkit, like the dedup/ANN families.
+  */
+object Sketches {
+
+  /** Hash width: 14 hex chars = 56 bits, so (k-1)·2^56 stays inside
+    * BIGINT for k ≤ 128 and digit-weight sums are exact in any engine. */
+  private val HexChars = 14
+  val HashSpace: Long = 1L << (4 * HexChars)
+
+  /** 56-bit non-negative integer hash of a string column: the first 14
+    * hex chars of md5, base-16-decoded. `conv` is exact here (≤ 2^56 <
+    * 2^63). Deterministic and engine-reproducible. */
+  def md5Long56(s: Column): Column =
+    conv(substring(md5(s), 1, HexChars), 16, 10).cast(LongType)
+
+  /** The DuckDB twin of [[md5Long56]]: DuckDB has no base-16 string
+    * decode, so the generated SQL decodes digit-by-digit with literal
+    * BIGINT place weights (exact — every term and the sum < 2^56). */
+  def md5Long56Sql(sqlExpr: String): String = {
+    val digits = (0 until HexChars).map { i =>
+      val weight = 1L << (4 * (HexChars - 1 - i))
+      s"(strpos('0123456789abcdef', substring(md5($sqlExpr), ${i + 1}, 1)) - 1) * $weight"
+    }
+    s"(${digits.mkString(" + ")})"
+  }
+
+  /** Bounded k-minimum-values buffer: a sorted array of at most k
+    * distinct hashes. reduce/merge keep the invariant; both are
+    * allocation-light (binary search + arraycopy). */
+  final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val idx = java.util.Arrays.binarySearch(buf, h)
+      if (idx >= 0) buf // already in the sketch
+      else {
+        val ins = -idx - 1
+        if (buf.length < k) {
+          val out = new Array[Long](buf.length + 1)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+          out
+        } else if (ins >= k) buf // above the current k-th minimum
+        else {
+          val out = new Array[Long](k)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+          out
+        }
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** KMV sketch as an aggregate column over a 56-bit hash column. */
+  def kmvSketch(k: Int)(h: Column): Column = udaf(new KmvAgg(k)).apply(h)
+
+  /** Merge two sketch columns relationally (the distributed-combine
+    * law, exposed for cross-partition / cross-table unions): union,
+    * distinct, keep the k smallest. Pure column functions, so the same
+    * expression runs in any engine. */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Distinct-count estimate from a sketch column (referenced by NAME —
+    * the integral `div` needs SQL-expression form; float division would
+    * be inexact above 2^53): exact size while the sketch is not full,
+    * else floor((k-1)·2^56 / h_(k)) in BIGINT. */
+  def kmvEstimate(sketchCol: String, k: Int): Column = {
+    val numerator = (k - 1).toLong * HashSpace
+    when(size(col(sketchCol)) < k, size(col(sketchCol)).cast(LongType))
+      .otherwise(expr(s"${numerator}L div element_at($sketchCol, $k)"))
+  }
+
+  /** The oracle-side estimate for a group whose distinct hashes carry
+    * row_number `rn` (ascending) and distinct-count `nd`. */
+  def kmvEstimateSql(k: Int): String = {
+    val numerator = (k - 1).toLong * HashSpace
+    s"""CASE WHEN max(nd) < $k THEN max(nd)
+            ELSE $numerator // max(CASE WHEN rn = $k THEN h END) END"""
+  }
+
+  /** Count-min cells for a key column: d rows × w additive buckets,
+    * bucket_j(key) = md5_56("j:" || key) mod w. One bounded explode
+    * (factor d) then a map-side-combinable count to d·w cells. */
+  def cmsCells(keys: DataFrame, keyCol: String, d: Int, w: Int): DataFrame =
+    keys.select(explode(array((0 until d).map { j =>
+        struct(lit(j).as("row_id"),
+          (md5Long56(concat(lit(s"$j:"), col(keyCol))) % w).as("bucket"))
+      }: _*)).as("c"))
+      .groupBy(col("c.row_id").as("row_id"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate counts for probe keys against the cells: join each
+    * probe's d buckets to the (fixed-size, broadcast) cell table and
+    * take the row minimum. */
+  def cmsEstimate(probes: DataFrame, keyCol: String, cells: DataFrame,
+      d: Int, w: Int): DataFrame = {
+    val withBuckets = probes.select(col(keyCol) +: (0 until d).map { j =>
+        (md5Long56(concat(lit(s"$j:"), col(keyCol))) % w).as(s"__b$j")
+      }: _*)
+    (0 until d).foldLeft(withBuckets) { (df, j) =>
+      df.join(broadcast(cells.filter(col("row_id") === j)
+          .select(col("bucket").as(s"__b$j"), col("cnt").as(s"__c$j"))),
+        Seq(s"__b$j"), "left")
+    }.select(col(keyCol),
+      least((0 until d).map(j => coalesce(col(s"__c$j"), lit(0L))): _*).as("est"))
+  }
+}
+
+/** Sketch gates. Naming: q_sp* (sketch processing). */
+object SketchQueries extends QueryModule {
+  import Sketches._
+
+  private val K = 64
+  private val userHashSql = md5Long56Sql("'u:' || CAST(user_id AS VARCHAR)")
+
+  // shared by sp1 (direct) and sp3 (merge law): the semantic
+  // definition ranks the full distinct hash set per group
+  private val kmvOracle = s"""
+      WITH h AS (
+        SELECT DISTINCT event_type, $userHashSql AS h FROM events),
+      r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM h)
+      SELECT event_type, ${kmvEstimateSql(K)} AS nd_est
+      FROM r GROUP BY event_type
+      ORDER BY event_type"""
+
+  // KMV distinct-users-per-event-type: the sketch aggregation runs as
+  // a two-phase ObjectHashAggregate (partial sketches combine
+  // map-side); the oracle ranks the full distinct hash set — the
+  // semantic definition, affordable at gate scale.
+  private val sp1 = Q(
+    "q_sp1_kmv_distinct",
+    s"KMV (k=$K) distinct-count estimate of users per event type",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      ev.select(col("event_type"),
+          md5Long56(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+        .groupBy(col("event_type"))
+        .agg(kmvSketch(K)(col("h")).as("__kmv_sk"))
+        .select(col("event_type"), kmvEstimate("__kmv_sk", K).as("nd_est"))
+        .orderBy(col("event_type"))
+    },
+    Some(kmvOracle))
+
+  // KMV mergeability: sketch two disjoint halves independently, merge
+  // with the relational combine, estimate from the merged sketch. By
+  // the KMV merge law the result equals the whole-set sketch, so the
+  // oracle is sp1's direct form over the union — the gate proves the
+  // distributed-combine law holds cross-engine.
+  private val sp3 = Q(
+    "q_sp3_kmv_merge",
+    s"KMV sketch merge law: estimate from merged half-sketches (k=$K)",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          md5Long56(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+      def half(m: Int) = ev.filter(pmod(col("event_id"), lit(2)) === m)
+        .groupBy(col("event_type")).agg(kmvSketch(K)(col("h")).as(s"sk$m"))
+      half(0).join(half(1), Seq("event_type"), "full")
+        .select(col("event_type"),
+          kmvMerge(coalesce(col("sk0"), array().cast("array<long>")),
+            coalesce(col("sk1"), lit(Array.empty[Long])), K).as("__kmv_sk"))
+        .select(col("event_type"), kmvEstimate("__kmv_sk", K).as("nd_est"))
+        .orderBy(col("event_type"))
+    },
+    Some(kmvOracle))
+
+  private val D = 4
+  private val W = 1024
+
+  // Count-min word frequencies: cells built by one combinable count to
+  // 4096 rows; probe words (a deterministic doc slice) estimated via
+  // broadcast joins of the cells; exact counts computed only for the
+  // probe slice (broadcast semi-filter first). est ≥ exact always.
+  private val sp2 = Q(
+    "q_sp2_cms_wordfreq",
+    s"count-min sketch ($D×$W) word-frequency estimates vs exact, probe slice",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+      val cells = cmsCells(words, "word", D, W)
+      val probes = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+        .distinct()
+      val exact = words.join(broadcast(probes), Seq("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+      cmsEstimate(probes, "word", cells, D, W)
+        .join(exact, Seq("word"))
+        .select(col("word"), col("est"), col("n_exact"))
+        .orderBy(col("word"))
+    },
+    Some {
+      val bucketSql = (j: Int) =>
+        s"${md5Long56Sql(s"'$j:' || word")} % $W"
+      s"""
+      WITH words AS (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        FROM documents),
+      cells AS (
+        SELECT row_id, bucket, count(*) AS cnt FROM (
+          ${(0 until D).map(j =>
+            s"SELECT $j AS row_id, ${bucketSql(j)} AS bucket FROM words")
+            .mkString("\n          UNION ALL ")})
+        GROUP BY row_id, bucket),
+      probes AS (
+        SELECT DISTINCT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        FROM documents WHERE doc_id % 101 = 0),
+      est AS (
+        SELECT p.word, least(${(0 until D).map(j => s"coalesce(c$j.cnt, 0)").mkString(", ")}) AS est
+        FROM probes p
+        ${(0 until D).map(j =>
+          s"LEFT JOIN cells c$j ON c$j.row_id = $j AND c$j.bucket = ${bucketSql(j).replace("word", "p.word")}")
+          .mkString("\n        ")}),
+      exact AS (
+        SELECT word, count(*) AS n_exact FROM words
+        WHERE word IN (SELECT word FROM probes) GROUP BY word)
+      SELECT e.word, e.est, x.n_exact
+      FROM est e JOIN exact x ON x.word = e.word
+      ORDER BY e.word"""
+    })
+
+  override val all: Seq[Q] = Seq(sp1, sp2, sp3)
+}

@@ -253,6 +253,24 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus must never shuffle on the word key:\n$p")
   }
 
+  test("q_sp1: KMV sketch aggregates two-phase (partial sketches combine map-side)") {
+    val df = SparkEntry.queries("q_sp1_kmv_distinct")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"KMV must partial-aggregate before the shuffle:\n$p")
+  }
+
+  test("q_sp2: CMS probe joins broadcast the fixed-size cell table") {
+    // the sketch is d·w rows regardless of corpus size — every probe
+    // join must be a broadcast; a SortMergeJoin would shuffle the
+    // probe stream on sketch buckets for no reason
+    val df = SparkEntry.queries("q_sp2_cms_wordfreq")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"cells must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no probe-side shuffle joins:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     // AQE prints codegen spans only in the finalized plan — collect()
     // executes this exact queryExecution (write/count would clone it)

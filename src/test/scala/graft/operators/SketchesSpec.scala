@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import Sketches._
+  import spark.implicits._
+
+  private val K = 64
+
+  test("KmvAgg keeps a sorted, distinct, k-bounded buffer under reduce") {
+    val agg = new KmvAgg(4)
+    val buf = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(buf.toSeq == Seq(1L, 2L, 3L, 7L)) // 4 smallest, duplicates dropped
+    // inserting something above the current max is a no-op
+    assert(agg.reduce(buf, 100L).toSeq == Seq(1L, 2L, 3L, 7L))
+  }
+
+  test("KmvAgg.merge equals sketching the union (the distributive law)") {
+    val agg = new KmvAgg(8)
+    val xs = (1 to 200).map(i => (i * 2654435761L) & 0xFFFFFFFFL)
+    val (a, b) = xs.splitAt(120)
+    val skA = a.foldLeft(agg.zero)(agg.reduce)
+    val skB = b.foldLeft(agg.zero)(agg.reduce)
+    val direct = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(skA, skB).toSeq == direct.toSeq)
+    assert(agg.merge(skB, skA).toSeq == direct.toSeq) // commutative
+    assert(agg.merge(direct, agg.zero).toSeq == direct.toSeq)
+  }
+
+  test("KMV estimate is within 25% of truth at 10k distinct keys") {
+    val n = 10000
+    val est = (1 to n).toDF("id")
+      .select(md5Long56(concat(lit("x:"), $"id".cast("string"))).as("h"))
+      .agg(kmvSketch(K)($"h").as("__kmv_sk"))
+      .select(kmvEstimate("__kmv_sk", K).as("est"))
+      .as[Long].head()
+    assert(math.abs(est - n).toDouble / n < 0.25, s"estimate $est vs $n")
+  }
+
+  test("KMV sketch aggregation partial-merges (ObjectHashAggregate, two-phase)") {
+    val df = (1 to 1000).toDF("id")
+      .select((($"id" % 7)).as("g"), md5Long56($"id".cast("string")).as("h"))
+      .groupBy($"g").agg(kmvSketch(K)($"h").as("sk"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"sketch agg must hash-aggregate:\n$p")
+    // partial + final = the sketch combines map-side before the shuffle
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"sketch agg must be two-phase:\n$p")
+  }
+
+  test("CMS estimate is an upper bound and exact without collisions") {
+    val words = Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++ Seq.fill(3)("gamma") ++
+      (1 to 30).map(i => s"noise$i")
+    val df = words.toDF("word")
+    val cells = cmsCells(df, "word", 4, 1024)
+    assert(cells.agg(sum($"cnt")).as[Long].head() == 4L * words.size) // mass law
+    val probes = Seq("alpha", "beta", "gamma").toDF("word")
+    val est = cmsEstimate(probes, "word", cells, 4, 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 50 && est("beta") >= 20 && est("gamma") >= 3)
+    // 103 distinct keys in 1024 buckets × 4 rows: a key colliding in
+    // ALL 4 rows is vanishingly unlikely — the min is exact here
+    assert(est == Map("alpha" -> 50L, "beta" -> 20L, "gamma" -> 3L))
+  }
+
+  test("CMS probe of an absent key estimates 0 (no phantom counts)") {
+    val cells = cmsCells(Seq("a", "b", "c").toDF("word"), "word", 4, 1024)
+    val est = cmsEstimate(Seq("zzz-absent").toDF("word"), "word", cells, 4, 1024)
+      .select($"est").as[Long].head()
+    assert(est == 0L)
+  }
+
+  test("md5Long56 matches the oracle's digit-sum decode") {
+    // the Spark side uses conv(); the DuckDB side a literal-weight
+    // digit sum — pin the two agree on a round-trippable value
+    val h = Seq("probe").toDF("s").select(md5Long56($"s").as("h")).as[Long].head()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("probe".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(14)
+    assert(h == java.lang.Long.parseLong(hex, 16))
+    assert(h >= 0 && h < HashSpace)
+  }
+}
