@@ -278,5 +278,43 @@ object BpeQueries extends QueryModule {
       FROM occ o JOIN vocab v USING (word)
       GROUP BY o.doc_id ORDER BY o.doc_id"""))
 
-  override val all: Seq[Q] = Seq(bpe1, bpe2, bpe3)
+  // Tokenizer-coverage report (the OOV-rate twin of bpe3): per doc,
+  // how many subword tokens are LEARNED merges (multi-char) vs
+  // single-char fallbacks. A high fallback share marks text the
+  // tokenizer compresses badly (foreign scripts, noise, code) — the
+  // standard signal for re-training or filtering. Same plan as bpe3:
+  // the per-word (n_single, n_multi) vocab table broadcasts.
+  private val bpe4 = Q(
+    "q_bpe4_oov_coverage",
+    "tokenizer coverage: per-doc single-char-fallback vs merged subword counts",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (_, toks) = Bpe.train(Bpe.wordFrequencies(docs, "text"), NMerges)
+      val vocab = toks.groupBy(col("word")).agg(
+        sum(when(length(col("tok")) === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(length(col("tok")) > 1, 1L).otherwise(0L)).as("nm"))
+      docs.select(col("doc_id"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+        .join(broadcast(vocab), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n1")).as("n_fallback"), sum(col("nm")).as("n_merged"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${Bpe.wordsSqlCte()},
+      ${Bpe.trainSqlCtes("words", NMerges)},
+      vocab AS (
+        SELECT word,
+               sum(CASE WHEN length(tok) = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN length(tok) > 1 THEN 1 ELSE 0 END) AS nm
+        FROM toks$NMerges GROUP BY word),
+      occ AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        FROM documents)
+      SELECT o.doc_id, CAST(sum(v.n1) AS BIGINT) AS n_fallback,
+             CAST(sum(v.nm) AS BIGINT) AS n_merged
+      FROM occ o JOIN vocab v USING (word)
+      GROUP BY o.doc_id ORDER BY o.doc_id"""))
+
+  override val all: Seq[Q] = Seq(bpe1, bpe2, bpe3, bpe4)
 }

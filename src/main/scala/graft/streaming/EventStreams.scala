@@ -77,6 +77,22 @@ object EventStreams {
       }
   }
 
+  /** Distinct-users-per-event-type via the KMV sketch — the
+    * bounded-state streaming form of q_sp1. An exact streaming
+    * `approx`-free distinct grows state with every user ever seen; the
+    * sketch caps per-group state at k longs FOREVER while the estimate
+    * stays within the KMV error bound. The same typed Aggregator runs
+    * in batch and streaming (the state store holds the partial sketch
+    * buffer), so stream ≡ batch bit-for-bit once the source drains. */
+  def distinctUsersSketch(events: DataFrame, k: Int = 64): DataFrame =
+    events.select(col("event_type"),
+        graft.operators.Sketches.md5Long56(
+          concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.operators.Sketches.kmvSketch(k)(col("h")).as("__kmv_sk"))
+      .select(col("event_type"),
+        graft.operators.Sketches.kmvEstimate("__kmv_sk", k).as("nd_est"))
+
   /** Run any streaming transform over a bounded source and collect the
     * complete result via a memory sink — the Trigger.AvailableNow
     * pattern that replaces the reference's polling loops. */

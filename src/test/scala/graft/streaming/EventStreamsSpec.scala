@@ -53,6 +53,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(deduped.count() == n) // source has unique event_ids
   }
 
+  test("streaming KMV distinct sketch equals the batch sketch (bounded state)") {
+    // the same typed Aggregator runs under the streaming state store;
+    // once the bounded source drains, Complete mode must equal the
+    // batch aggregation bit-for-bit — which is also the q_sp1 gate
+    // frame, so the streaming path inherits the oracle-checked result
+    val streamed = EventStreams.runAvailableNow(
+      spark, EventStreams.distinctUsersSketch(eventStream()), "kmv_test",
+      OutputMode.Complete)
+    val batch = EventStreams.distinctUsersSketch(Tables.events(spark, sf0001))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch session count for closed sessions") {
     import spark.implicits._
     val ds = eventStream().as[EventStreams.Event]
