@@ -64,10 +64,12 @@ object Sketches {
   /** Bounded k-minimum-values buffer: a sorted array of at most k
     * distinct hashes. reduce/merge keep the invariant; both are
     * allocation-light (binary search + arraycopy). */
-  final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  final class KmvAgg(k: Int) extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
     override def zero: Array[Long] = Array.emptyLongArray
 
-    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    override def reduce(buf: Array[Long], boxed: java.lang.Long): Array[Long] = {
+      if (boxed == null) return buf // null values carry no identity
+      val h = boxed.longValue()
       val idx = java.util.Arrays.binarySearch(buf, h)
       if (idx >= 0) buf // already in the sketch
       else {
@@ -108,7 +110,9 @@ object Sketches {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
-  /** KMV sketch as an aggregate column over a 56-bit hash column. */
+  /** KMV sketch as an aggregate column over a 56-bit hash column.
+    * Null hashes (null source values) are skipped, matching SQL's
+    * count(DISTINCT) null semantics. */
   def kmvSketch(k: Int)(h: Column): Column = udaf(new KmvAgg(k)).apply(h)
 
   /** Merge two sketch columns relationally (the distributed-combine
@@ -281,5 +285,99 @@ object SketchQueries extends QueryModule {
       ORDER BY e.word"""
     })
 
-  override val all: Seq[Q] = Seq(sp1, sp2, sp3)
+  // Deterministic hash-sampled quantiles: the scale path for
+  // percentiles when a full per-group sort is too expensive — rank
+  // over a fixed md5-gated sample (the q_s1 sampling discipline, so
+  // the "sample" is reproducible in any engine), percentile_disc
+  // semantics via integer rank arithmetic (rn·d ≥ n·m ⇔ rank ≥
+  // ceil(n·m/d)): no interpolation floats anywhere. At 100 TB the
+  // rate drops so the per-group sample stays executor-sized; the
+  // sampled rank window is the only non-map-side step.
+  private val sp4 = Q(
+    "q_sp4_sampled_quantiles",
+    "hash-sampled p50/p90 of lineitem quantity per return flag (deterministic 10% sample)",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+      val th = Sampling.hexThreshold(0.1)
+      val samp = li
+        .filter(substring(md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))), 1, 8) < lit(th))
+        .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("q"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+      val ranked = samp
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      ranked.groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n_sample"),
+          min(when(col("rn") * 2 >= col("n"), col("q"))).as("p50_est"),
+          min(when(col("rn") * 10 >= col("n") * 9, col("q"))).as("p90_est"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      WITH samp AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+        WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8)
+              < '${Sampling.hexThreshold(0.1)}'),
+      r AS (
+        SELECT l_returnflag, q,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY q) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM samp)
+      SELECT l_returnflag, max(n) AS n_sample,
+             min(CASE WHEN rn * 2 >= n THEN q END) AS p50_est,
+             min(CASE WHEN rn * 10 >= n * 9 THEN q END) AS p90_est
+      FROM r GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  // Single-pass table profiling: per column (rows, nulls, KMV distinct
+  // estimate, min, max) — the data-profiling report a 100 TB ingest
+  // runs first. ONE scan: every column's metrics aggregate in a single
+  // map-side-combinable agg row (sketches included), then unpivot to
+  // the per-column report. min/max stringify AFTER native-type
+  // aggregation so ordering is numeric, formatting engine-identical.
+  private val profCols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+
+  private val sp5 = Q(
+    "q_sp5_table_profile",
+    s"single-pass profile of orders(${profCols.mkString(", ")}): rows/nulls/distinct-est/min/max",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val aggs = profCols.flatMap { c =>
+        Seq(count(lit(1)).as(s"${c}__n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          kmvSketch(K)(md5Long56(concat(lit("p:"), col(c).cast("string")))).as(s"${c}__sk"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }
+      // ONE corpus scan: the single agg row is checkpointed eagerly so
+      // the per-column unpivot union below reads the 1-row result, not
+      // the orders table three times (the ann11 pinned-plan pattern)
+      val one = o.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      profCols.map { c =>
+        one.select(lit(c).as("column_name"), col(s"${c}__n").as("n_rows"),
+          col(s"${c}__nulls").as("n_null"),
+          col(s"${c}__sk").as("__kmv_sk"),
+          col(s"${c}__min").as("min_value"), col(s"${c}__max").as("max_value"))
+          .select(col("column_name"), col("n_rows"), col("n_null"),
+            kmvEstimate("__kmv_sk", K).as("nd_est"),
+            col("min_value"), col("max_value"))
+      }.reduce(_ union _).orderBy(col("column_name"))
+    },
+    Some {
+      def one(c: String) = s"""
+        SELECT '$c' AS column_name, count(*) AS n_rows,
+               sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+               coalesce((SELECT ${kmvEstimateSql(K)} FROM (
+                  SELECT h, row_number() OVER (ORDER BY h) AS rn,
+                         count(*) OVER () AS nd
+                  FROM (SELECT DISTINCT ${md5Long56Sql(s"'p:' || CAST($c AS VARCHAR)")} AS h
+                        FROM orders WHERE $c IS NOT NULL))), 0) AS nd_est,
+               CAST(min($c) AS VARCHAR) AS min_value,
+               CAST(max($c) AS VARCHAR) AS max_value
+        FROM orders"""
+      profCols.map(one).mkString("", "\n        UNION ALL", "\n        ORDER BY column_name")
+    })
+
+  override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5)
 }

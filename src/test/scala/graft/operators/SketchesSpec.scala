@@ -11,7 +11,7 @@ class SketchesSpec extends SparkSpec {
 
   test("KmvAgg keeps a sorted, distinct, k-bounded buffer under reduce") {
     val agg = new KmvAgg(4)
-    val buf = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L).foldLeft(agg.zero)(agg.reduce)
+    val buf = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L).foldLeft(agg.zero)((b, h) => agg.reduce(b, h))
     assert(buf.toSeq == Seq(1L, 2L, 3L, 7L)) // 4 smallest, duplicates dropped
     // inserting something above the current max is a no-op
     assert(agg.reduce(buf, 100L).toSeq == Seq(1L, 2L, 3L, 7L))
@@ -21,9 +21,9 @@ class SketchesSpec extends SparkSpec {
     val agg = new KmvAgg(8)
     val xs = (1 to 200).map(i => (i * 2654435761L) & 0xFFFFFFFFL)
     val (a, b) = xs.splitAt(120)
-    val skA = a.foldLeft(agg.zero)(agg.reduce)
-    val skB = b.foldLeft(agg.zero)(agg.reduce)
-    val direct = xs.foldLeft(agg.zero)(agg.reduce)
+    val skA = a.foldLeft(agg.zero)((b, h) => agg.reduce(b, h))
+    val skB = b.foldLeft(agg.zero)((b, h) => agg.reduce(b, h))
+    val direct = xs.foldLeft(agg.zero)((b, h) => agg.reduce(b, h))
     assert(agg.merge(skA, skB).toSeq == direct.toSeq)
     assert(agg.merge(skB, skA).toSeq == direct.toSeq) // commutative
     assert(agg.merge(direct, agg.zero).toSeq == direct.toSeq)
@@ -70,6 +70,25 @@ class SketchesSpec extends SparkSpec {
     val est = cmsEstimate(Seq("zzz-absent").toDF("word"), "word", cells, 4, 1024)
       .select($"est").as[Long].head()
     assert(est == 0L)
+  }
+
+  test("KmvAgg skips null inputs (SQL distinct-null semantics)") {
+    val agg = new KmvAgg(4)
+    val buf = agg.reduce(agg.reduce(agg.zero, 5L), null)
+    assert(buf.toSeq == Seq(5L))
+    // end-to-end: a null-valued column contributes nothing
+    val est = Seq(Some(1L), None, Some(2L), None).toDF("v")
+      .select(when($"v".isNotNull, md5Long56($"v".cast("string"))).as("h"))
+      .agg(kmvSketch(4)($"h").as("__kmv_sk"))
+      .select(kmvEstimate("__kmv_sk", 4).as("est")).as[Long].head()
+    assert(est == 2L)
+  }
+
+  test("q_sp5 profile runs one scan of orders (checkpointed agg row, not 3 passes)") {
+    val df = graft.SparkEntry.queries("q_sp5_table_profile")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan"), // union reads the checkpointed row only
+      s"profile unpivot must not rescan the table:\n$p")
   }
 
   test("md5Long56 matches the oracle's digit-sum decode") {
