@@ -23,6 +23,11 @@ object GraftSession {
       .config("spark.sql.legacy.javaCharsets", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // SQL surface for the sketch aggregator (native expressions are
+    // injected by GraftExtensions; a typed Aggregator registers
+    // per-session): SELECT kmv_sketch(hash_col) ... GROUP BY g
+    s.udf.register("kmv_sketch",
+      org.apache.spark.sql.functions.udaf(new operators.Sketches.KmvAgg(64)))
     s
   }
 }

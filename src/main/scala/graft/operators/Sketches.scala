@@ -379,5 +379,61 @@ object SketchQueries extends QueryModule {
       profCols.map(one).mkString("", "\n        UNION ALL", "\n        ORDER BY column_name")
     })
 
-  override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5)
+  // KMV set operations (the theta-sketch move, Dasgupta et al. 2016):
+  // estimate the overlap of two key sets WITHOUT a join — sketch each
+  // side independently (one scan each, never co-shuffled), then all
+  // set arithmetic happens on two k-length arrays. At 100 TB this is
+  // "how much does corpus A overlap corpus B" for the cost of two
+  // scans and zero shuffle joins. Below theta (the merged sketch's
+  // k-th minimum) both sketches are complete samples of the union, so
+  // n_common/k estimates Jaccard and inter_est = n_common·union_est/k
+  // — all BIGINT-exact, hence oracle-gated despite approximating.
+  private val sp6 = Q(
+    "q_sp6_kmv_overlap",
+    s"KMV set-operation estimates: word-set overlap of even- vs odd-doc halves (k=$K)",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def side(m: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === m)
+        .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("w"))
+        .select(md5Long56(concat(lit("w:"), col("w"))).as("h"))
+        .agg(kmvSketch(K)(col("h")).as(s"sk$m"))
+      side(0).crossJoin(side(1))
+        .withColumn("__kmv_sk", kmvMerge(col("sk0"), col("sk1"), K))
+        .withColumn("__theta",
+          when(size(col("__kmv_sk")) < K, lit(HashSpace))
+            .otherwise(element_at(col("__kmv_sk"), K)))
+        .withColumn("n_common",
+          size(filter(array_intersect(col("sk0"), col("sk1")),
+            x => x < col("__theta"))).cast(LongType))
+        .withColumn("union_est", kmvEstimate("__kmv_sk", K))
+        .select(col("n_common"), col("union_est"),
+          expr(s"(n_common * union_est) div size(__kmv_sk)").as("inter_est"))
+    },
+    Some {
+      val wordHash = (side: String) =>
+        s"""SELECT DISTINCT ${md5Long56Sql("'w:' || w")} AS h FROM (
+              SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+              FROM documents WHERE doc_id % 2 = $side)"""
+      s"""
+      WITH ska AS (SELECT h FROM (${wordHash("0")}) ORDER BY h LIMIT $K),
+      skb AS (SELECT h FROM (${wordHash("1")}) ORDER BY h LIMIT $K),
+      merged AS (
+        SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+        ORDER BY h LIMIT $K),
+      m AS (SELECT count(*) AS n_m, max(h) AS h_k FROM merged),
+      theta AS (
+        SELECT CASE WHEN n_m < $K THEN $HashSpace ELSE h_k END AS t, n_m FROM m),
+      c AS (
+        SELECT count(*) AS n_common FROM ska
+        WHERE h IN (SELECT h FROM skb) AND h < (SELECT t FROM theta)),
+      u AS (
+        SELECT CASE WHEN n_m < $K THEN n_m
+                    ELSE ${(K - 1).toLong * HashSpace} // h_k END AS union_est
+        FROM m)
+      SELECT c.n_common, u.union_est,
+             (c.n_common * u.union_est) // (SELECT n_m FROM theta) AS inter_est
+      FROM c CROSS JOIN u"""
+    })
+
+  override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5, sp6)
 }

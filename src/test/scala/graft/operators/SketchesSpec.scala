@@ -91,6 +91,35 @@ class SketchesSpec extends SparkSpec {
       s"profile unpivot must not rescan the table:\n$p")
   }
 
+  test("KMV overlap estimates track the true intersection (no join ever runs)") {
+    // A = 1..6000, B = 4001..10000: |A∪B| = 10000, |A∩B| = 2000
+    def side(r: Range, name: String) = r.toDF("id")
+      .select(md5Long56(concat(lit("t:"), $"id".cast("string"))).as("h"))
+      .agg(kmvSketch(K)($"h").as(name))
+    val df = side(1 to 6000, "sk0").crossJoin(side(4001 to 10000, "sk1"))
+      .withColumn("__kmv_sk", kmvMerge($"sk0", $"sk1", K))
+      .withColumn("__theta", element_at($"__kmv_sk", K))
+      .select(
+        size(filter(array_intersect($"sk0", $"sk1"), x => x < $"__theta")).as("c"),
+        kmvEstimate("__kmv_sk", K).as("u"))
+    val r = df.head()
+    val (c, u) = (r.getInt(0), r.getLong(1))
+    val interEst = c.toLong * u / K
+    assert(math.abs(u - 10000.0) / 10000 < 0.3, s"union est $u")
+    // intersection carries sampling error from both sketches — wide band
+    assert(interEst > 500 && interEst < 4500, s"intersection est $interEst (true 2000)")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), "set arithmetic must not shuffle-join")
+  }
+
+  test("kmv_sketch is registered for spark.sql users") {
+    Seq(1L, 2L, 3L).toDF("v").createOrReplaceTempView("kmv_reg_probe")
+    val sk = spark.sql(
+      "SELECT kmv_sketch(v) AS sk FROM kmv_reg_probe")
+      .head().getSeq[Long](0)
+    assert(sk.sorted == sk && sk.size == 3)
+  }
+
   test("md5Long56 matches the oracle's digit-sum decode") {
     // the Spark side uses conv(); the DuckDB side a literal-weight
     // digit sum — pin the two agree on a round-trippable value
