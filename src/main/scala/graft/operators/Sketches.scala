@@ -140,6 +140,62 @@ object Sketches {
             ELSE $numerator // max(CASE WHEN rn = $k THEN h END) END"""
   }
 
+  /** Misra–Gries heavy-hitters summary (Misra & Gries 1982; mergeable
+    * form Agarwal et al. 2013, "Mergeable summaries"): at most k
+    * (key, counter) pairs; any key with true frequency > N/(k+1) is
+    * GUARANTEED present, and counters undercount by at most N/(k+1).
+    * The summary is order-dependent (so never gate on it directly —
+    * see [[heavyHitters]] for the deterministic two-pass form), but
+    * the guarantee survives arbitrary partitioning and merging. */
+  final class MgAgg(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(buf: Map[String, Long], key: String): Map[String, Long] = {
+      if (key == null) buf
+      else if (buf.contains(key)) buf.updated(key, buf(key) + 1L)
+      else if (buf.size < k) buf.updated(key, 1L)
+      else { // decrement-all: drops at least one counter to zero
+        buf.flatMap { case (w, c) => if (c > 1L) Some(w -> (c - 1L)) else None }
+      }
+    }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val summed = b.foldLeft(a) { case (m, (w, c)) =>
+        m.updated(w, m.getOrElse(w, 0L) + c)
+      }
+      if (summed.size <= k) summed
+      else { // subtract the (k+1)-th largest counter, keep positives
+        val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        summed.flatMap { case (w, c) => if (c > cut) Some(w -> (c - cut)) else None }
+      }
+    }
+
+    override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Deterministic two-pass heavy hitters: keys with true frequency
+    * STRICTLY above N/(k+1). Pass 1: the MG summary (bounded memory,
+    * two-phase agg) — its candidate set is order-dependent but always
+    * a SUPERSET of the true heavy keys. Pass 2: exact counts for the
+    * ≤ k candidates via a broadcast semi-filter + combinable count,
+    * thresholded as cnt·(k+1) > N in integers. The output set is
+    * therefore exactly the true-heavy keys, independent of order —
+    * which is what makes q_sp7 oracle-gateable at all. */
+  def heavyHitters(rows: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val cand = rows.agg(udaf(new MgAgg(k)).apply(col(keyCol)).as("mg"))
+      .select(explode(map_keys(col("mg"))).as(keyCol))
+    val n = rows.agg(count(lit(1)).as("__n"))
+    rows.join(broadcast(cand), Seq(keyCol))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"))
+      .crossJoin(n)
+      .filter(col("n_exact") * (k + 1) > col("__n"))
+      .select(col(keyCol), col("n_exact"))
+  }
+
   /** Count-min cells for a key column: d rows × w additive buckets,
     * bucket_j(key) = md5_56("j:" || key) mod w. One bounded explode
     * (factor d) then a map-side-combinable count to d·w cells. */
@@ -435,5 +491,29 @@ object SketchQueries extends QueryModule {
       FROM c CROSS JOIN u"""
     })
 
-  override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5, sp6)
+  // Two-pass heavy hitters: Misra-Gries candidates (bounded memory at
+  // any scale, order-dependent) + exact verify of the ≤ k candidates
+  // (broadcast semi-filter). The THRESHOLDED output is deterministic —
+  // MG guarantees a superset, the exact pass cuts it to precisely the
+  // keys with cnt·(k+1) > N — so the oracle is the plain HAVING query.
+  private val MgK = 32
+
+  private val sp7 = Q(
+    "q_sp7_heavy_hitters",
+    s"Misra-Gries two-pass heavy hitters: words with frequency > N/${MgK + 1}",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+      heavyHitters(words, "word", MgK).orderBy(col("word"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        FROM documents)
+      SELECT word, count(*) AS n_exact
+      FROM w GROUP BY word
+      HAVING count(*) * ${MgK + 1} > (SELECT count(*) FROM w)
+      ORDER BY word"""))
+
+  override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5, sp6, sp7)
 }

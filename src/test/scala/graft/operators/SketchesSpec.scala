@@ -112,6 +112,36 @@ class SketchesSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "set arithmetic must not shuffle-join")
   }
 
+  test("Misra-Gries guarantee holds under adversarial orders and merging") {
+    val k = 4
+    val agg = new MgAgg(k)
+    // 100 'hot' (40%), 60 'warm' (24%), 90 singletons: both named keys
+    // exceed N/(k+1) = 50 and MUST survive any processing order
+    val stream = Seq.fill(100)("hot") ++ Seq.fill(60)("warm") ++
+      (1 to 90).map(i => s"cold$i")
+    val n = stream.size
+    for (seed <- 1 to 5) {
+      val shuffled = new scala.util.Random(seed).shuffle(stream)
+      val (a, b) = shuffled.splitAt(n / 2)
+      def run(xs: Seq[String]) = xs.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(run(a), run(b))
+      assert(merged.size <= k)
+      assert(merged.contains("hot") && merged.contains("warm"),
+        s"true heavies must survive (seed $seed): $merged")
+      // undercount bound: true - N/(k+1) <= counter <= true
+      assert(merged("hot") <= 100 && merged("hot") >= 100 - n / (k + 1))
+      assert(merged("warm") <= 60 && merged("warm") >= 60 - n / (k + 1))
+    }
+  }
+
+  test("heavyHitters output is exactly the keys above N/(k+1), order-free") {
+    val words = (Seq.fill(30)("x") ++ Seq.fill(20)("y") ++
+      (1 to 50).map(i => s"z$i")).toDF("word") // N=100, threshold N/5=20
+    val out = heavyHitters(words.repartition(7), "word", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("x" -> 30L)) // y is at exactly 20, not strictly above
+  }
+
   test("kmv_sketch is registered for spark.sql users") {
     Seq(1L, 2L, 3L).toDF("v").createOrReplaceTempView("kmv_reg_probe")
     val sk = spark.sql(
