@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -38,9 +39,6 @@ object QualityClassifier {
   /** Feature buckets: fixed model size AND the smoothing vocabulary. */
   val Buckets = 65536
 
-  private def toks(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
-
   /** md5 feature bucket of a word. */
   def featureBucket(word: Column): Column =
     Sketches.md5Long56(concat(lit("f:"), word)) % Buckets
@@ -52,11 +50,15 @@ object QualityClassifier {
     * (reference) slice and the background. ≤ B rows — broadcastable.
     * One map-side-combinable conditional aggregate over the corpus. */
   def train(docs: DataFrame, textCol: String, isTarget: Column): DataFrame =
-    docs.select(isTarget.as("__t"), explode(toks(col(textCol))).as("__w"))
+    docs.select(isTarget.as("__t"), explode(tokens(col(textCol))).as("__w"))
       .select(col("__t"), featureBucket(col("__w")).as("bucket"))
       .groupBy(col("bucket"))
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("cnt_t"),
         sum(when(col("__t"), 0L).otherwise(1L)).as("cnt_b"))
+      // a trained model is a materialized artifact: checkpoint so
+      // totalsOf and the scoring join(s) never re-run the corpus
+      // tokenize+aggregate (it is ≤ Buckets rows by construction)
+      .localCheckpoint()
 
   private case class Totals(sT: Long, sB: Long)
 
@@ -73,7 +75,7 @@ object QualityClassifier {
     val t = totalsOf(model)
     val lnT = log((col("cnt_t") + 1).cast(DoubleType) / lit((t.sT + Buckets).toDouble))
     val lnB = log((col("cnt_b") + 1).cast(DoubleType) / lit((t.sB + Buckets).toDouble))
-    docs.select(col(idCol), explode(toks(col(textCol))).as("__w"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
       .select(col(idCol), featureBucket(col("__w")).as("bucket"))
       .join(broadcast(model), Seq("bucket"), "left")
       .select(col(idCol),
@@ -91,8 +93,9 @@ object QualityClassifier {
   def classifyExact(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
     val t = totalsOf(model)
-    docs.select(col(idCol), toks(col(textCol)).as("__ws"))
-      .select(col(idCol), size(col("__ws")).cast(LongType).as("n_tokens"),
+    docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        coalesce(size(col("__ws")), lit(0)).cast(LongType).as("n_tokens"),
         explode_outer(col("__ws")).as("__w"))
       .select(col(idCol), col("n_tokens"),
         when(col("__w").isNotNull, featureBucket(col("__w"))).as("bucket"))
@@ -149,10 +152,10 @@ object QualityClassifierQueries extends QueryModule {
         FROM f LEFT JOIN model m ON m.bucket = f.bucket
         WHERE f.doc_id % 11 <> 0
         GROUP BY f.doc_id)
-      SELECT t.doc_id, len(t.ws) AS n_tokens,
+      SELECT t.doc_id, coalesce(len(t.ws), 0) AS n_tokens,
              coalesce(s.sa, 0) * (tot.s_b + $Buckets) AS like_num,
              coalesce(s.sb, 0) * (tot.s_t + $Buckets) AS like_den,
-             CAST(CASE WHEN len(t.ws) > 0 AND
+             CAST(CASE WHEN coalesce(len(t.ws), 0) > 0 AND
                coalesce(s.sa, 0) * (tot.s_b + $Buckets) >=
                coalesce(s.sb, 0) * (tot.s_t + $Buckets)
                THEN 1 ELSE 0 END AS BIGINT) AS target_like

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -186,12 +187,15 @@ object Sketches {
     * therefore exactly the true-heavy keys, independent of order —
     * which is what makes q_sp7 oracle-gateable at all. */
   def heavyHitters(rows: DataFrame, keyCol: String, k: Int): DataFrame = {
-    val cand = rows.agg(udaf(new MgAgg(k)).apply(col(keyCol)).as("mg"))
-      .select(explode(map_keys(col("mg"))).as(keyCol))
-    val n = rows.agg(count(lit(1)).as("__n"))
+    // pass 1 computes the MG summary AND the total row count together,
+    // checkpointed (1 row) so the two consumers below don't re-run the
+    // corpus aggregate — heavy hitters costs exactly two corpus scans
+    val p1 = rows.agg(udaf(new MgAgg(k)).apply(col(keyCol)).as("mg"),
+      count(lit(1)).as("__n")).localCheckpoint()
+    val cand = p1.select(explode(map_keys(col("mg"))).as(keyCol))
     rows.join(broadcast(cand), Seq(keyCol))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"))
-      .crossJoin(n)
+      .crossJoin(p1.select(col("__n")))
       .filter(col("n_exact") * (k + 1) > col("__n"))
       .select(col(keyCol), col("n_exact"))
   }
@@ -235,7 +239,8 @@ object SketchQueries extends QueryModule {
   // definition ranks the full distinct hash set per group
   private val kmvOracle = s"""
       WITH h AS (
-        SELECT DISTINCT event_type, $userHashSql AS h FROM events),
+        SELECT DISTINCT event_type, $userHashSql AS h FROM events
+        WHERE user_id IS NOT NULL),
       r AS (
         SELECT event_type, h,
                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
@@ -298,11 +303,11 @@ object SketchQueries extends QueryModule {
     s"count-min sketch ($D×$W) word-frequency estimates vs exact, probe slice",
     (s, d) => {
       val words = Tables.documents(s, d)
-        .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+        .select(explode(tokens(col("text"))).as("word"))
       val cells = cmsCells(words, "word", D, W)
       val probes = Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(101)) === 0)
-        .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+        .select(explode(tokens(col("text"))).as("word"))
         .distinct()
       val exact = words.join(broadcast(probes), Seq("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
@@ -312,8 +317,8 @@ object SketchQueries extends QueryModule {
         .orderBy(col("word"))
     },
     Some {
-      val bucketSql = (j: Int) =>
-        s"${md5Long56Sql(s"'$j:' || word")} % $W"
+      val bucketSql = (j: Int, word: String) =>
+        s"${md5Long56Sql(s"'$j:' || " + word)} % $W"
       s"""
       WITH words AS (
         SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
@@ -321,7 +326,7 @@ object SketchQueries extends QueryModule {
       cells AS (
         SELECT row_id, bucket, count(*) AS cnt FROM (
           ${(0 until D).map(j =>
-            s"SELECT $j AS row_id, ${bucketSql(j)} AS bucket FROM words")
+            s"SELECT $j AS row_id, ${bucketSql(j, "word")} AS bucket FROM words")
             .mkString("\n          UNION ALL ")})
         GROUP BY row_id, bucket),
       probes AS (
@@ -331,7 +336,7 @@ object SketchQueries extends QueryModule {
         SELECT p.word, least(${(0 until D).map(j => s"coalesce(c$j.cnt, 0)").mkString(", ")}) AS est
         FROM probes p
         ${(0 until D).map(j =>
-          s"LEFT JOIN cells c$j ON c$j.row_id = $j AND c$j.bucket = ${bucketSql(j).replace("word", "p.word")}")
+          s"LEFT JOIN cells c$j ON c$j.row_id = $j AND c$j.bucket = ${bucketSql(j, "p.word")}")
           .mkString("\n        ")}),
       exact AS (
         SELECT word, count(*) AS n_exact FROM words
@@ -358,10 +363,10 @@ object SketchQueries extends QueryModule {
       val th = Sampling.hexThreshold(0.1)
       val samp = li
         .filter(substring(md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))), 1, 8) < lit(th))
-        .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("q"))
+        .select(col("l_returnflag"), floor(col("l_quantity")).cast(LongType).as("q"))
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
       val ranked = samp
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast(LongType))
         .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
       ranked.groupBy(col("l_returnflag"))
         .agg(max(col("n")).as("n_sample"),
@@ -371,7 +376,7 @@ object SketchQueries extends QueryModule {
     },
     Some(s"""
       WITH samp AS (
-        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+        SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS q
         FROM lineitem
         WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8)
               < '${Sampling.hexThreshold(0.1)}'),
@@ -450,7 +455,7 @@ object SketchQueries extends QueryModule {
     (s, d) => {
       val docs = Tables.documents(s, d)
       def side(m: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === m)
-        .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("w"))
+        .select(explode(tokens(col("text"))).as("w"))
         .select(md5Long56(concat(lit("w:"), col("w"))).as("h"))
         .agg(kmvSketch(K)(col("h")).as(s"sk$m"))
       side(0).crossJoin(side(1))
@@ -462,8 +467,15 @@ object SketchQueries extends QueryModule {
           size(filter(array_intersect(col("sk0"), col("sk1")),
             x => x < col("__theta"))).cast(LongType))
         .withColumn("union_est", kmvEstimate("__kmv_sk", K))
+        // sample points strictly below theta: k-1 when the sketch is
+        // full (theta is the k-th element — not a sample, matching
+        // kmvEstimate's (k-1)/h_k convention), the whole sketch when
+        // not (theta = 2^56). Identical sets then give inter == union.
+        .withColumn("__n_samp",
+          greatest(size(filter(col("__kmv_sk"), x => x < col("__theta"))), lit(1))
+            .cast(LongType))
         .select(col("n_common"), col("union_est"),
-          expr(s"(n_common * union_est) div size(__kmv_sk)").as("inter_est"))
+          expr(s"(n_common * union_est) div __n_samp").as("inter_est"))
     },
     Some {
       val wordHash = (side: String) =>
@@ -487,7 +499,9 @@ object SketchQueries extends QueryModule {
                     ELSE ${(K - 1).toLong * HashSpace} // h_k END AS union_est
         FROM m)
       SELECT c.n_common, u.union_est,
-             (c.n_common * u.union_est) // (SELECT n_m FROM theta) AS inter_est
+             (c.n_common * u.union_est) //
+               greatest((SELECT count(*) FROM merged WHERE h < (SELECT t FROM theta)), 1)
+               AS inter_est
       FROM c CROSS JOIN u"""
     })
 
@@ -503,7 +517,7 @@ object SketchQueries extends QueryModule {
     s"Misra-Gries two-pass heavy hitters: words with frequency > N/${MgK + 1}",
     (s, d) => {
       val words = Tables.documents(s, d)
-        .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+        .select(explode(tokens(col("text"))).as("word"))
       heavyHitters(words, "word", MgK).orderBy(col("word"))
     },
     Some(s"""

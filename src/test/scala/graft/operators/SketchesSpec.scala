@@ -104,7 +104,7 @@ class SketchesSpec extends SparkSpec {
         kmvEstimate("__kmv_sk", K).as("u"))
     val r = df.head()
     val (c, u) = (r.getInt(0), r.getLong(1))
-    val interEst = c.toLong * u / K
+    val interEst = c.toLong * u / (K - 1) // samples strictly below theta
     assert(math.abs(u - 10000.0) / 10000 < 0.3, s"union est $u")
     // intersection carries sampling error from both sketches — wide band
     assert(interEst > 500 && interEst < 4500, s"intersection est $interEst (true 2000)")
