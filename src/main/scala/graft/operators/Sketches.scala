@@ -200,6 +200,44 @@ object Sketches {
       .select(col(keyCol), col("n_exact"))
   }
 
+  /** Bloom filter over a key set (Bloom 1970) — the shuffle-volume
+    * reducer: when the build side of a join is too big to broadcast
+    * but its bit array (16 KB at m=2^16 as 32-bit words) is not, probe rows that fail the bloom
+    * never enter the shuffle. md5-positioned, so build and probe are
+    * engine-reproducible (gateable) and false negatives are
+    * impossible by construction.
+    *
+    * Representation: m bits as m/64 (word_idx, bits) rows — built by
+    * ONE map-side-combinable bit_or aggregate over the key scan, at
+    * most m/64 rows whatever the build cardinality. */
+  def bloomBits(keys: DataFrame, keyCol: String, mBits: Int, hashes: Int): DataFrame =
+    keys.select(explode(array((0 until hashes).map { j =>
+        (md5Long56(concat(lit(s"bf$j:"), col(keyCol))) % mBits).as(s"p")
+      }: _*)).as("pos"))
+      .groupBy(expr("pos div 32").as("word_idx")) // 32-bit words: shifts
+      // stay ≤ 31, so no engine hits the signed-shift-overflow edge
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 32 as int)))").as("bits"))
+
+  /** Probe-side membership: each row tests its `hashes` bit positions
+    * against the broadcast word table; keeps rows with ALL bits set
+    * (supersets the true matches — zero false negatives). The join
+    * fan-out is `hashes` broadcast lookups, all map-side. Bit tests
+    * use &-masks over 32-bit words — sign-safe in any engine. */
+  def bloomMightContain(probe: DataFrame, keyCol: String, bits: DataFrame,
+      mBits: Int, hashes: Int): DataFrame = {
+    val withPos = probe.withColumns(
+      (0 until hashes).map(j => s"__p$j" ->
+        (md5Long56(concat(lit(s"bf$j:"), col(keyCol))) % mBits)).toMap)
+    (0 until hashes).foldLeft(withPos) { (df, j) =>
+      df.join(broadcast(bits.select(
+          col("word_idx").as(s"__w$j"), col("bits").as(s"__bits$j"))),
+        expr(s"__p$j div 32") === col(s"__w$j"), "left")
+    }.filter((0 until hashes).map { j =>
+      expr(s"(coalesce(__bits$j, 0L) & shiftleft(1L, cast(__p$j % 32 as int))) != 0")
+    }.reduce(_ && _))
+      .drop((0 until hashes).flatMap(j => Seq(s"__p$j", s"__w$j", s"__bits$j")): _*)
+  }
+
   /** Count-min cells for a key column: d rows × w additive buckets,
     * bucket_j(key) = md5_56("j:" || key) mod w. One bounded explode
     * (factor d) then a map-side-combinable count to d·w cells. */
@@ -529,5 +567,64 @@ object SketchQueries extends QueryModule {
       HAVING count(*) * ${MgK + 1} > (SELECT count(*) FROM w)
       ORDER BY word"""))
 
-  override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5, sp6, sp7)
+  // Bloom-filter semi-join pruning: the bit array of the urgent-order
+  // keys (8 KB however many orders exist) broadcasts into the lineitem
+  // scan; rows failing the bloom would never enter a subsequent
+  // shuffle join. The gate reports probe/pass/true-match/false-
+  // positive counts — false negatives are impossible, and the exact
+  // fp count is md5-deterministic, so the whole funnel gates.
+  private val BfBits = 65536
+  private val BfHashes = 4
+
+  private val sp8 = Q(
+    "q_sp8_bloom_semi",
+    s"bloom-filter semi-join pruning ($BfBits bits, $BfHashes hashes): urgent orders vs lineitem",
+    (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").cast("string").as("k")).distinct()
+      val bits = bloomBits(urgent, "k", BfBits, BfHashes)
+      val probe = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_orderkey").cast("string").as("k"))
+      val passed = bloomMightContain(probe, "k", bits, BfBits, BfHashes)
+      val trueMatch = probe.join(urgent, Seq("k"), "left_semi")
+      passed.agg(count(lit(1)).as("n_pass")).crossJoin(
+          probe.agg(count(lit(1)).as("n_probe")))
+        .crossJoin(trueMatch.agg(count(lit(1)).as("n_match")))
+        .select(col("n_probe"), col("n_pass"), col("n_match"),
+          (col("n_pass") - col("n_match")).as("n_false_pos"))
+    },
+    Some {
+      val posSql = (j: Int, key: String) =>
+        s"${md5Long56Sql(s"'bf$j:' || $key")} % $BfBits"
+      s"""
+      WITH urgent AS (
+        SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'),
+      pos AS (
+        ${(0 until BfHashes).map(j =>
+          s"SELECT ${posSql(j, "k")} AS p FROM urgent").mkString("\n        UNION ALL ")}),
+      bits AS (
+        SELECT p // 32 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        FROM pos GROUP BY 1),
+      probe AS (
+        SELECT l_orderkey, CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+      tested AS (
+        SELECT p.l_orderkey, p.k
+        FROM probe p
+        ${(0 until BfHashes).map(j =>
+          s"LEFT JOIN bits b$j ON b$j.word_idx = (${posSql(j, "p.k")}) // 32").mkString("\n        ")}
+        WHERE ${(0 until BfHashes).map(j =>
+          s"(coalesce(b$j.bits, 0) & (CAST(1 AS BIGINT) << CAST((${posSql(j, "p.k")}) % 32 AS INT))) <> 0")
+          .mkString("\n          AND ")})
+      SELECT
+        (SELECT count(*) FROM probe) AS n_probe,
+        (SELECT count(*) FROM tested) AS n_pass,
+        (SELECT count(*) FROM probe WHERE k IN (SELECT k FROM urgent)) AS n_match,
+        (SELECT count(*) FROM tested) -
+          (SELECT count(*) FROM probe WHERE k IN (SELECT k FROM urgent)) AS n_false_pos"""
+    })
+
+  override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5, sp6, sp7, sp8)
 }
