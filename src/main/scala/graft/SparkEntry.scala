@@ -13,7 +13,8 @@ object SparkEntry {
     AggQueries, JoinQueries, WindowSetQueries, MergeQueries,
     DedupQueries, AnnQueries, TextQueries, EventQueries,
     GenomicsQueries, SimilarityQueries, MultimodalQueries, GraphQueries,
-    BpeQueries, SkewQueries, SketchQueries, QualityClassifierQueries)
+    BpeQueries, SkewQueries, SketchQueries, QualityClassifierQueries,
+    ZOrderQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
