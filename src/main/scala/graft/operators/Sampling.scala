@@ -96,6 +96,30 @@ object Sampling {
       .drop("__reps")
   }
 
+  /** Weighted sampling WITHOUT replacement, deterministic — the
+    * min-hash race, the integer-exact Efraimidis–Spirakis equivalent
+    * (Efraimidis & Spirakis 2006 order items by u^(1/w); the same
+    * ordering distribution arises from "item i holds w_i salted
+    * lottery tickets, its key is the minimum ticket": P(i's min beats
+    * j's) = w_i/(w_i+w_j)). Every ticket is an md5 literal, so the
+    * draw reproduces in any engine — no rand(), no ln(). Weights are
+    * integers capped at `maxWeight` (the explode cost is Σw — bounded
+    * fan-out, same discipline as the span explodes); weight 0 never
+    * samples. Returns the k winners as (idCol, race_key), race_key the
+    * fixed-width hex minimum (lexicographic = numeric). Scale shape:
+    * bounded explode → two-phase min agg → global top-k (TakeOrdered,
+    * no full sort shuffle). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      maxWeight: Int = 64): DataFrame =
+    df.withColumn("__w", least(weight.cast("long"), lit(maxWeight.toLong)))
+      .filter(col("__w") > 0)
+      .withColumn("__r", explode(sequence(lit(0L), col("__w") - 1)))
+      .groupBy(col(idCol))
+      .agg(min(md5(concat_ws(":", lit("ws"), col(idCol).cast("string"),
+        col("__r").cast("string")))).as("race_key"))
+      .orderBy(col("race_key"), col(idCol))
+      .limit(k)
+
   /** Driver-side rate computation from target shares: rate(s) =
     * min(1, share(s)·totalTarget / count(s)). The per-source counts
     * are one aggregation over the corpus; sources are few by contract

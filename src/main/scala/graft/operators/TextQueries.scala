@@ -454,6 +454,30 @@ object TextQueries extends QueryModule {
         ORDER BY doc_id, rep"""))
   }
 
+  // Deterministic weighted sampling without replacement — the min-hash
+  // race (Sampling.weightedSample): w salted tickets per doc, minimum
+  // ticket is the race key, k smallest keys win. P(i beats j) =
+  // w_i/(w_i+w_j), the Efraimidis-Spirakis distribution, with every
+  // ticket an md5 literal — cross-engine exact draw, no rand()/ln().
+  private val s5 = {
+    val k = 50
+    Q(
+      "q_s5_weighted_sample",
+      s"weighted sample without replacement (min-hash race), top $k by n_chars%20 weight",
+      (s, d) => Sampling.weightedSample(Tables.documents(s, d), "doc_id",
+        pmod(col("n_chars"), lit(20)), k),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, n_chars % 20 AS w FROM documents WHERE n_chars % 20 > 0),
+        t AS (
+          SELECT doc_id,
+                 min(md5('ws:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR))) AS race_key
+          FROM (SELECT doc_id, unnest(range(w)) AS r FROM w)
+          GROUP BY doc_id)
+        SELECT doc_id, race_key FROM t
+        ORDER BY race_key, doc_id LIMIT $k"""))
+  }
+
   // Lexical-rarity quality signal (the exact-arithmetic cousin of a
   // perplexity filter): per-document count of occurrences of CORPUS-
   // rare tokens (global count ≤ 2) — high rare fraction flags OCR
@@ -576,5 +600,5 @@ object TextQueries extends QueryModule {
   }
 
   override val all: Seq[Q] =
-    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, s1, s2, s3, s4, llm1)
+    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, s1, s2, s3, s4, s5, llm1)
 }

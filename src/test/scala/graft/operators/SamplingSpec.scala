@@ -85,6 +85,37 @@ class SamplingSpec extends SparkSpec {
     mixed.unpersist()
   }
 
+  test("weightedSample: zero weights never win; heavy items dominate per the race odds") {
+    import spark.implicits._
+    // 200 heavy (w=20) + 200 light (w=1) + 50 zero-weight items
+    val df = ((0L until 200L).map(i => (i, 20L)) ++
+      (200L until 400L).map(i => (i, 1L)) ++
+      (400L until 450L).map(i => (i, 0L))).toDF("id", "w")
+    val winners = Sampling.weightedSample(df, "id", $"w", 40)
+      .select($"id").as[Long].collect()
+    assert(winners.length == 40)
+    assert(winners.forall(_ < 400L), "zero-weight items must never sample")
+    // expected heavy share 20/21 ≈ 95%; md5 determinism makes the
+    // actual count a fixed number — assert it clears a loose bound
+    val heavy = winners.count(_ < 200L)
+    assert(heavy >= 30, s"heavy items won only $heavy/40")
+    // determinism: the draw is a pure function of ids and weights
+    val again = Sampling.weightedSample(df, "id", $"w", 40)
+      .select($"id").as[Long].collect()
+    assert(winners.toSeq == again.toSeq)
+  }
+
+  test("weightedSample race keys equal the brute-force min-ticket computation") {
+    import spark.implicits._
+    val df = Seq((1L, 3L), (2L, 1L)).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", $"w", 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == (0 until 3).map(r => md5hex(s"ws:1:$r")).min)
+    assert(got(2L) == md5hex("ws:2:0"))
+  }
+
   test("ratesForShares hits target sizes within hash-gate tolerance") {
     import spark.implicits._
     val df = ((0L until 2000L).map(i => (i, "big")) ++
