@@ -210,13 +210,33 @@ object Sketches {
     * Representation: m bits as m/64 (word_idx, bits) rows — built by
     * ONE map-side-combinable bit_or aggregate over the key scan, at
     * most m/64 rows whatever the build cardinality. */
-  def bloomBits(keys: DataFrame, keyCol: String, mBits: Int, hashes: Int): DataFrame =
-    keys.select(explode(array((0 until hashes).map { j =>
-        (md5Long56(concat(lit(s"bf$j:"), col(keyCol))) % mBits).as(s"p")
-      }: _*)).as("pos"))
+  /** The `hashes` bit positions all come from ONE md5 digest, sliced
+    * into 16-bit hex windows (position j = hex chars 4j+1..4j+4) — the
+    * standard one-digest bloom family; md5 is the dominant per-row
+    * cost, so 1 digest instead of `hashes` digests is a ~4× probe
+    * speedup. Fixes mBits = 2^16 (a slice IS a bucket index). */
+  val BloomBits = 65536
+
+  private[operators] def bloomPos(key: Column, j: Int): Column =
+    conv(substring(md5(concat(lit("bf:"), key)), 4 * j + 1, 4), 16, 10).cast(LongType)
+
+  private[operators] def bloomPosSql(keyExpr: String, j: Int): String = {
+    val digits = (0 until 4).map { i =>
+      val weight = 1L << (4 * (3 - i))
+      s"(strpos('0123456789abcdef', substring(md5('bf:' || $keyExpr), ${4 * j + i + 1}, 1)) - 1) * $weight"
+    }
+    s"(${digits.mkString(" + ")})"
+  }
+
+  def bloomBits(keys: DataFrame, keyCol: String, mBits: Int, hashes: Int): DataFrame = {
+    require(mBits == BloomBits, "one-digest slicing fixes mBits = 65536")
+    require(hashes >= 1 && hashes <= 8, "an md5 digest carries 8 16-bit slices")
+    keys.select(explode(array((0 until hashes).map(j =>
+        bloomPos(col(keyCol), j).as("p")): _*)).as("pos"))
       .groupBy(expr("pos div 32").as("word_idx")) // 32-bit words: shifts
       // stay ≤ 31, so no engine hits the signed-shift-overflow edge
       .agg(expr("bit_or(shiftleft(1L, cast(pos % 32 as int)))").as("bits"))
+  }
 
   /** Probe-side membership: each row tests its `hashes` bit positions
     * against the broadcast word table; keeps rows with ALL bits set
@@ -224,15 +244,23 @@ object Sketches {
     * fan-out is `hashes` broadcast lookups, all map-side. Bit tests
     * use &-masks over 32-bit words — sign-safe in any engine. */
   def bloomMightContain(probe: DataFrame, keyCol: String, bits: DataFrame,
+      mBits: Int, hashes: Int): DataFrame =
+    bloomTest(probe, keyCol, bits, mBits, hashes)
+      .filter(col("bloom_pass")).drop("bloom_pass")
+
+  /** Non-filtering form: appends a `bloom_pass` boolean instead of
+    * dropping rows — for single-pass funnels that count or route both
+    * outcomes. Same broadcast-lookup plan. */
+  def bloomTest(probe: DataFrame, keyCol: String, bits: DataFrame,
       mBits: Int, hashes: Int): DataFrame = {
+    require(mBits == BloomBits, "one-digest slicing fixes mBits = 65536")
     val withPos = probe.withColumns(
-      (0 until hashes).map(j => s"__p$j" ->
-        (md5Long56(concat(lit(s"bf$j:"), col(keyCol))) % mBits)).toMap)
+      (0 until hashes).map(j => s"__p$j" -> bloomPos(col(keyCol), j)).toMap)
     (0 until hashes).foldLeft(withPos) { (df, j) =>
       df.join(broadcast(bits.select(
           col("word_idx").as(s"__w$j"), col("bits").as(s"__bits$j"))),
         expr(s"__p$j div 32") === col(s"__w$j"), "left")
-    }.filter((0 until hashes).map { j =>
+    }.withColumn("bloom_pass", (0 until hashes).map { j =>
       expr(s"(coalesce(__bits$j, 0L) & shiftleft(1L, cast(__p$j % 32 as int))) != 0")
     }.reduce(_ && _))
       .drop((0 until hashes).flatMap(j => Seq(s"__p$j", s"__w$j", s"__bits$j")): _*)
@@ -586,17 +614,19 @@ object SketchQueries extends QueryModule {
       val bits = bloomBits(urgent, "k", BfBits, BfHashes)
       val probe = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_orderkey").cast("string").as("k"))
-      val passed = bloomMightContain(probe, "k", bits, BfBits, BfHashes)
-      val trueMatch = probe.join(urgent, Seq("k"), "left_semi")
-      passed.agg(count(lit(1)).as("n_pass")).crossJoin(
-          probe.agg(count(lit(1)).as("n_probe")))
-        .crossJoin(trueMatch.agg(count(lit(1)).as("n_match")))
+      // ONE probe scan: bloom_pass and true-match flags ride the same
+      // pass (urgent broadcasts for the truth flag), one conditional agg
+      val flagged = bloomTest(probe, "k", bits, BfBits, BfHashes)
+        .join(broadcast(urgent.withColumn("__true", lit(1L))), Seq("k"), "left")
+      flagged.agg(
+          count(lit(1)).as("n_probe"),
+          sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(coalesce(col("__true"), lit(0L))).as("n_match"))
         .select(col("n_probe"), col("n_pass"), col("n_match"),
           (col("n_pass") - col("n_match")).as("n_false_pos"))
     },
     Some {
-      val posSql = (j: Int, key: String) =>
-        s"${md5Long56Sql(s"'bf$j:' || $key")} % $BfBits"
+      val posSql = (j: Int, key: String) => bloomPosSql(key, j)
       s"""
       WITH urgent AS (
         SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k FROM orders
