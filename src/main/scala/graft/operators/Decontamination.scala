@@ -56,4 +56,23 @@ object Decontamination {
       .join(broadcast(bGrams), Seq("__gram"), "left_semi")
     SubstringDedup.coverageOf(t, flagged, idCol, n, "contam_tokens")
   }
+
+  /** The CUT step of span-level decontamination (dc2 measures; this
+    * REWRITES): every corpus n-gram span whose text appears in the
+    * benchmark is removed, keeping the rest of the document — the
+    * surgical alternative to dropping whole contaminated documents
+    * (dc1) when only a quoted snippet overlaps the eval set. Same
+    * plan shape as dc2 (benchmark grams broadcast, bounded explodes)
+    * feeding the dd12 positional rebuild. Returns (idCol, n_tokens,
+    * n_kept, clean_text). */
+  def cutContaminated(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bGrams = SubstringDedup.positionalGrams(
+        SubstringDedup.tokenFrame(benchmark, idCol, textCol), idCol, n)
+      .select(col("__gram")).distinct()
+    val t = SubstringDedup.tokenFrame(corpus, idCol, textCol)
+    val flagged = SubstringDedup.positionalGrams(t, idCol, n)
+      .join(broadcast(bGrams), Seq("__gram"), "left_semi")
+    SubstringDedup.cutFlagged(t, flagged, idCol, n)
+  }
 }

@@ -622,17 +622,7 @@ object DedupQueries extends QueryModule {
         WITH ${SubstringDedup.toksGramsSqlCtes(k)},
         ${SubstringDedup.dupFlaggedSqlCte},
         ${SubstringDedup.covSqlCte(k)},
-        toks_pos AS (
-          SELECT doc_id, i AS idx, list_extract(w, i) AS tok
-          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toksq)),
-        kept AS (
-          SELECT p.doc_id, p.idx, p.tok
-          FROM toks_pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.idx = p.idx
-          WHERE c.idx IS NULL),
-        r AS (
-          SELECT doc_id, count(*) AS n_kept,
-                 array_to_string(list(tok ORDER BY idx), ' ') AS clean_text
-          FROM kept GROUP BY doc_id)
+        ${SubstringDedup.cutRebuildSqlCtes("")}
         SELECT t.doc_id, len(t.w) AS n_tokens,
                coalesce(r.n_kept, 0) AS n_kept,
                coalesce(r.clean_text, '') AS clean_text
@@ -640,6 +630,40 @@ object DedupQueries extends QueryModule {
         ORDER BY t.doc_id"""))
   }
 
+  // The CUT step of span decontamination (dc2 measures coverage; this
+  // REWRITES): benchmark-matching n-gram spans removed from every
+  // corpus doc, rest of the text kept — the surgical alternative to
+  // dc1's whole-document drop. dc2's flagged set feeding dd12's
+  // positional rebuild; all CTEs shared.
+  private val dc3 = {
+    val k = 5
+    Q(
+      "q_dc3_contamination_cut",
+      s"span-level decontamination cut: benchmark $k-gram spans removed from corpus docs",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+        Decontamination.cutContaminated(
+            doc.filter(col("doc_id") % 11 =!= 0),
+            doc.filter(col("doc_id") % 11 === 0),
+            "doc_id", "text", n = k)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${SubstringDedup.toksGramsSqlCtes(k)},
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 11 = 0),
+        flagged AS (
+          SELECT doc_id, pos FROM grams
+          WHERE doc_id % 11 <> 0 AND gram IN (SELECT gram FROM bench)),
+        ${SubstringDedup.covSqlCte(k)},
+        ${SubstringDedup.cutRebuildSqlCtes("WHERE doc_id % 11 <> 0")}
+        SELECT t.doc_id, len(t.w) AS n_tokens,
+               coalesce(r.n_kept, 0) AS n_kept,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM toksq t LEFT JOIN r ON r.doc_id = t.doc_id
+        WHERE t.doc_id % 11 <> 0
+        ORDER BY t.doc_id"""))
+  }
+
   override val all: Seq[Q] =
-    Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dd7, dd8, dd9, dd10, dd11, dd12)
+    Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dc3, dd7, dd8, dd9, dd10, dd11, dd12)
 }

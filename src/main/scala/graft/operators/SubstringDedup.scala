@@ -129,10 +129,34 @@ object SubstringDedup {
           SELECT DISTINCT doc_id, pos + o AS idx
           FROM flagged, unnest(range(0, $k)) AS t(o))"""
 
+  // toks_pos/kept/r: rebuild each doc from positions not in cov — the
+  // twin of cutFlagged. `whereDocs` optionally restricts the rebuilt
+  // doc set (e.g. the dc3 corpus slice); pass "" for all docs.
+  def cutRebuildSqlCtes(whereDocs: String): String = s"""toks_pos AS (
+          SELECT doc_id, i AS idx, list_extract(w, i) AS tok
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toksq $whereDocs)),
+        kept AS (
+          SELECT p.doc_id, p.idx, p.tok
+          FROM toks_pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.idx = p.idx
+          WHERE c.idx IS NULL),
+        r AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 array_to_string(list(tok ORDER BY idx), ' ') AS clean_text
+          FROM kept GROUP BY doc_id)"""
+
   def cutSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val t = tokenFrame(docs, idCol, textCol)
-    val covered = coveredPositions(flaggedSpans(t, idCol, k), idCol, k)
+    cutFlagged(t, flaggedSpans(t, idCol, k), idCol, k)
+  }
+
+  /** The positional rebuild shared by the dedup cut (dd12) and the
+    * decontamination cut (dc3): given flagged (idCol, __pos) span
+    * starts over token frame `t`, rewrite each document without the
+    * covered positions. */
+  private[operators] def cutFlagged(t: DataFrame, flagged: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    val covered = coveredPositions(flagged, idCol, k)
     val kept = t.select(col(idCol), posexplode(col("__w")).as(Seq("__p0", "__tok")))
       .select(col(idCol), (col("__p0") + 1).cast(LongType).as("__idx"), col("__tok"))
       .join(covered, Seq(idCol, "__idx"), "left_anti")

@@ -85,6 +85,26 @@ class SubstringDedupSpec extends SparkSpec {
     }.nonEmpty, "benchmark grams must broadcast")
   }
 
+  test("cutContaminated removes exactly the benchmark spans and agrees with dc2's coverage") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x y alpha beta gamma delta epsilon q r s"),
+      (2L, "p q r s t u v")
+    ).toDF("doc_id", "text")
+    val cut = Decontamination.cutContaminated(corpus, bench, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(cut.toSeq == Seq(
+      (1L, 10L, 5L, "x y q r s"), // the quoted bench span is excised
+      (2L, 7L, 7L, "p q r s t u v")))
+    // invariant tying the cut to the metric: tokens removed == dc2's
+    // contam_tokens for every doc
+    val cov = Decontamination.spanContamination(corpus, bench, "doc_id", "text", 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    cut.foreach { case (id, n, kept, _) => assert(n - kept == cov(id)) }
+  }
+
   test("the rank window runs over the duplicated-gram slice, not the full gram stream") {
     val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val plan = SubstringDedup.spanCoverage(docs, "doc_id", "text", 5)
