@@ -271,6 +271,31 @@ class PlanAuditSpec extends SparkSpec {
       s"no probe-side shuffle joins:\n$p")
   }
 
+  test("q_s5: weighted sample runs as TakeOrdered top-k, not a global sort") {
+    val df = SparkEntry.queries("q_s5_weighted_sample")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort the corpus:\n$p")
+  }
+
+  test("q_sp8: bloom probe is broadcast-only with a single probe-side scan") {
+    val df = SparkEntry.queries("q_sp8_bloom_semi")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"bloom lookups and the truth flag must broadcast:\n$p")
+    // one flagged pass: lineitem appears once in the plan
+    assert("lineitem".r.findAllIn(p).size <= 2, // scan node + its stats line
+      s"the probe funnel must scan lineitem once:\n$p")
+  }
+
+  test("q_dc3: benchmark grams broadcast; the cut adds no rank window") {
+    val df = SparkEntry.queries("q_dc3_contamination_cut")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"bench grams must broadcast:\n$p")
+    assert(!p.contains("Window"), // flagging is a semi-join, not a ranking
+      s"benchmark flagging needs no window:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     // AQE prints codegen spans only in the finalized plan — collect()
     // executes this exact queryExecution (write/count would clone it)
