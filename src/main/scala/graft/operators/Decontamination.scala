@@ -37,6 +37,21 @@ object Decontamination {
     corpus.join(contaminationHits(corpus, benchmark, idCol, textCol, n, minHits)
       .select(col(idCol)), Seq(idCol), "left_anti")
 
+  /** Shared flagging: (corpus token frame, benchmark-matching span
+    * starts). ONE definition so the dc2 metric and the dc3 cut can
+    * never diverge (their spec invariant n_tokens − n_kept ==
+    * contam_tokens depends on it). */
+  private def benchmarkFlagged(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): (DataFrame, DataFrame) = {
+    val bGrams = SubstringDedup.positionalGrams(
+        SubstringDedup.tokenFrame(benchmark, idCol, textCol), idCol, n)
+      .select(col("__gram")).distinct()
+    val t = SubstringDedup.tokenFrame(corpus, idCol, textCol)
+    val flagged = SubstringDedup.positionalGrams(t, idCol, n)
+      .join(broadcast(bGrams), Seq("__gram"), "left_semi")
+    (t, flagged)
+  }
+
   /** Span-level contamination COVERAGE — the fraction-of-tokens metric
     * contamination reports quote (PaLM §6.1 reports both doc counts and
     * token fractions): per corpus doc, (idCol, n_tokens, contam_tokens)
@@ -48,12 +63,7 @@ object Decontamination {
     * before the final per-doc count. */
   def spanContamination(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    val bGrams = SubstringDedup.positionalGrams(
-        SubstringDedup.tokenFrame(benchmark, idCol, textCol), idCol, n)
-      .select(col("__gram")).distinct()
-    val t = SubstringDedup.tokenFrame(corpus, idCol, textCol)
-    val flagged = SubstringDedup.positionalGrams(t, idCol, n)
-      .join(broadcast(bGrams), Seq("__gram"), "left_semi")
+    val (t, flagged) = benchmarkFlagged(corpus, benchmark, idCol, textCol, n)
     SubstringDedup.coverageOf(t, flagged, idCol, n, "contam_tokens")
   }
 
@@ -67,12 +77,7 @@ object Decontamination {
     * n_kept, clean_text). */
   def cutContaminated(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    val bGrams = SubstringDedup.positionalGrams(
-        SubstringDedup.tokenFrame(benchmark, idCol, textCol), idCol, n)
-      .select(col("__gram")).distinct()
-    val t = SubstringDedup.tokenFrame(corpus, idCol, textCol)
-    val flagged = SubstringDedup.positionalGrams(t, idCol, n)
-      .join(broadcast(bGrams), Seq("__gram"), "left_semi")
+    val (t, flagged) = benchmarkFlagged(corpus, benchmark, idCol, textCol, n)
     SubstringDedup.cutFlagged(t, flagged, idCol, n)
   }
 }

@@ -111,7 +111,11 @@ object Sampling {
     * no full sort shuffle). */
   def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
       maxWeight: Int = 64): DataFrame =
-    df.withColumn("__w", least(weight.cast("long"), lit(maxWeight.toLong)))
+    // NULL weights mean "no tickets" (coalesce BEFORE least — least()
+    // skips nulls, so least(NULL, cap) would hand a null-weight row
+    // the MAXIMUM weight instead of excluding it)
+    df.withColumn("__w",
+        least(coalesce(weight.cast("long"), lit(0L)), lit(maxWeight.toLong)))
       .filter(col("__w") > 0)
       .withColumn("__r", explode(sequence(lit(0L), col("__w") - 1)))
       .groupBy(col(idCol))

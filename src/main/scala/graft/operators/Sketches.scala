@@ -228,8 +228,7 @@ object Sketches {
     s"(${digits.mkString(" + ")})"
   }
 
-  def bloomBits(keys: DataFrame, keyCol: String, mBits: Int, hashes: Int): DataFrame = {
-    require(mBits == BloomBits, "one-digest slicing fixes mBits = 65536")
+  def bloomBits(keys: DataFrame, keyCol: String, hashes: Int): DataFrame = {
     require(hashes >= 1 && hashes <= 8, "an md5 digest carries 8 16-bit slices")
     keys.select(explode(array((0 until hashes).map(j =>
         bloomPos(col(keyCol), j).as("p")): _*)).as("pos"))
@@ -244,16 +243,15 @@ object Sketches {
     * fan-out is `hashes` broadcast lookups, all map-side. Bit tests
     * use &-masks over 32-bit words — sign-safe in any engine. */
   def bloomMightContain(probe: DataFrame, keyCol: String, bits: DataFrame,
-      mBits: Int, hashes: Int): DataFrame =
-    bloomTest(probe, keyCol, bits, mBits, hashes)
+      hashes: Int): DataFrame =
+    bloomTest(probe, keyCol, bits, hashes)
       .filter(col("bloom_pass")).drop("bloom_pass")
 
   /** Non-filtering form: appends a `bloom_pass` boolean instead of
     * dropping rows — for single-pass funnels that count or route both
     * outcomes. Same broadcast-lookup plan. */
   def bloomTest(probe: DataFrame, keyCol: String, bits: DataFrame,
-      mBits: Int, hashes: Int): DataFrame = {
-    require(mBits == BloomBits, "one-digest slicing fixes mBits = 65536")
+      hashes: Int): DataFrame = {
     val withPos = probe.withColumns(
       (0 until hashes).map(j => s"__p$j" -> bloomPos(col(keyCol), j)).toMap)
     (0 until hashes).foldLeft(withPos) { (df, j) =>
@@ -304,17 +302,21 @@ object SketchQueries extends QueryModule {
   // shared by sp1 (direct) and sp3 (merge law): the semantic
   // definition ranks the full distinct hash set per group
   private val kmvOracle = s"""
-      WITH h AS (
+      WITH et AS (SELECT DISTINCT event_type FROM events),
+      h AS (
         SELECT DISTINCT event_type, $userHashSql AS h FROM events
         WHERE user_id IS NOT NULL),
       r AS (
         SELECT event_type, h,
                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
                count(*) OVER (PARTITION BY event_type) AS nd
-        FROM h)
-      SELECT event_type, ${kmvEstimateSql(K)} AS nd_est
-      FROM r GROUP BY event_type
-      ORDER BY event_type"""
+        FROM h),
+      e AS (
+        SELECT event_type, ${kmvEstimateSql(K)} AS nd_est
+        FROM r GROUP BY event_type)
+      SELECT et.event_type, coalesce(e.nd_est, 0) AS nd_est
+      FROM et LEFT JOIN e USING (event_type)
+      ORDER BY et.event_type"""
 
   // KMV distinct-users-per-event-type: the sketch aggregation runs as
   // a two-phase ObjectHashAggregate (partial sketches combine
@@ -601,22 +603,21 @@ object SketchQueries extends QueryModule {
   // shuffle join. The gate reports probe/pass/true-match/false-
   // positive counts — false negatives are impossible, and the exact
   // fp count is md5-deterministic, so the whole funnel gates.
-  private val BfBits = 65536
   private val BfHashes = 4
 
   private val sp8 = Q(
     "q_sp8_bloom_semi",
-    s"bloom-filter semi-join pruning ($BfBits bits, $BfHashes hashes): urgent orders vs lineitem",
+    s"bloom-filter semi-join pruning ($BloomBits bits, $BfHashes hashes): urgent orders vs lineitem",
     (s, d) => {
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").cast("string").as("k")).distinct()
-      val bits = bloomBits(urgent, "k", BfBits, BfHashes)
+      val bits = bloomBits(urgent, "k", BfHashes)
       val probe = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_orderkey").cast("string").as("k"))
       // ONE probe scan: bloom_pass and true-match flags ride the same
       // pass (urgent broadcasts for the truth flag), one conditional agg
-      val flagged = bloomTest(probe, "k", bits, BfBits, BfHashes)
+      val flagged = bloomTest(probe, "k", bits, BfHashes)
         .join(broadcast(urgent.withColumn("__true", lit(1L))), Seq("k"), "left")
       flagged.agg(
           count(lit(1)).as("n_probe"),

@@ -468,7 +468,8 @@ object TextQueries extends QueryModule {
         pmod(col("n_chars"), lit(20)), k),
       Some(s"""
         WITH w AS (
-          SELECT doc_id, n_chars % 20 AS w FROM documents WHERE n_chars % 20 > 0),
+          SELECT doc_id, least(n_chars % 20, 64) AS w
+          FROM documents WHERE n_chars % 20 > 0),
         t AS (
           SELECT doc_id,
                  min(md5('ws:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR))) AS race_key

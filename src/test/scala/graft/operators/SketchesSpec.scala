@@ -144,17 +144,17 @@ class SketchesSpec extends SparkSpec {
 
   test("bloom filter: zero false negatives, map-side probe, build is word-bounded") {
     val keys = (1 to 500).map(i => s"k$i").toDF("k")
-    val bits = bloomBits(keys, "k", 65536, 4)
-    assert(bits.count() <= 65536 / 32) // at most m/32 words whatever n is
+    val bits = bloomBits(keys, "k", 4)
+    assert(bits.count() <= BloomBits / 32) // at most m/32 words whatever n is
     val probe = (1 to 2000).map(i => s"k$i").toDF("k")
-    val passed = bloomMightContain(probe, "k", bits, 65536, 4)
+    val passed = bloomMightContain(probe, "k", bits, 4)
       .select($"k").as[String].collect().toSet
     // every true member passes — false negatives are impossible
     assert((1 to 500).forall(i => passed.contains(s"k$i")))
     // false positives exist but are rare at this load factor
     val fp = passed.count(k => k.drop(1).toInt > 500)
     assert(fp < 100, s"fp rate too high: $fp/1500")
-    val p = bloomMightContain(probe, "k", bits, 65536, 4)
+    val p = bloomMightContain(probe, "k", bits, 4)
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       s"bloom probe must be broadcast-only:\n$p")
