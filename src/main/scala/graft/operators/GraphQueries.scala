@@ -56,5 +56,37 @@ object GraphQueries extends QueryModule {
     },
     cc1.oracle)
 
-  override val all: Seq[Q] = Seq(cc1, cc2)
+  // Triangle counting over the supplier co-part graph (suppliers
+  // linked when they supply the same part): degree-ordered wedges
+  // (Suri & Vassilvitskii) so no vertex ever fans out O(d_max²); the
+  // oracle is the semantic three-way a<b<c join — the totals must
+  // agree exactly, which proves the orientation counts each triangle
+  // once.
+  private val cc3 = Q(
+    "q_cc3_triangles",
+    "degree-ordered triangle count of the supplier co-part graph",
+    (s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup")).distinct()
+      val edges = ps.as("x").join(ps.as("y"), col("x.p") === col("y.p"))
+        .filter(col("x.sup") < col("y.sup"))
+        .select(col("x.sup").as("a"), col("y.sup").as("b")).distinct()
+      Triangles.countTriangles(edges, "a", "b")
+    },
+    Some("""
+      WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+      e AS (
+        SELECT DISTINCT x.sup AS va, y.sup AS vb
+        FROM ps x JOIN ps y ON x.p = y.p AND x.sup < y.sup),
+      v AS (SELECT count(DISTINCT v) AS n_vertices FROM
+              (SELECT va AS v FROM e UNION ALL SELECT vb FROM e)),
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.va = e1.vb
+        JOIN e e3 ON e3.va = e1.va AND e3.vb = e2.vb)
+      SELECT v.n_vertices, (SELECT count(*) FROM e) AS n_edges, tri.n_triangles
+      FROM v CROSS JOIN tri"""))
+
+  override val all: Seq[Q] = Seq(cc1, cc2, cc3)
 }
