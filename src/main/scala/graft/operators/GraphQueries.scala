@@ -66,7 +66,13 @@ object GraphQueries extends QueryModule {
     "q_cc3_triangles",
     "degree-ordered triangle count of the supplier co-part graph",
     (s, d) => {
-      val ps = Tables.lineitem(s, d)
+      // bounded slice (cc1's convention): the FULL co-part graph at
+      // sf0.1 is near-complete (every supplier pairs with every other
+      // through some part) — a degenerate graph where triangle count
+      // approaches C(n,3) and says nothing; the order-bounded slice
+      // keeps the graph sparse at every SF so the gate exercises the
+      // wedge path, not a clique enumeration
+      val ps = Tables.lineitem(s, d).filter(col("l_orderkey") < 500)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sup")).distinct()
       val edges = ps.as("x").join(ps.as("y"), col("x.p") === col("y.p"))
         .filter(col("x.sup") < col("y.sup"))
@@ -74,7 +80,8 @@ object GraphQueries extends QueryModule {
       Triangles.countTriangles(edges, "a", "b")
     },
     Some("""
-      WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+      WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem
+                  WHERE l_orderkey < 500),
       e AS (
         SELECT DISTINCT x.sup AS va, y.sup AS vb
         FROM ps x JOIN ps y ON x.p = y.p AND x.sup < y.sup),
