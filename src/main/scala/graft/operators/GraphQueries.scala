@@ -95,5 +95,33 @@ object GraphQueries extends QueryModule {
       SELECT v.n_vertices, (SELECT count(*) FROM e) AS n_edges, tri.n_triangles
       FROM v CROSS JOIN tri"""))
 
-  override val all: Seq[Q] = Seq(cc1, cc2, cc3)
+  // Integer-exact PageRank over cc1's bounded order→part graph: five
+  // rounds, every quantity a floor-divided BIGINT, the oracle replays
+  // the rounds as MATERIALIZED CTEs (the KMeans/BPE unrolling
+  // discipline). Orders hold all out-edges; parts are rank sinks —
+  // a well-defined directed PR instance.
+  private val cc4 = {
+    val iters = 5
+    Q(
+      "q_cc4_pagerank",
+      s"integer-exact PageRank, $iters unrolled rounds over the order-part graph",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 500)
+          .select(col("l_orderkey").as("src"),
+            (col("l_partkey") + 1000000L).as("dst"))
+          .distinct()
+        PageRank.ranks(edges, "src", "dst", iters)
+          .select(col("v").as("vertex"), col("rank"))
+          .orderBy(col("vertex"))
+      },
+      Some(s"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS src, l_partkey + 1000000 AS dst
+          FROM lineitem WHERE l_orderkey < 500),
+        ${PageRank.ranksSqlCtes(iters)}
+        SELECT v AS vertex, rank FROM r$iters ORDER BY vertex"""))
+  }
+
+  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4)
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference implementation: the same floor-div recurrence in plain
+    * Scala over adjacency maps. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val verts = e.flatMap(t => Seq(t._1, t._2)).distinct
+    val out = e.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    var r = verts.map(_ -> PageRank.Scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / out(src) }.sum
+      }
+      r = verts.map(v =>
+        v -> (15L * PageRank.Scale / 100L + 85L * contrib.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    PageRank.ranks(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+  test("ranks equal the floor-div reference bit-for-bit") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 3L))
+    assert(run(g, 5) == reference(g, 5))
+  }
+
+  test("a sink pointed at by everyone outranks its pointers") {
+    val star = (2L to 10L).map(i => (i, 1L)) // all point to 1
+    val r = run(star, 5)
+    assert((2L to 10L).forall(i => r(1L) > r(i)))
+    // the pointers have no in-links: their rank is the bare damping term
+    assert(r(2L) == 15L * PageRank.Scale / 100L)
+  }
+
+  test("two rounds differ from one (the loop actually iterates)") {
+    val g = Seq((1L, 2L), (2L, 1L), (2L, 3L))
+    assert(run(g, 1) != run(g, 2))
+    assert(run(g, 2) == reference(g, 2))
+  }
+}
