@@ -52,14 +52,17 @@ object PageRank {
 
   /** Oracle twin: deg/r0 plus one CTE per round (MATERIALIZED — the
     * multiply-referenced chain re-evaluates exponentially otherwise,
-    * the q_bpe1 lesson). `edgesCte` must define e(src, dst). */
+    * the q_bpe1 lesson). `edgesCte` must define e(src, dst). Sums and
+    * the rank expression are CAST to BIGINT — DuckDB widens sum() to
+    * HUGEINT, which would drift the output schema (the tx9/tx10
+    * guard); N·Scale·85 ≪ 2^63 so the cast is semantics-preserving. */
   def ranksSqlCtes(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s"""r$k AS MATERIALIZED (
         SELECT v.v,
-               ${15L * Scale / 100L} + (85 * coalesce(s.s, 0)) // 100 AS rank
+               CAST(${15L * Scale / 100L} + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank
         FROM verts v LEFT JOIN (
-          SELECT e.dst, sum(r.rank // d.out) AS s
+          SELECT e.dst, CAST(sum(r.rank // d.out) AS BIGINT) AS s
           FROM r${k - 1} r
           JOIN deg d ON d.src = r.v
           JOIN e ON e.src = r.v

@@ -138,23 +138,24 @@ object QualityClassifierQueries extends QueryModule {
       f AS (SELECT doc_id, $fb AS bucket FROM w),
       model AS (
         SELECT bucket,
-               sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS cnt_t,
-               sum(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END) AS cnt_b
+               CAST(sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+               CAST(sum(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
         FROM f GROUP BY bucket),
-      tot AS (SELECT sum(cnt_t) AS s_t, sum(cnt_b) AS s_b FROM model),
+      tot AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS s_t,
+                     CAST(sum(cnt_b) AS BIGINT) AS s_b FROM model),
       toksq AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
         FROM documents WHERE doc_id % 11 <> 0),
       sums AS (
         SELECT f.doc_id,
-               sum(coalesce(m.cnt_t, 0) + 1) AS sa,
-               sum(coalesce(m.cnt_b, 0) + 1) AS sb
+               CAST(sum(coalesce(m.cnt_t, 0) + 1) AS BIGINT) AS sa,
+               CAST(sum(coalesce(m.cnt_b, 0) + 1) AS BIGINT) AS sb
         FROM f LEFT JOIN model m ON m.bucket = f.bucket
         WHERE f.doc_id % 11 <> 0
         GROUP BY f.doc_id)
-      SELECT t.doc_id, coalesce(len(t.ws), 0) AS n_tokens,
-             coalesce(s.sa, 0) * (tot.s_b + $Buckets) AS like_num,
-             coalesce(s.sb, 0) * (tot.s_t + $Buckets) AS like_den,
+      SELECT t.doc_id, CAST(coalesce(len(t.ws), 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(s.sa, 0) * (tot.s_b + $Buckets) AS BIGINT) AS like_num,
+             CAST(coalesce(s.sb, 0) * (tot.s_t + $Buckets) AS BIGINT) AS like_den,
              CAST(CASE WHEN coalesce(len(t.ws), 0) > 0 AND
                coalesce(s.sa, 0) * (tot.s_b + $Buckets) >=
                coalesce(s.sb, 0) * (tot.s_t + $Buckets)

@@ -126,11 +126,14 @@ object Sketches {
   /** Distinct-count estimate from a sketch column (referenced by NAME —
     * the integral `div` needs SQL-expression form; float division would
     * be inexact above 2^53): exact size while the sketch is not full,
-    * else floor((k-1)·2^56 / h_(k)) in BIGINT. */
+    * else floor((k-1)·2^56 / h_(k)) in BIGINT. h_(k) is guarded by
+    * greatest(·, 1): an all-zero md5 prefix (~2^-56 per group) would
+    * otherwise NULL here but raise in DuckDB — a silent cross-engine
+    * divergence; the oracle carries the identical guard. */
   def kmvEstimate(sketchCol: String, k: Int): Column = {
     val numerator = (k - 1).toLong * HashSpace
     when(size(col(sketchCol)) < k, size(col(sketchCol)).cast(LongType))
-      .otherwise(expr(s"${numerator}L div element_at($sketchCol, $k)"))
+      .otherwise(expr(s"${numerator}L div greatest(element_at($sketchCol, $k), 1L)"))
   }
 
   /** The oracle-side estimate for a group whose distinct hashes carry
@@ -138,7 +141,7 @@ object Sketches {
   def kmvEstimateSql(k: Int): String = {
     val numerator = (k - 1).toLong * HashSpace
     s"""CASE WHEN max(nd) < $k THEN max(nd)
-            ELSE $numerator // max(CASE WHEN rn = $k THEN h END) END"""
+            ELSE $numerator // greatest(max(CASE WHEN rn = $k THEN h END), 1) END"""
   }
 
   /** Misra–Gries heavy-hitters summary (Misra & Gries 1982; mergeable
@@ -187,13 +190,17 @@ object Sketches {
     * therefore exactly the true-heavy keys, independent of order —
     * which is what makes q_sp7 oracle-gateable at all. */
   def heavyHitters(rows: DataFrame, keyCol: String, k: Int): DataFrame = {
+    // MgAgg is string-keyed: stringify the key up front so a
+    // non-string key column costs one cast at the API boundary
+    // instead of a runtime encoder error inside the aggregate
+    val keyed = rows.select(col(keyCol).cast("string").as(keyCol))
     // pass 1 computes the MG summary AND the total row count together,
     // checkpointed (1 row) so the two consumers below don't re-run the
     // corpus aggregate — heavy hitters costs exactly two corpus scans
-    val p1 = rows.agg(udaf(new MgAgg(k)).apply(col(keyCol)).as("mg"),
+    val p1 = keyed.agg(udaf(new MgAgg(k)).apply(col(keyCol)).as("mg"),
       count(lit(1)).as("__n")).localCheckpoint()
     val cand = p1.select(explode(map_keys(col("mg"))).as(keyCol))
-    rows.join(broadcast(cand), Seq(keyCol))
+    keyed.join(broadcast(cand), Seq(keyCol))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"))
       .crossJoin(p1.select(col("__n")))
       .filter(col("n_exact") * (k + 1) > col("__n"))
@@ -202,7 +209,7 @@ object Sketches {
 
   /** Bloom filter over a key set (Bloom 1970) — the shuffle-volume
     * reducer: when the build side of a join is too big to broadcast
-    * but its bit array (16 KB at m=2^16 as 32-bit words) is not, probe rows that fail the bloom
+    * but its bit array (8 KB at m=2^16 as 32-bit words) is not, probe rows that fail the bloom
     * never enter the shuffle. md5-positioned, so build and probe are
     * engine-reproducible (gateable) and false negatives are
     * impossible by construction.
@@ -300,12 +307,17 @@ object SketchQueries extends QueryModule {
   private val userHashSql = md5Long56Sql("'u:' || CAST(user_id AS VARCHAR)")
 
   // shared by sp1 (direct) and sp3 (merge law): the semantic
-  // definition ranks the full distinct hash set per group
+  // definition ranks the full distinct hash set per group. Null
+  // event_type is filtered SYMMETRICALLY on both engines: Spark's
+  // groupBy would emit a null-keyed group but the oracle's equi-join
+  // below never matches NULL — excluding it on both sides keeps the
+  // gate honest if the events table ever carries null types.
   private val kmvOracle = s"""
-      WITH et AS (SELECT DISTINCT event_type FROM events),
+      WITH et AS (SELECT DISTINCT event_type FROM events
+                  WHERE event_type IS NOT NULL),
       h AS (
         SELECT DISTINCT event_type, $userHashSql AS h FROM events
-        WHERE user_id IS NOT NULL),
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
       r AS (
         SELECT event_type, h,
                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
@@ -326,7 +338,7 @@ object SketchQueries extends QueryModule {
     "q_sp1_kmv_distinct",
     s"KMV (k=$K) distinct-count estimate of users per event type",
     (s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.events(s, d).filter(col("event_type").isNotNull)
       ev.select(col("event_type"),
           md5Long56(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
         .groupBy(col("event_type"))
@@ -345,7 +357,7 @@ object SketchQueries extends QueryModule {
     "q_sp3_kmv_merge",
     s"KMV sketch merge law: estimate from merged half-sketches (k=$K)",
     (s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.events(s, d).filter(col("event_type").isNotNull)
         .select(col("event_type"), col("event_id"),
           md5Long56(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
       def half(m: Int) = ev.filter(pmod(col("event_id"), lit(2)) === m)
@@ -496,7 +508,7 @@ object SketchQueries extends QueryModule {
     Some {
       def one(c: String) = s"""
         SELECT '$c' AS column_name, count(*) AS n_rows,
-               sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                coalesce((SELECT ${kmvEstimateSql(K)} FROM (
                   SELECT h, row_number() OVER (ORDER BY h) AS rn,
                          count(*) OVER () AS nd
@@ -564,7 +576,7 @@ object SketchQueries extends QueryModule {
         WHERE h IN (SELECT h FROM skb) AND h < (SELECT t FROM theta)),
       u AS (
         SELECT CASE WHEN n_m < $K THEN n_m
-                    ELSE ${(K - 1).toLong * HashSpace} // h_k END AS union_est
+                    ELSE ${(K - 1).toLong * HashSpace} // greatest(h_k, 1) END AS union_est
         FROM m)
       SELECT c.n_common, u.union_est,
              (c.n_common * u.union_est) //
