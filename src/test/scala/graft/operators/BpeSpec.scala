@@ -119,6 +119,22 @@ class BpeSpec extends SparkSpec {
       s"word counting must be partial+final:\n$p")
   }
 
+  test("persisted artifact: write/read roundtrip and train-once ≡ retrain") {
+    val words = Bpe.wordFrequencies(Tables.documents(spark, sf0001), "text")
+    val (merges, toks) = Bpe.train(words, 4)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-artifact-").toString
+    Bpe.writeMerges(spark, merges, s"$dir/merges")
+    Bpe.writeVocabToks(toks, s"$dir/toks")
+    // the merge list survives persistence exactly, in step order
+    assert(Bpe.readMerges(spark, s"$dir/merges") == merges)
+    // applying the PERSISTED merges to fresh char tokens reproduces the
+    // training segmentation — so a stored tokenizer replaces retraining
+    val applied = segOf(Bpe.segment(words, Bpe.readMerges(spark, s"$dir/merges")))
+    assert(applied == segOf(toks))
+    // and the persisted vocabulary segmentation reads back unchanged
+    assert(segOf(spark.read.parquet(s"$dir/toks")) == segOf(toks))
+  }
+
   test("train stops early when the vocabulary is fully merged") {
     val words = wordsDf(Map("ab" -> 1L))
     val (merges, toks) = Bpe.train(words, 10)
