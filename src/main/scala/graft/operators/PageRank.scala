@@ -16,13 +16,39 @@ import org.apache.spark.sql.functions._
   * Scale shape: ranks live in a (vertex, rank) frame; one round = one
   * join on the edge src + one aggregate on dst — both shuffles keyed
   * by vertex id, the textbook distributed PR plan. Each round
-  * localCheckpoints (truncated lineage, same as ConnectedComponents);
-  * rounds are a fixed small count here — production convergence loops
-  * read the same code with a delta check.
+  * localCheckpoints (truncated lineage, same as ConnectedComponents).
+  * [[ranks]] runs a fixed unrolled count (the oracle-gateable form);
+  * [[ranksUntil]] is the production convergence loop — same round
+  * kernel, iterated to a movement bound with a fail-loud guard.
   */
 object PageRank {
 
   val Scale = 1000000000000L // 10^12: N·Scale·85 stays far inside BIGINT
+
+  /** Normalized graph frames shared by both iteration modes. */
+  private final case class Graph(e: DataFrame, verts: DataFrame, outDeg: DataFrame)
+
+  private def graphOf(edges: DataFrame, srcCol: String, dstCol: String): Graph = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
+    Graph(e, verts, e.groupBy(col("src")).agg(count(lit(1)).as("out")))
+  }
+
+  /** One PR round: contribution join + dst aggregate + damped update —
+    * both shuffles keyed by vertex id. Shared by the unrolled and the
+    * convergence modes, so the two cannot drift. */
+  private def roundStep(g: Graph, r: DataFrame): DataFrame =
+    g.verts
+      .join(r.join(g.outDeg, r("v") === g.outDeg("src"))
+          .select(col("src"), expr("rank div out").as("c"))
+          .join(g.e, "src")
+          .groupBy(col("dst")).agg(sum(col("c")).as("s")),
+        g.verts("v") === col("dst"), "left")
+      .select(col("v"),
+        (lit(15L * Scale / 100L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+      .localCheckpoint()
 
   /** Directed edges (srcCol, dstCol) → (vertex, rank) after `iters`
     * rounds, damping 0.85. Vertices = all edge endpoints; dangling
@@ -30,24 +56,46 @@ object PageRank {
     * simplification, matched by the oracle). */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, "unrolled-oracle range")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
-    val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out"))
-    var r = verts.select(col("v"), lit(Scale).as("rank")).localCheckpoint()
-    for (_ <- 1 to iters) {
-      val contrib = r.join(outDeg, r("v") === outDeg("src"))
-        .select(col("src"), expr("rank div out").as("c"))
-        .join(e, "src")
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = verts
-        .join(contrib, verts("v") === contrib("dst"), "left")
-        .select(col("v"),
-          (lit(15L * Scale / 100L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint()
-    }
+    val g = graphOf(edges, srcCol, dstCol)
+    var r = g.verts.select(col("v"), lit(Scale).as("rank")).localCheckpoint()
+    for (_ <- 1 to iters) r = roundStep(g, r)
     r
+  }
+
+  /** Convergence-mode PageRank — the production loop: iterate the same
+    * round kernel until the largest per-vertex rank movement is ≤
+    * `delta` (scaled units; 0 = exact fixed point, which floor
+    * arithmetic does reach), throwing after `maxIters` like
+    * [[ConnectedComponents]] — a non-converged rank table silently
+    * misranks, so failing loud is the only safe default. The per-round
+    * delta check is one vertex-keyed join + max — the same shuffle key
+    * as the round itself, nothing new materializes. */
+  def ranksUntil(edges: DataFrame, srcCol: String, dstCol: String,
+      delta: Long = Scale / 1000L, maxIters: Int = 60): DataFrame =
+    ranksUntilCounted(edges, srcCol, dstCol, delta, maxIters)._1
+
+  /** [[ranksUntil]] plus the round count it took — the spec uses the
+    * count to pin convergence mode against the unrolled form round-
+    * for-round. Damping contracts movement by ~0.85/round, so expect
+    * ~log(Scale/delta)/log(1/0.85) rounds (≈ 43 at the default delta;
+    * delta = 0 needs ~170 — raise maxIters deliberately for that). */
+  private[operators] def ranksUntilCounted(edges: DataFrame, srcCol: String,
+      dstCol: String, delta: Long, maxIters: Int): (DataFrame, Int) = {
+    require(delta >= 0L, "delta is an absolute scaled-rank movement")
+    val g = graphOf(edges, srcCol, dstCol)
+    var r = g.verts.select(col("v"), lit(Scale).as("rank")).localCheckpoint()
+    var iter = 0
+    while (iter < maxIters) {
+      val next = roundStep(g, r)
+      val row = next.as("n").join(r.as("p"), col("n.v") === col("p.v"))
+        .agg(max(abs(col("n.rank") - col("p.rank")))).head()
+      val moved = if (row.isNullAt(0)) 0L else row.getLong(0) // empty graph: fixed
+      r = next
+      iter += 1
+      if (moved <= delta) return (r, iter)
+    }
+    throw new IllegalStateException(
+      s"PageRank did not converge to delta ≤ $delta in $maxIters rounds")
   }
 
   /** Oracle twin: deg/r0 plus one CTE per round (MATERIALIZED — the

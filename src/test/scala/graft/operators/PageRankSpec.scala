@@ -44,4 +44,24 @@ class PageRankSpec extends SparkSpec {
     assert(run(g, 1) != run(g, 2))
     assert(run(g, 2) == reference(g, 2))
   }
+
+  test("convergence mode equals the unrolled form at its stop round") {
+    // both modes share roundStep; prove it end-to-end by converging to
+    // a movement bound, then unrolling ranks() to exactly that many
+    // rounds — the tables must match bit-for-bit (and the reference)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 3L), (3L, 4L))
+    val (df, k) = PageRank.ranksUntilCounted(g.toDF("src", "dst"), "src", "dst",
+      delta = PageRank.Scale / 10L, maxIters = 40)
+    assert(k >= 2 && k <= 20, s"expected a mid-range stop round, got $k")
+    val converged = df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(converged == run(g, k))
+    assert(converged == reference(g, k))
+  }
+
+  test("non-convergence throws instead of returning a misranked table") {
+    val g = Seq((1L, 2L)) // source vertex still moving after round 1
+    intercept[IllegalStateException] {
+      PageRank.ranksUntil(g.toDF("src", "dst"), "src", "dst", delta = 0L, maxIters = 1)
+    }
+  }
 }
