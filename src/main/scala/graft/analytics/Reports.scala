@@ -240,6 +240,42 @@ object Reports {
       .orderBy(col("year"), col("month"), col("est_country"))
   }
 
+  /** Common nucleotide mutations of a pangolin lineage (ref
+    * `database/sql/gisaid_mutations.sql:16-36`): restrict to the
+    * lineage's sequences that HAVE mutation rows (the reference's
+    * EXISTS — a semi join), count each (position, mutation), keep
+    * those at or above `prevNum/prevDen` prevalence (default the
+    * reference's 20%). The threshold is integer cross-multiplied so
+    * the cut is float-free; `proportion` is emitted for reading, not
+    * compared. The denominator is one aggregate row broadcast into
+    * the HAVING — the scalar-subquery shape, shuffle-free. */
+  def mutationPrevalence(gisaid: DataFrame, nucMutations: DataFrame,
+      lineage: String, prevNum: Int = 20, prevDen: Int = 100): DataFrame = {
+    val seqs = gisaid.filter(col("pango_lineage") === lineage)
+      .select(col("strain"))
+      .join(nucMutations.select(col("strain")).distinct(), Seq("strain"), "semi")
+      .localCheckpoint() // two consumers (total + join): one computation
+    val total = seqs.agg(count(lit(1)).as("n_total"))
+    seqs.join(nucMutations, Seq("strain"))
+      .groupBy((col("position") + 1).as("position"), col("mutation"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * prevDen >= col("n_total") * prevNum)
+      .withColumn("proportion", col("n").cast("double") / col("n_total"))
+      .select(col("position"), col("mutation"), col("n"), col("proportion"))
+      .orderBy(col("n").desc, col("position"))
+  }
+
+  /** Datathon host summary (ref `database/sql/aarhus_datathon.sql:1-5`):
+    * per host, sequence count and date range for one country. */
+  def hostSummary(gisaid: DataFrame, country: String,
+      countryCol: String = "country_original"): DataFrame =
+    gisaid.filter(col(countryCol) === country)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_sequences"),
+        min(col("date")).as("first_date"), max(col("date")).as("last_date"))
+      .orderBy(col("host"))
+
   /** Pipeline completeness funnel over the sample lifecycle (ref
     * quality_control.sql:46-58): one pass of stage flags. */
   def completenessFunnel(tests: DataFrame, consensus: DataFrame,

@@ -228,6 +228,19 @@ object SpectrumViews {
       .groupBy(col("fall_dt").as("date"), col("ktn").as("canton"), col("age_group"))
       .agg(count(lit(1)).as("n_cases"))
 
+  /** Unique-visitors-per-day summary over the usage-by-OS table (ref
+    * `spectrum/usage_statistics.sql:53-66`): roll visitors up per day
+    * inside the window, then one summary row — day count, mean, and
+    * percentile_cont(0.5) median (Spark's exact `percentile`). Two
+    * combinable aggregates; the second runs over day-count rows. */
+  def usageDailyVisitors(usageOs: DataFrame, startDate: String,
+      endDate: String): DataFrame =
+    usageOs.filter(col("date").between(startDate, endDate))
+      .groupBy(col("date")).agg(sum(col("visitors")).as("visitors"))
+      .agg(count(lit(1)).as("number_day"),
+        avg(col("visitors")).as("avg_visitors"),
+        expr("percentile(visitors, 0.5)").as("median_visitors"))
+
   /** The whole DAG, returning every view keyed by its reference
     * matview name (the refresh job writes each with TableIO). */
   def buildAll(consensus: DataFrame, sequenceIdentifier: DataFrame,

@@ -26,6 +26,12 @@ object SpectrumRefresh {
       t("gisaid_api_sequence"), t("nuc_mutations"), t("aa_mutations"),
       t("ext_owid_global_cases"), t("spectrum_country"), t("bag_dashboard_meldeformular"),
       startDate = "2021-03-01", endDate = "2021-03-31")
+    // usage-statistics view refreshes only when the usage feed exists
+    val usageViews: Map[String, DataFrame] =
+      if (t.contains("spectrum_usage_os"))
+        Map("spectrum_usage_daily_visitors" -> SpectrumViews.usageDailyVisitors(
+          t("spectrum_usage_os"), startDate = "2021-09-01", endDate = "2021-10-31"))
+      else Map.empty
     // private twin refreshes only when its extra inputs are present
     val privateViews: Map[String, DataFrame] =
       if (Seq("swiss_canton", "bag_meldeformular", "consensus_sequence_nextclade_data")
@@ -50,7 +56,7 @@ object SpectrumRefresh {
           .withColumnRenamed("fall_dt", "date").withColumnRenamed("ktn", "canton")
           .withColumnRenamed("altersjahr", "age"),
         t("bag_test_numbers")))
-    (views ++ privateViews ++ reports).foreach { case (name, df) =>
+    (views ++ usageViews ++ privateViews ++ reports).foreach { case (name, df) =>
       TableIO.writeAtomicSwap(df, s"$outDir/$name")
       println(s"[spectrum] $name rows=${TableIO.read(spark, s"$outDir/$name").count()}")
     }
@@ -77,7 +83,7 @@ object SpectrumRefresh {
         "ext_owid_global_cases", "spectrum_country", "bag_dashboard_meldeformular",
         "bag_test_numbers")
       val optional = Seq("swiss_canton", "bag_meldeformular",
-        "consensus_sequence_nextclade_data")
+        "consensus_sequence_nextclade_data", "spectrum_usage_os")
         .filter(n => graft.core.TableIO.exists(spark, s"$inDir/$n"))
       (required ++ optional).map(n => n -> spark.read.parquet(s"$inDir/$n")).toMap
     }
@@ -150,12 +156,19 @@ object SpectrumRefresh {
       (Date.valueOf(s"2021-03-${i % 28 + 1}"), Seq("ZH", "TI", "GR")(i % 3),
         Seq("0 - 9", "10 - 19", "20 - 29", "80+")(i % 4), (i * 3) % 40 + 1))
       .toDF("date", "canton", "age_group", "negative_tests")
+    val usageOs = (0 until 61).flatMap { d =>
+      val date = Date.valueOf(java.time.LocalDate.parse("2021-09-01").plusDays(d))
+      Seq("Windows", "macOS", "Linux").zipWithIndex.map { case (os, i) =>
+        (date, os, (d * 13L + i * 7L) % 200 + 1L, (d * 31L + i * 11L) % 900 + 1L)
+      }
+    }.toDF("date", "os", "visitors", "hits")
     Map("consensus_sequence" -> consensus, "sequence_identifier" -> seqId,
       "viollier_test" -> viollier, "gisaid_api_sequence" -> gisaid,
       "nuc_mutations" -> nucMut, "aa_mutations" -> aaMut,
       "ext_owid_global_cases" -> cases, "spectrum_country" -> countries,
       "bag_dashboard_meldeformular" -> bag, "bag_test_numbers" -> bagNeg,
       "swiss_canton" -> cantons, "bag_meldeformular" -> bagMelde,
-      "consensus_sequence_nextclade_data" -> nextclade)
+      "consensus_sequence_nextclade_data" -> nextclade,
+      "spectrum_usage_os" -> usageOs)
   }
 }

@@ -150,6 +150,41 @@ class ReportsSpec extends SparkSpec {
       ("Germany", 2020, 4, 1L, 1.0)))
   }
 
+  test("mutation prevalence: EXISTS-restricted denominator, 20% integer cut") {
+    import spark.implicits._
+    // s1..s4 are lineage X; s4 has NO mutation rows so it is outside
+    // the denominator (the reference's EXISTS); s5 is another lineage
+    val gisaid = Seq(("s1", "X"), ("s2", "X"), ("s3", "X"), ("s4", "X"), ("s5", "Y"))
+      .toDF("strain", "pango_lineage")
+    val muts = Seq(
+      ("s1", 912, "T"), ("s2", 912, "T"), ("s3", 912, "T"), // 3/3 = 100%
+      ("s1", 100, "A"),                                     // 1/3 ≥ 20% → kept
+      ("s5", 200, "G")                                      // other lineage only
+    ).toDF("strain", "position", "mutation")
+    val out = Reports.mutationPrevalence(gisaid, muts, "X").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // positions are 1-shifted (ref: m.position + 1); ordered n desc, position
+    assert(out.toSeq == Seq((913, "T", 3L, 1.0), (101, "A", 1L, 1.0 / 3)))
+    // a 40% threshold cuts the singleton exactly at the integer boundary
+    val strict = Reports.mutationPrevalence(gisaid, muts, "X", prevNum = 40).collect()
+    assert(strict.map(_.getInt(0)).toSeq == Seq(913))
+  }
+
+  test("host summary: per-host count and date range for one country") {
+    import spark.implicits._
+    import java.sql.Date
+    val g = Seq(
+      ("Human", "Denmark", "2021-01-05"), ("Human", "Denmark", "2021-02-01"),
+      ("Mink", "Denmark", "2021-01-20"), ("Human", "Sweden", "2021-03-01"))
+      .map { case (h, c, d) => (h, c, Date.valueOf(d)) }
+      .toDF("host", "country_original", "date")
+    val out = Reports.hostSummary(g, "Denmark").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString, r.getDate(3).toString))
+    assert(out.toSeq == Seq(
+      ("Human", 2L, "2021-01-05", "2021-02-01"),
+      ("Mink", 1L, "2021-01-20", "2021-01-20")))
+  }
+
   test("completeness funnel counts stages in one pass") {
     import spark.implicits._
     val tests = Seq(1L, 2L, 3L, 4L).toDF("ethid")

@@ -211,4 +211,21 @@ class SpectrumViewsSpec extends SparkSpec {
     val buckets = sc.map(r => (r.getAs[String]("canton"), r.getAs[String]("age_group"))).toSet
     assert(buckets == Set(("ZH", "20-29"), ("ZH", "80+"), ("BE", "40-49")))
   }
+
+  test("usage daily visitors: per-day rollup then count/avg/exact median") {
+    import spark.implicits._
+    import java.sql.Date
+    // three days in window (one split across two OS rows), one outside
+    val os = Seq(
+      ("2021-09-01", "Windows", 10L, 50L), ("2021-09-01", "macOS", 20L, 60L),
+      ("2021-09-02", "Windows", 50L, 70L),
+      ("2021-09-03", "Linux", 40L, 80L),
+      ("2021-11-05", "Windows", 999L, 999L))
+      .map { case (d, o, v, h) => (Date.valueOf(d), o, v, h) }
+      .toDF("date", "os", "visitors", "hits")
+    val r = SpectrumViews.usageDailyVisitors(os, "2021-09-01", "2021-10-31").head()
+    assert(r.getAs[Long]("number_day") == 3L)
+    assert(r.getAs[Double]("avg_visitors") == 40.0) // (30 + 50 + 40) / 3
+    assert(r.getAs[Double]("median_visitors") == 40.0)
+  }
 }
