@@ -600,6 +600,70 @@ object TextQueries extends QueryModule {
         WHERE d.doc_id IS NULL ORDER BY k.doc_id"""))
   }
 
+  // The composed training-export chain (jobs/TrainingExport) as a
+  // gate: doc-level split → per-split chunk+pack into 64-token windows
+  // → md5-shuffled round-robin shard assignment. The oracle composes
+  // the already-verified fragments — the s3 split CASE, the tx9/tx10
+  // prefix-sum packing (here PARTITIONed per split), the s2 rank
+  // window — so the gate pins their COMPOSITION: the (split, shard,
+  // pos, window) layout a training loader actually streams. Doc-level
+  // split BEFORE packing is the point being verified: no window mixes
+  // text from two splits.
+  private val llm2 = {
+    val window = 64
+    val groupDocs = 100
+    val nShards = 8
+    val fracs = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val cuts = fracs.init.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
+    val caseArms = fracs.init.zip(cuts).map { case ((n, _), c) =>
+      s"WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(c)}' THEN '$n'"
+    }.mkString(" ")
+    Q(
+      "q_llm2_training_export",
+      "end-to-end training export: doc split, packed 64-token windows, round-robin shards",
+      (s, d) => {
+        val split = Sampling.assignSplits(Tables.documents(s, d), "doc_id", fracs)
+        fracs.map { case (name, _) =>
+          val chunks = chunkFrame(split.filter(col("split") === name))
+            .select(col("doc_id"), col("chunk_idx"), col("chunk_text"), col("n_chunk_tokens"))
+          val packed = SequencePacking.pack(chunks, "n_chunk_tokens", window,
+            expr(s"doc_id div $groupDocs"), Seq("doc_id", "chunk_idx"))
+          val bins = SequencePacking.materializeBins(packed, "chunk_text",
+            "n_chunk_tokens", Seq("doc_id", "chunk_idx"))
+          Sharding.shuffleShards(bins, "bin_id", nShards)
+            .select(lit(name).as("split"), col("bin_id"), col("n_chunks"),
+              col("n_tokens"), md5(col("bin_text")).as("bin_md5"),
+              col("shard"), col("pos"))
+        }.reduce(_ union _).orderBy(col("split"), col("bin_id"))
+      },
+      Some(s"""
+        WITH $chunkSqlCtes,
+        sp AS (
+          SELECT doc_id, CASE $caseArms ELSE '${fracs.last._1}' END AS split
+          FROM documents),
+        cum AS (
+          SELECT sp.split, c.doc_id, c.chunk_idx, c.chunk_text, c.n_chunk_tokens,
+                 CAST(coalesce(sum(c.n_chunk_tokens) OVER (
+                   PARTITION BY sp.split
+                   ORDER BY c.doc_id, c.chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+          FROM chunks c JOIN sp ON sp.doc_id = c.doc_id),
+        bins AS (
+          SELECT split, s // $window AS bin_id, count(*) AS n_chunks,
+                 CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+                 md5(string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_idx)) AS bin_md5
+          FROM cum GROUP BY split, s // $window),
+        r AS (
+          SELECT split, bin_id, n_chunks, n_tokens, bin_md5,
+                 row_number() OVER (PARTITION BY split
+                   ORDER BY substring(md5(CAST(bin_id AS VARCHAR)), 1, 8), bin_id) - 1 AS rk
+          FROM bins)
+        SELECT split, bin_id, n_chunks, n_tokens, bin_md5,
+               rk % $nShards AS shard, rk // $nShards AS pos
+        FROM r ORDER BY split, bin_id"""))
+  }
+
   override val all: Seq[Q] =
-    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, s1, s2, s3, s4, s5, llm1)
+    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, s1, s2, s3, s4, s5,
+      llm1, llm2)
 }
