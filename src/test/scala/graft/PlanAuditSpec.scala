@@ -191,6 +191,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.isEmpty, "split assignment must be map-side only")
   }
 
+  test("q_llm2: composed export keeps every corpus-wide window on a bounded group seam") {
+    // split (map-side CASE) → pack (two-level prefix sum) → shard
+    // (two-level rank): the only unpartitioned windows allowed in the
+    // whole chain are the ones over per-group AGGREGATE seams (256-row
+    // frames), never over corpus-sized rows
+    val df = SparkEntry.queries("q_llm2_training_export")(spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(global.nonEmpty, "expected the prefix-sum group seams")
+    global.foreach { w =>
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, s"corpus-wide window without an aggregate seam beneath:\n$w")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"export chain must stay keyed:\n$p")
+  }
+
   test("q_tx11: rare-token re-join is keyed by token and restricted to the rare tail") {
     val p = plan("q_tx11_rare_tokens")
     assert(p.contains("LeftSemi"), s"occurrences must semi-join the rare set:\n$p")
