@@ -363,6 +363,12 @@ object AnnQueries extends QueryModule {
   // corpus assignment is one map-side pass over broadcast centroids.
   private[operators] val KmK = 16; private[operators] val KmIters = 2
   private[operators] val KmRate = 0.5
+  // codebook-artifact keys ([[KMeans.trainCached]]): ann7/8/10/11 share
+  // the coarse quantizer, ann8/11 the raw-slice PQ codebooks; ann10's
+  // residual-PQ codebooks are their own artifact (trained on residuals)
+  private def coarseKey(d: String) = s"coarse|$KmK|$KmIters|$KmRate|$d"
+  private def pqRawKey(d: String) = s"pqraw|$PqSub|$PqCent|$KmIters|$KmRate|$d"
+  private def pqResKey(d: String) = s"pqres|$PqSub|$PqCent|$KmIters|$KmRate|$d"
   private val ann7 = Q(
     "q_ann7_kmeans_ivf",
     s"trained IVF coarse quantizer: seeded integer-exact k-means ($KmK cells, " +
@@ -370,8 +376,9 @@ object AnnQueries extends QueryModule {
     (s, d) => {
       val pts = Tables.embeddings(s, d).select(lit(0L).as("grp"), col("vec_id"),
         graft.operators.KMeans.quantize(col("embedding")).as("qv"))
-      val cent = graft.operators.KMeans.train(s,
-        Sampling.deterministicSample(pts, "vec_id", KmRate), KmK, KmIters)
+      val cent = graft.operators.KMeans.trainCached(s,
+        Sampling.deterministicSample(pts, "vec_id", KmRate), KmK, KmIters,
+        coarseKey(d))
       graft.operators.KMeans.assign(pts, cent)
         .select(col("vec_id"), col("cell"))
         .orderBy(col("vec_id"))
@@ -409,15 +416,17 @@ object AnnQueries extends QueryModule {
         val e = Tables.embeddings(s, d)
         val pts = e.select(lit(0L).as("grp"), col("vec_id"),
           km.quantize(col("embedding")).as("qv"))
-        val coarse = km.train(s, Sampling.deterministicSample(pts, "vec_id", KmRate),
-          KmK, KmIters)
+        val coarse = km.trainCached(s,
+          Sampling.deterministicSample(pts, "vec_id", KmRate), KmK, KmIters,
+          coarseKey(d))
         val slices = array((0 until PqSub).map(i =>
           slice(col("embedding"), i * PqDsub + 1, PqDsub)): _*)
         val subPts = e.select(col("vec_id"), posexplode(slices).as(Seq("sub", "subvec")))
           .select(col("sub").cast(LongType).as("grp"), col("vec_id"),
             km.quantize(col("subvec")).as("qv"))
-        val pqCent = km.train(s, Sampling.deterministicSample(subPts, "vec_id", KmRate),
-          PqCent, KmIters)
+        val pqCent = km.trainCached(s,
+          Sampling.deterministicSample(subPts, "vec_id", KmRate), PqCent, KmIters,
+          pqRawKey(d))
         val cells = km.assign(pts, coarse).select(col("vec_id"), col("cell"))
         val codes = km.assign(subPts, pqCent)
           .select(col("grp").as("sub"), col("vec_id"), col("cell").as("code"))
@@ -671,8 +680,9 @@ object AnnQueries extends QueryModule {
         val e = Tables.embeddings(s, d)
         val pts = e.select(lit(0L).as("grp"), col("vec_id"),
           km.quantize(col("embedding")).as("qv"))
-        val coarse = km.train(s, Sampling.deterministicSample(pts, "vec_id", KmRate),
-          KmK, KmIters)
+        val coarse = km.trainCached(s,
+          Sampling.deterministicSample(pts, "vec_id", KmRate), KmK, KmIters,
+          coarseKey(d))
         val cells = km.assign(pts, coarse)
         val centByCell = coarse.select(col("cent_id").as("cell"), col("cvec"))
         // corpus residuals vs the assigned centroid (broadcast join)
@@ -683,8 +693,9 @@ object AnnQueries extends QueryModule {
           slice(col("rv"), i * PqDsub + 1, PqDsub)): _*)
         val subPts = resid.select(col("vec_id"), posexplode(subSlices).as(Seq("sub", "sv")))
           .select(col("sub").cast(LongType).as("grp"), col("vec_id"), col("sv").as("qv"))
-        val pqCent = km.train(s, Sampling.deterministicSample(subPts, "vec_id", KmRate),
-          PqCent, KmIters)
+        val pqCent = km.trainCached(s,
+          Sampling.deterministicSample(subPts, "vec_id", KmRate), PqCent, KmIters,
+          pqResKey(d))
         val codes = km.assign(subPts, pqCent)
           .select(col("grp").as("sub"), col("vec_id"), col("cell").as("code"))
         // query probes over the coarse centroids

@@ -548,7 +548,8 @@ object DedupQueries extends QueryModule {
       "q_dd8_semantic_dedup",
       s"SemDeDup: trained $k-cell k-means clustering, within-cell BIGINT-exact cosine dedup (7/20)",
       (s, d) => SemanticDedup.dedup(s, Tables.embeddings(s, d),
-          k = k, iters = iters, sampleRate = rate, tNum = 7, tDen = 20)
+          k = k, iters = iters, sampleRate = rate, tNum = 7, tDen = 20,
+          codebookKey = Some(s"semdedup|$k|$iters|$rate|$d"))
         .orderBy(col("vec_id")),
       Some(s"""
         WITH samp AS (

@@ -32,17 +32,25 @@ object SemanticDedup {
 
   /** Returns (vec_id, cell, kept): cluster cell and the 0/1 keeper flag
     * under threshold tNum/tDen. `embeddings` needs (vec_id, embedding).
+    * `codebookKey`: when set, the k-means training is memoized under it
+    * for the life of the JVM ([[KMeans.trainCached]]) — pass a key that
+    * captures the embeddings' identity plus (k, iters, sampleRate).
     */
   def dedup(spark: SparkSession, embeddings: DataFrame, k: Int, iters: Int,
-      sampleRate: Double, tNum: Long, tDen: Long): DataFrame = {
+      sampleRate: Double, tNum: Long, tDen: Long,
+      codebookKey: Option[String] = None): DataFrame = {
     require(tNum >= 0 && tDen > 0, "threshold must be a non-negative rational")
     // same BIGINT-exactness precondition as nearDupPairsExact: guard
     // sides stay < 2⁶³ only for ~unit-scale inputs; raise, never wrap
     val qnBound = (3.03e9 / math.max(tNum, tDen)).toLong
     val pts = embeddings.select(lit(0L).as("grp"), col("vec_id"),
       KMeans.quantize(col("embedding")).as("qv"))
-    val cent = KMeans.train(spark,
-      Sampling.deterministicSample(pts, "vec_id", sampleRate), k, iters)
+    val cent = codebookKey match {
+      case Some(key) => KMeans.trainCached(spark,
+        Sampling.deterministicSample(pts, "vec_id", sampleRate), k, iters, key)
+      case None => KMeans.train(spark,
+        Sampling.deterministicSample(pts, "vec_id", sampleRate), k, iters)
+    }
     val cells = KMeans.assign(pts, cent)
       .withColumn("qn", aggregate(transform(col("qv"), x => x * x),
         lit(0L), (a, v) => a + v))

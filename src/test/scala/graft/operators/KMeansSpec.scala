@@ -90,6 +90,22 @@ class KMeansSpec extends SparkSpec {
     assert(cents.select(size(col("cvec"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(8))
   }
 
+  test("codebook artifact: trainCached equals direct training, hit and miss alike") {
+    val samp = Sampling.deterministicSample(pts, "vec_id", 0.5)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val direct = norm(KMeans.train(spark, samp, 16, 2))
+    val key = s"kmeans-spec|$sf0001"
+    val miss = norm(KMeans.trainCached(spark, samp, 16, 2, key))
+    // second call must be a pure cache hit: hand it a sample plan that
+    // would CHANGE the result if it were rebuilt — identical output
+    // proves the stored rows were served, not retrained
+    val hit = norm(KMeans.trainCached(spark, samp.filter(col("vec_id") < 8), 16, 2, key))
+    assert(miss == direct, "cache miss must train exactly like train()")
+    assert(hit == direct, "cache hit must serve the stored codebook")
+  }
+
   test("a cell that wins no points keeps its previous centroid") {
     import spark.implicits._
     // two identical points seed two identical centroids; ties assign
