@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** N-gram language-model scoring — the perplexity rung of the CCNet
+  * quality ladder (Wenzek et al. 2020 §4.4 bucket documents by the
+  * perplexity of a KenLM 5-gram model trained on Wikipedia; Heafield
+  * 2011). [[QualityClassifier]] is the ladder's discriminative rung
+  * (reference vs background); this is the generative one: train a
+  * smoothed bigram model on the reference corpus alone and score every
+  * background document by how well the model predicts it. Low scores =
+  * out-of-domain tails, high = reference-like — the signal CCNet cuts
+  * into head/middle/tail buckets.
+  *
+  * Model: HASHED bigram LM. Both the unigram context counts and the
+  * bigram counts are md5-bucketed (the [[QualityClassifier]] hashing
+  * trick applied to an LM): the trained model is at most 2·B rows
+  * regardless of corpus size, so scoring is two broadcast joins —
+  * map-side over a 100 TB crawl, no vocabulary shuffle ever. Add-one
+  * smoothing over the B-bucket space: p(w2|w1) = (c2+1)/(c1+B).
+  *
+  * Integer-exact (the dd5/dd6/qc1 twin discipline): each bigram's
+  * scaled likelihood is q = (10^6·(c2+1)) div (c1+B) and the document
+  * score is mean(q) in floor division — BIGINT end to end (q ≤ 10^6,
+  * Σq ≤ n_bigrams·10^6 ≪ 2^63), bit-reproducible in any engine, and
+  * the whole pipeline unrolls into the DuckDB oracle. A float
+  * log-perplexity twin for production ranking is [[scoreLogPpl]].
+  */
+object NgramLm {
+
+  /** Hash buckets for both the unigram-context and bigram spaces —
+    * fixed model size AND the smoothing vocabulary. */
+  val Buckets = 65536
+
+  /** Likelihood scale: scores live in [0, 10^6]. */
+  val Scale = 1000000L
+
+  /** md5 bucket of a unigram context. Distinct tag keeps the unigram
+    * and bigram spaces independent ([[QualityClassifier.featureBucket]]
+    * uses "f:"). */
+  def uniBucket(w: Column): Column =
+    Sketches.md5Long56(concat(lit("u:"), w)) % Buckets
+
+  /** md5 bucket of a bigram; ' ' is a safe separator (tokens are
+    * whitespace-split, so no token contains one). */
+  def biBucket(w1: Column, w2: Column): Column =
+    Sketches.md5Long56(concat(lit("b:"), w1, lit(" "), w2)) % Buckets
+
+  def uniBucketSql(wExpr: String): String =
+    s"${Sketches.md5Long56Sql(s"'u:' || $wExpr")} % $Buckets"
+
+  def biBucketSql(w1Expr: String, w2Expr: String): String =
+    s"${Sketches.md5Long56Sql(s"'b:' || $w1Expr || ' ' || $w2Expr")} % $Buckets"
+
+  /** (doc_id-preserving) adjacent-pair explode of `textCol`: one row
+    * per bigram with the unigram-context and bigram buckets attached;
+    * documents with fewer than 2 tokens keep one all-null row
+    * (explode_outer) so they survive to the final scoring frame. */
+  private def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        greatest(size(col("__ws")) - 1, lit(0)).cast(LongType).as("n_bigrams"),
+        explode_outer(when(size(col("__ws")) >= 2,
+          expr("transform(sequence(0, size(__ws) - 2), " +
+            "i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"))).as("__p"))
+      .select(col(idCol), col("n_bigrams"),
+        uniBucket(col("__p.w1")).as("ub"), biBucket(col("__p.w1"), col("__p.w2")).as("bb"))
+
+  /** Trained model: (bucket, kind, cnt) with kind 0 = unigram context,
+    * 1 = bigram — ≤ 2·B rows, broadcastable. Two map-side-combinable
+    * aggregates over the reference slice; checkpointed like the
+    * [[QualityClassifier.train]] artifact so scoring never re-runs the
+    * tokenize+count. The LAST token of a document is not a bigram
+    * context, so unigram counts come from the pair frame's w1 side —
+    * keeping Σc1 = Σc2, the balance add-one smoothing assumes. */
+  def train(docs: DataFrame, textCol: String, isRef: Column): DataFrame = {
+    val p = pairs(docs.filter(isRef), "doc_id", textCol).filter(col("ub").isNotNull)
+    p.groupBy(col("ub").as("bucket")).agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"), lit(0L).as("kind"), col("cnt"))
+      .unionAll(
+        p.groupBy(col("bb").as("bucket")).agg(count(lit(1)).as("cnt"))
+          .select(col("bucket"), lit(1L).as("kind"), col("cnt")))
+      .localCheckpoint()
+  }
+
+  /** Integer-exact document score (gate form): per document emit
+    * n_bigrams, lm_score = mean over bigrams of
+    * (10^6·(c2+1)) div (c1+B) in floor division (0 when the document
+    * has no bigram), and ref_like = 1 iff lm_score ≥ threshold. */
+  def scoreExact(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, threshold: Long): DataFrame = {
+    val uni = model.filter(col("kind") === 0L).select(col("bucket").as("ub"), col("cnt").as("c1"))
+    val bi = model.filter(col("kind") === 1L).select(col("bucket").as("bb"), col("cnt").as("c2"))
+    pairs(docs, idCol, textCol)
+      .join(broadcast(uni), Seq("ub"), "left")
+      .join(broadcast(bi), Seq("bb"), "left")
+      .withColumn("__q", when(col("ub").isNull, lit(0L)).otherwise(
+        expr(s"($Scale * (coalesce(c2, 0L) + 1L)) div (coalesce(c1, 0L) + $Buckets)")))
+      .groupBy(col(idCol), col("n_bigrams"))
+      .agg(sum(col("__q")).as("__sq"))
+      .select(col(idCol), col("n_bigrams"),
+        when(col("n_bigrams") > 0, expr("__sq div n_bigrams"))
+          .otherwise(lit(0L)).as("lm_score"))
+      .withColumn("ref_like",
+        (col("n_bigrams") > 0 && col("lm_score") >= threshold).cast(LongType))
+  }
+
+  /** Production ranking twin: mean negative log-likelihood per bigram
+    * (log-perplexity; lower = more reference-like). Float math — fast
+    * and rankable, NOT bit-reproducible across engines; the gate uses
+    * [[scoreExact]]. */
+  def scoreLogPpl(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val uni = model.filter(col("kind") === 0L).select(col("bucket").as("ub"), col("cnt").as("c1"))
+    val bi = model.filter(col("kind") === 1L).select(col("bucket").as("bb"), col("cnt").as("c2"))
+    pairs(docs, idCol, textCol)
+      .join(broadcast(uni), Seq("ub"), "left")
+      .join(broadcast(bi), Seq("bb"), "left")
+      .withColumn("__nll", when(col("ub").isNull, lit(null)).otherwise(
+        -log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + Buckets).cast("double"))))
+      .groupBy(col(idCol))
+      .agg(avg(col("__nll")).as("log_ppl"))
+  }
+}
+
+/** Bigram-LM gate. q_lm1: train on the doc_id % 11 == 0 slice (the
+  * qc1/dc1 reference-corpus convention), score every background doc;
+  * threshold 57 = the corpus's score midpoint at gate scale (scores
+  * span 40–75 at sf0.01), a fixed parameter like dd6's 7/20 —
+  * production derives head/middle/tail cuts from sampled quantiles
+  * (q_sp4) instead of a constant. */
+object NgramLmQueries extends QueryModule {
+  import NgramLm._
+
+  private val RefLikeThreshold = 57L
+
+  private val lm1 = Q(
+    "q_lm1_bigram_lm_score",
+    "hashed bigram-LM perplexity filter: reference-trained smoothed LM, integer-exact mean likelihood",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = train(docs, "text", col("doc_id") % 11 === 0)
+      scoreExact(docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text",
+        model, RefLikeThreshold)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val ub = uniBucketSql("w1")
+      val bb = biBucketSql("w1", "w2")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        FROM documents),
+      prs AS MATERIALIZED (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+              FROM toks WHERE len(ws) >= 2)),
+      refp AS MATERIALIZED (
+        SELECT $ub AS ub, $bb AS bb FROM prs WHERE doc_id % 11 = 0),
+      uni AS (SELECT ub, count(*) AS c1 FROM refp GROUP BY ub),
+      bi AS (SELECT bb, count(*) AS c2 FROM refp GROUP BY bb),
+      bgp AS (
+        SELECT doc_id, $ub AS ub, $bb AS bb FROM prs WHERE doc_id % 11 <> 0),
+      sums AS (
+        SELECT p.doc_id,
+               CAST(sum(($Scale * (coalesce(b.c2, 0) + 1)) // (coalesce(u.c1, 0) + $Buckets)) AS BIGINT) AS sq,
+               CAST(count(*) AS BIGINT) AS n_bg
+        FROM bgp p
+        LEFT JOIN uni u ON u.ub = p.ub
+        LEFT JOIN bi b ON b.bb = p.bb
+        GROUP BY p.doc_id)
+      SELECT t.doc_id,
+             CAST(greatest(len(t.ws) - 1, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(s.sq // s.n_bg, 0) AS BIGINT) AS lm_score,
+             CAST(CASE WHEN s.n_bg > 0 AND s.sq // s.n_bg >= $RefLikeThreshold
+               THEN 1 ELSE 0 END AS BIGINT) AS ref_like
+      FROM toks t
+      LEFT JOIN sums s ON s.doc_id = t.doc_id
+      WHERE t.doc_id % 11 <> 0
+      ORDER BY t.doc_id"""
+    })
+
+  override val all: Seq[Q] = Seq(lm1)
+}

@@ -212,6 +212,14 @@ class PlanAuditSpec extends SparkSpec {
       s"export chain must stay keyed:\n$p")
   }
 
+  test("q_lm1: LM model joins broadcast; scoring stays map-side to one doc-keyed agg") {
+    val p = plan("q_lm1_bigram_lm_score")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"unigram and bigram model tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"a 100 TB corpus must never shuffle for the model lookup:\n$p")
+  }
+
   test("q_tx11: rare-token re-join is keyed by token and restricted to the rare tail") {
     val p = plan("q_tx11_rare_tokens")
     assert(p.contains("LeftSemi"), s"occurrences must semi-join the rare set:\n$p")

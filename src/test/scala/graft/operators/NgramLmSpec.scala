@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hashed bigram-LM guarantees: hand-computed likelihoods on a tiny
+  * corpus, model boundedness, degenerate-document handling, and the
+  * discrimination property the CCNet perplexity filter exists for —
+  * reference-distribution text outscores out-of-domain text. */
+class NgramLmSpec extends SparkSpec {
+  import NgramLm._
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("hand-computed score: repeated bigram vs unseen bigram") {
+    // reference = "a b a b": pairs (a,b) (b,a) (a,b) → c1: a=2, b=1;
+    // c2: (a,b)=2, (b,a)=1  (distinct md5 buckets — collision odds
+    // ~1e-4 and deterministic, the suite would fail loudly)
+    val docs = df(0L -> "a b a b", 1L -> "a b", 2L -> "x y")
+    val model = train(docs, "text", col("doc_id") === 0L)
+    val out = scoreExact(docs.filter(col("doc_id") > 0L), "doc_id", "text", model, 40L)
+      .orderBy(col("doc_id")).collect()
+    // doc 1: one pair (a,b): q = 1e6·(2+1) div (2+65536) = 45
+    assert(out(0).getAs[Long]("n_bigrams") == 1L)
+    assert(out(0).getAs[Long]("lm_score") == 1000000L * 3 / 65538)
+    assert(out(0).getAs[Long]("ref_like") == 1L)
+    // doc 2: unseen context and bigram: q = 1e6·1 div 65536 = 15
+    assert(out(1).getAs[Long]("lm_score") == 1000000L / 65536)
+    assert(out(1).getAs[Long]("ref_like") == 0L)
+  }
+
+  test("documents with fewer than 2 tokens survive with score 0, never ref-like") {
+    val docs = df(0L -> "a b", 1L -> "only", 2L -> "", 3L -> "a b c")
+    val model = train(docs, "text", col("doc_id") === 0L)
+    val out = scoreExact(docs, "doc_id", "text", model, 1L)
+      .orderBy(col("doc_id")).collect()
+    assert(out.length == 4, "every document must appear in the scored frame")
+    assert(out(1).getAs[Long]("n_bigrams") == 0L && out(1).getAs[Long]("lm_score") == 0L)
+    assert(out(2).getAs[Long]("n_bigrams") == 0L && out(2).getAs[Long]("ref_like") == 0L)
+    assert(out(3).getAs[Long]("n_bigrams") == 2L)
+  }
+
+  test("model is bounded by the bucket space and balanced (Σc1 = Σc2)") {
+    val docs = df((0L until 50L).map(i => i -> s"w${i % 7} w${(i * 3) % 7} w${(i * 5) % 7} tail$i"): _*)
+    val model = train(docs, "text", lit(true))
+    val kinds = model.groupBy(col("kind")).agg(sum(col("cnt")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kinds(0L)._1 == kinds(1L)._1, "unigram-context mass must equal bigram mass")
+    assert(kinds(0L)._2 <= Buckets && kinds(1L)._2 <= Buckets)
+  }
+
+  test("discrimination: reference-like text outscores out-of-domain text") {
+    // reference: bigrams drawn from a tight 5-word loop; in-domain doc
+    // repeats those bigrams, out-of-domain doc shares zero vocabulary
+    val loop = (0 until 60).map(i => s"t${i % 5}").mkString(" ")
+    val docs = df(0L -> loop, 1L -> loop, 2L -> "t0 t1 t2 t3 t4 t0 t1 t2",
+      3L -> "zz qq rr ss tt uu vv ww")
+    val model = train(docs, "text", col("doc_id") < 2L)
+    val out = scoreExact(docs.filter(col("doc_id") >= 2L), "doc_id", "text", model, 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lm_score")).toMap
+    assert(out(2L) > out(3L),
+      s"in-domain ${out(2L)} must outscore out-of-domain ${out(3L)}")
+    // float twin agrees on the ranking (lower log-ppl = more ref-like)
+    val ppl = scoreLogPpl(docs.filter(col("doc_id") >= 2L), "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_ppl")).toMap
+    assert(ppl(2L) < ppl(3L))
+  }
+}
