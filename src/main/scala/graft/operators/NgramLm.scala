@@ -139,21 +139,12 @@ object NgramLmQueries extends QueryModule {
 
   private val RefLikeThreshold = 57L
 
-  private val lm1 = Q(
-    "q_lm1_bigram_lm_score",
-    "hashed bigram-LM perplexity filter: reference-trained smoothed LM, integer-exact mean likelihood",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val model = train(docs, "text", col("doc_id") % 11 === 0)
-      scoreExact(docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text",
-        model, RefLikeThreshold)
-        .orderBy(col("doc_id"))
-    },
-    Some {
-      val ub = uniBucketSql("w1")
-      val bb = biBucketSql("w1", "w2")
-      s"""
-      WITH toks AS (
+  /** Shared oracle prefix: tokenize → bigram-pair explode → hashed
+    * model counts → per-background-doc likelihood sums. */
+  private def lmSqlCtes: String = {
+    val ub = uniBucketSql("w1")
+    val bb = biBucketSql("w1", "w2")
+    s"""toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
         FROM documents),
       prs AS MATERIALIZED (
@@ -173,7 +164,21 @@ object NgramLmQueries extends QueryModule {
         FROM bgp p
         LEFT JOIN uni u ON u.ub = p.ub
         LEFT JOIN bi b ON b.bb = p.bb
-        GROUP BY p.doc_id)
+        GROUP BY p.doc_id)"""
+  }
+
+  private val lm1 = Q(
+    "q_lm1_bigram_lm_score",
+    "hashed bigram-LM perplexity filter: reference-trained smoothed LM, integer-exact mean likelihood",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = train(docs, "text", col("doc_id") % 11 === 0)
+      scoreExact(docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text",
+        model, RefLikeThreshold)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $lmSqlCtes
       SELECT t.doc_id,
              CAST(greatest(len(t.ws) - 1, 0) AS BIGINT) AS n_bigrams,
              CAST(coalesce(s.sq // s.n_bg, 0) AS BIGINT) AS lm_score,
@@ -182,8 +187,47 @@ object NgramLmQueries extends QueryModule {
       FROM toks t
       LEFT JOIN sums s ON s.doc_id = t.doc_id
       WHERE t.doc_id % 11 <> 0
-      ORDER BY t.doc_id"""
-    })
+      ORDER BY t.doc_id"""))
 
-  override val all: Seq[Q] = Seq(lm1)
+  /** Token budget for q_lm2 — the background slice holds ~24.6k tokens
+    * at sf0.01, so 10k admits the best ~40%. */
+  private val TokenBudget = 10000L
+
+  private val lm2 = Q(
+    "q_lm2_budget_select",
+    s"token-budget corpus selection: LM-quality-ranked fill-until-full at $TokenBudget tokens",
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val model = train(docs, "text", col("doc_id") % 11 === 0)
+      val bg = docs.filter(col("doc_id") % 11 =!= 0)
+      val scored = scoreExact(bg, "doc_id", "text", model, RefLikeThreshold)
+        .select(col("doc_id"), col("lm_score"))
+      val toks = bg.select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      BudgetSelect.select(scored.join(toks, Seq("doc_id")),
+          "doc_id", "lm_score", "n_tokens", TokenBudget)
+        .select(col("doc_id"), col("lm_score"), col("n_tokens"),
+          col("cum_before"), col("selected"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $lmSqlCtes,
+      scored AS (
+        SELECT t.doc_id,
+               CAST(coalesce(s.sq // s.n_bg, 0) AS BIGINT) AS lm_score,
+               CAST(len(t.ws) AS BIGINT) AS n_tokens
+        FROM toks t
+        LEFT JOIN sums s ON s.doc_id = t.doc_id
+        WHERE t.doc_id % 11 <> 0),
+      sel AS (
+        SELECT doc_id, lm_score, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY lm_score DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM scored)
+      SELECT doc_id, lm_score, n_tokens, cum_before,
+             CAST(CASE WHEN cum_before < $TokenBudget THEN 1 ELSE 0 END AS BIGINT) AS selected
+      FROM sel ORDER BY doc_id"""))
+
+  override val all: Seq[Q] = Seq(lm1, lm2)
 }

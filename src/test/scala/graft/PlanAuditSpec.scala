@@ -220,6 +220,20 @@ class PlanAuditSpec extends SparkSpec {
       s"a 100 TB corpus must never shuffle for the model lookup:\n$p")
   }
 
+  test("q_lm2: budget cumsum's only corpus-wide window sits on the per-band aggregate seam") {
+    val df = SparkEntry.queries("q_lm2_budget_select")(spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(global.nonEmpty, "expected the band-offset seam window")
+    global.foreach { w =>
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, s"corpus-wide window without an aggregate seam beneath:\n$w")
+    }
+  }
+
   test("q_tx11: rare-token re-join is keyed by token and restricted to the rare tail") {
     val p = plan("q_tx11_rare_tokens")
     assert(p.contains("LeftSemi"), s"occurrences must semi-join the rare set:\n$p")
