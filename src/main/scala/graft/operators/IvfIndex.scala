@@ -40,6 +40,22 @@ object IvfIndex {
     assign(embeddings, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Incremental maintenance: add a vector batch to a persisted index
+    * WITHOUT retraining or rewriting — the arrival path of a growing
+    * corpus (the codebook is a frozen artifact; only assignments grow,
+    * cf. FAISS's add-after-train contract). Cell assignment is a pure
+    * per-vector function of the stored centroids, so appended rows land
+    * in exactly the directories a full rebuild would put them in:
+    * probe(index ∪ batch) ≡ probe(rebuild(old ∪ batch)) — IvfIndexSpec
+    * pins both that equivalence and that only the batch's own cell
+    * directories receive new files. Batch-level idempotence/replay is
+    * the caller's seam ([[IncrementalDedup]] dedups re-deliveries;
+    * `TableIO.writeAtomicSwap` gives transactional cutover when a
+    * reader must never see a half-appended batch). */
+  def appendToIndex(batch: DataFrame, centroids: DataFrame, path: String): Unit =
+    assign(batch, centroids)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Probe: top-k exact-cosine neighbors per query over its `nprobe`
     * nearest cells only. The index scan carries a literal cell filter →
     * partition pruning. `queries` = (query_id, qv). */
@@ -74,6 +90,16 @@ object IvfIndex {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** [[appendToIndex]] for the float-free IVF-PQ layout: encode the
+    * batch with the SAME frozen coarse + PQ codebooks and append its
+    * (vec_id, sub, code) rows. Rebuild-equivalent for the same reason —
+    * both assignment and encoding are pure per-vector functions of the
+    * stored centroid sets. */
+  def appendToIndexPq(batch: DataFrame, coarse: DataFrame, pqCents: DataFrame,
+      path: String, nSub: Int = 8, dSub: Int = 8): Unit =
+    encodePq(batch, coarse, pqCents, nSub, dSub)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   // ------------------------------------------------------------- IVF-PQ
 
   /** Build and persist the IVF-PQ index (q_ann8's production layout):
@@ -85,7 +111,15 @@ object IvfIndex {
     * through the subspace explode, so the build is a single map-side
     * pass (both centroid sets broadcast), no self-join. */
   def writeIndexPq(embeddings: DataFrame, coarse: DataFrame, pqCents: DataFrame,
-      path: String, nSub: Int = 8, dSub: Int = 8): Unit = {
+      path: String, nSub: Int = 8, dSub: Int = 8): Unit =
+    encodePq(embeddings, coarse, pqCents, nSub, dSub)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** (vec_id, sub, code, cell) PQ encoding of `embeddings` under frozen
+    * codebooks — the single map-side pass shared by the full build and
+    * the incremental append. */
+  private def encodePq(embeddings: DataFrame, coarse: DataFrame, pqCents: DataFrame,
+      nSub: Int, dSub: Int): DataFrame = {
     val pts = embeddings.select(lit(0L).as("grp"), col("vec_id"),
       KMeans.quantize(col("embedding")).as("qv"), col("embedding"))
     val slices = array((0 until nSub).map(i =>
@@ -97,7 +131,6 @@ object IvfIndex {
     KMeans.assign(subPts.withColumnRenamed("cell", "ivf_cell"), pqCents)
       .select(col("vec_id"), col("grp").as("sub"), col("cell").as("code"),
         col("ivf_cell").as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
   /** ADC probe over the persisted IVF-PQ index: probe cells come from

@@ -156,4 +156,70 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(res.collect().map(_.toSeq).toSeq == expected)
   }
+
+  test("incremental append ≡ full rebuild; only the batch's cells gain files") {
+    val e = Tables.embeddings(spark, sf0001)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val old = e.filter(col("vec_id") < 400)
+    val batch = e.filter(col("vec_id") >= 400)
+    val base = java.nio.file.Files.createTempDirectory("ivfadd").toString
+    val (incDir, rebuildDir) = (s"$base/inc", s"$base/rebuild")
+
+    IvfIndex.writeIndex(old, cent, incDir)
+    def filesPerCell(dir: String): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = filesPerCell(incDir)
+    IvfIndex.appendToIndex(batch, cent, incDir)
+    val after = filesPerCell(incDir)
+
+    // directories gaining files are exactly the batch's assigned cells
+    val touched = after.filter { case (d, fs) => before.getOrElse(d, Set.empty) != fs }.keySet
+    val batchCells = IvfIndex.assign(batch, cent).select(col("cell")).distinct()
+      .collect().map(r => s"cell=${r.getLong(0)}").toSet
+    assert(touched == batchCells,
+      s"append must touch exactly the batch cells: $touched vs $batchCells")
+    // untouched cells keep their byte-identical file sets
+    assert(before.forall { case (d, fs) => batchCells.contains(d) || after(d) == fs })
+
+    IvfIndex.writeIndex(e, cent, rebuildDir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def run(dir: String) = IvfIndex.probe(spark, dir, queries, cent, nprobe = 2, k = 3)
+      .orderBy(col("query_id"), col("rnk")).collect().map(_.toSeq).toSeq
+    assert(run(incDir) == run(rebuildDir),
+      "probe over the appended index must equal probe over a full rebuild")
+  }
+
+  test("IVF-PQ incremental append ≡ full rebuild under frozen codebooks") {
+    val e = Tables.embeddings(spark, sf0001)
+    val pts = e.select(lit(0L).as("grp"), col("vec_id"),
+      KMeans.quantize(col("embedding")).as("qv"))
+    val coarse = KMeans.train(spark,
+      Sampling.deterministicSample(pts, "vec_id", AnnQueries.KmRate),
+      AnnQueries.KmK, AnnQueries.KmIters)
+    val slices = array((0 until AnnQueries.PqSub).map(i =>
+      slice(col("embedding"), i * AnnQueries.PqDsub + 1, AnnQueries.PqDsub)): _*)
+    val subPts = e.select(col("vec_id"), posexplode(slices).as(Seq("sub", "subvec")))
+      .select(col("sub").cast(org.apache.spark.sql.types.LongType).as("grp"),
+        col("vec_id"), KMeans.quantize(col("subvec")).as("qv"))
+    val pqCents = KMeans.train(spark,
+      Sampling.deterministicSample(subPts, "vec_id", AnnQueries.KmRate),
+      AnnQueries.PqCent, AnnQueries.KmIters)
+    val base = java.nio.file.Files.createTempDirectory("ivfpqadd").toString
+    val (incDir, rebuildDir) = (s"$base/inc", s"$base/rebuild")
+
+    IvfIndex.writeIndexPq(e.filter(col("vec_id") < 400), coarse, pqCents, incDir)
+    IvfIndex.appendToIndexPq(e.filter(col("vec_id") >= 400), coarse, pqCents, incDir)
+    IvfIndex.writeIndexPq(e, coarse, pqCents, rebuildDir)
+
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def run(dir: String) = IvfIndex.probePq(spark, dir, queries, coarse, pqCents,
+        nprobe = 2, k = 3, excludeSelf = true)
+      .orderBy(col("query_id"), col("rnk")).collect().map(_.toSeq).toSeq
+    assert(run(incDir) == run(rebuildDir))
+  }
 }
