@@ -42,7 +42,11 @@ object CorpusCuration {
     * `maxDupSpanFrac` adds the exact substring-span gate (dd9 kernel,
     * Lee et al. — docs whose duplicated-`dupSpanN`-gram coverage
     * exceeds the fraction are dropped; coverage is measured within the
-    * gated frame, so earlier-occurring originals always survive). */
+    * gated frame, so earlier-occurring originals always survive);
+    * `lmReference` adds the CCNet LM-perplexity gate (lm1 kernel — a
+    * hashed bigram LM trains on the reference corpus and docs scoring
+    * below `lmMinScore` mean likelihood are dropped; the ≤ 2·65536-row
+    * model broadcasts, so the stage costs one doc-keyed aggregate). */
   final case class Config(
       minQuality: Double = 0.3,
       langs: Seq[String] = Seq("de", "en", "es", "fr"),
@@ -53,7 +57,9 @@ object CorpusCuration {
       decontamN: Int = 5,
       decontamMinHits: Long = 1L,
       maxDupSpanFrac: Option[Double] = None,
-      dupSpanN: Int = 5)
+      dupSpanN: Int = 5,
+      lmReference: Option[DataFrame] = None,
+      lmMinScore: Long = 1L)
 
   /** (curated corpus, funnel report). */
   def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
@@ -92,7 +98,7 @@ object CorpusCuration {
 
     // 2d. optional substring-span gate (dd9): duplicated-span coverage
     // fraction ≤ cap. One extra gram-keyed shuffle only when enabled.
-    val gated = cfg.maxDupSpanFrac.fold(deconGated) { cap =>
+    val spanGated = cfg.maxDupSpanFrac.fold(deconGated) { cap =>
       val cov = graft.operators.SubstringDedup.spanCoverage(
           deconGated, "doc_id", "text", cfg.dupSpanN)
         .select(col("doc_id"), col("n_tokens").as("__nt"), col("dup_tokens").as("__dt"))
@@ -100,6 +106,18 @@ object CorpusCuration {
         .filter(coalesce(col("__dt"), lit(0L)).cast("double")
           / greatest(col("__nt"), lit(1L)) <= cap)
         .drop("__nt", "__dt")
+    }
+
+    // 2e. optional LM-perplexity gate (lm1): reference-trained hashed
+    // bigram LM, keep docs at or above the mean-likelihood floor. The
+    // model broadcasts; one extra doc-keyed aggregate only when enabled.
+    val gated = cfg.lmReference.fold(spanGated) { ref =>
+      val model = graft.operators.NgramLm.train(ref, "text", lit(true))
+      val keep = graft.operators.NgramLm
+        .scoreExact(spanGated, "doc_id", "text", model, cfg.lmMinScore)
+        .filter(col("ref_like") === 1L)
+        .select(col("doc_id"))
+      spanGated.join(keep, Seq("doc_id"), "semi")
     }
 
     // 3. exact dedup — keep the lowest doc_id per fingerprint.
@@ -148,7 +166,8 @@ object CorpusCuration {
     // reflect their drops too, so it counts the composed `gated` frame
     // (a second chain run — the price of the optional stages).
     val optionalStagesOn = cfg.maxTopTokenFrac.isDefined ||
-      cfg.benchmark.isDefined || cfg.maxDupSpanFrac.isDefined
+      cfg.benchmark.isDefined || cfg.maxDupSpanFrac.isDefined ||
+      cfg.lmReference.isDefined
     val inputGated =
       if (optionalStagesOn)
         stats.agg(count(lit(1)).as("n_input"))

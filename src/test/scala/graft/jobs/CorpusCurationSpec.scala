@@ -103,6 +103,33 @@ class CorpusCurationSpec extends SparkSpec {
     assert(report.head().getAs[Long]("n_gated") == 1)
   }
 
+  test("optional LM gate keeps reference-like docs, drops out-of-domain") {
+    import spark.implicits._
+    // reference domain: a tight loop of English function words, so its
+    // bigrams are all the LM knows; the off-domain doc shares none
+    val refText = (0 until 30).map(i => Seq("the", "cat", "sat", "on", "mat")(i % 5))
+      .mkString(" ")
+    val inDomain = "the cat sat on mat the cat sat on mat the cat sat on mat"
+    val offDomain = "quasar nebula pulsar quark gluon meson lepton boson photon axion " +
+      "quasar nebula pulsar quark gluon"
+    val docs = Seq(
+      (1L, inDomain, "en", "web"),
+      (2L, offDomain, "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val ref = Seq((99L, refText)).toDF("doc_id", "text")
+
+    // without the stage both survive (quality/lang relaxed)
+    val relaxed = CorpusCuration.Config(minQuality = 0.0, langs = Seq("en", "und"))
+    val (base, _) = CorpusCuration.run(docs, relaxed)
+    assert(base.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // with it, the out-of-domain doc is gated; the funnel reflects it
+    val (curated, report) = CorpusCuration.run(docs, relaxed.copy(
+      lmReference = Some(ref), lmMinScore = 100L))
+    assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(report.head().getAs[Long]("n_gated") == 1)
+  }
+
   test("runs clean over the sf0.001 documents table") {
     val docs = graft.Tables.documents(spark, sf0001)
     val (curated, report) = CorpusCuration.run(docs)
