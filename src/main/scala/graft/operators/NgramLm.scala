@@ -229,5 +229,63 @@ object NgramLmQueries extends QueryModule {
              CAST(CASE WHEN cum_before < $TokenBudget THEN 1 ELSE 0 END AS BIGINT) AS selected
       FROM sel ORDER BY doc_id"""))
 
-  override val all: Seq[Q] = Seq(lm1, lm2)
+  /** q_lm3's sample rate: the tercile cuts come from this md5-gated
+    * slice of the scored corpus — the sp4 move; at production scale
+    * the rate is chosen so the sample (not the corpus) bounds the
+    * quantile work. */
+  private val CutSampleRate = 0.5
+
+  private val lm3 = Q(
+    "q_lm3_ppl_buckets",
+    "CCNet head/middle/tail bucketing: tercile cuts from a deterministic score sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = train(docs, "text", col("doc_id") % 11 === 0)
+      val scored = scoreExact(docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text",
+          model, RefLikeThreshold)
+        .select(col("doc_id"), col("lm_score"))
+      // global score rank over the sample via the banded two-level rank
+      // (LengthBatching with batchSize 1: batch_id IS the 0-based rank)
+      val ranked = LengthBatching.batches(
+          Sampling.deterministicSample(scored, "doc_id", CutSampleRate),
+          "doc_id", "lm_score", batchSize = 1)
+        .select(col("lm_score"), col("batch_id").as("rk"))
+      val cuts = ranked
+        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+        .agg(min(when((col("rk") + 1) * 3 >= col("__n"), col("lm_score"))).as("t1"),
+          min(when((col("rk") + 1) * 3 >= col("__n") * 2, col("lm_score"))).as("t2"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("lm_score"),
+          when(col("lm_score") >= col("t2"), lit("head"))
+            .when(col("lm_score") >= col("t1"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $lmSqlCtes,
+      scored AS (
+        SELECT t.doc_id, CAST(coalesce(s.sq // s.n_bg, 0) AS BIGINT) AS lm_score
+        FROM toks t
+        LEFT JOIN sums s ON s.doc_id = t.doc_id
+        WHERE t.doc_id % 11 <> 0),
+      samp AS (
+        SELECT * FROM scored
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(CutSampleRate)}'),
+      r AS (
+        SELECT lm_score,
+               row_number() OVER (ORDER BY lm_score ASC, doc_id ASC) AS rn,
+               count(*) OVER () AS n
+        FROM samp),
+      cuts AS (
+        SELECT CAST(min(CASE WHEN rn * 3 >= n THEN lm_score END) AS BIGINT) AS t1,
+               CAST(min(CASE WHEN rn * 3 >= 2 * n THEN lm_score END) AS BIGINT) AS t2
+        FROM r)
+      SELECT s.doc_id, s.lm_score,
+             CASE WHEN s.lm_score >= c.t2 THEN 'head'
+                  WHEN s.lm_score >= c.t1 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored s CROSS JOIN cuts c
+      ORDER BY s.doc_id"""))
+
+  override val all: Seq[Q] = Seq(lm1, lm2, lm3)
 }
