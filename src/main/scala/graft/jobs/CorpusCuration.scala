@@ -44,9 +44,13 @@ object CorpusCuration {
     * exceeds the fraction are dropped; coverage is measured within the
     * gated frame, so earlier-occurring originals always survive);
     * `lmReference` adds the CCNet LM-perplexity gate (lm1 kernel — a
-    * hashed bigram LM trains on the reference corpus and docs scoring
-    * below `lmMinScore` mean likelihood are dropped; the ≤ 2·65536-row
-    * model broadcasts, so the stage costs one doc-keyed aggregate). */
+    * hashed bigram LM trains on the reference corpus, which must carry
+    * (doc_id, text) columns, and docs scoring below `lmMinScore` mean
+    * likelihood are dropped; the ≤ 2·65536-row model broadcasts, so
+    * the stage costs one doc-keyed aggregate). A document with fewer
+    * than 2 tokens has no bigram to score and is ALWAYS dropped by
+    * this stage, whatever `lmMinScore` — by the time the LM gate is
+    * worth enabling, sub-2-token docs are noise by definition. */
   final case class Config(
       minQuality: Double = 0.3,
       langs: Seq[String] = Seq("de", "en", "es", "fr"),

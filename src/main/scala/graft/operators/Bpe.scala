@@ -255,18 +255,29 @@ object BpeQueries extends QueryModule {
   // cross-run staleness is possible.
   private lazy val artifactRoot =
     java.nio.file.Files.createTempDirectory("graft-bpe-").toString
-  private val artifacts = scala.collection.mutable.Map[String, (String, String)]()
+  private val artifacts = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val artifactLocks = scala.collection.concurrent.TrieMap[String, Object]()
+  // monotone sequence, not hashCode: two sf-dir strings with colliding
+  // hashCodes must never share (and silently overwrite) one artifact dir
+  private val artifactSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def artifact(s: SparkSession, d: String): (String, String) = synchronized {
-    artifacts.getOrElseUpdate(d, {
-      val (merges, toks) =
-        Bpe.train(Bpe.wordFrequencies(Tables.documents(s, d), "text"), NMerges)
-      val base = s"$artifactRoot/${Integer.toHexString(d.hashCode)}"
-      Bpe.writeMerges(s, merges, s"$base/merges")
-      Bpe.writeVocabToks(toks, s"$base/toks")
-      (s"$base/merges", s"$base/toks")
-    })
-  }
+  private def artifact(s: SparkSession, d: String): (String, String) =
+    artifacts.get(d) match {
+      case Some(v) => v
+      case None =>
+        // per-key lock: a concurrent caller for a DIFFERENT sf dir
+        // trains in parallel instead of queueing behind this one
+        artifactLocks.getOrElseUpdate(d, new Object).synchronized {
+          artifacts.getOrElseUpdate(d, {
+            val (merges, toks) =
+              Bpe.train(Bpe.wordFrequencies(Tables.documents(s, d), "text"), NMerges)
+            val base = s"$artifactRoot/a${artifactSeq.getAndIncrement()}"
+            Bpe.writeMerges(s, merges, s"$base/merges")
+            Bpe.writeVocabToks(toks, s"$base/toks")
+            (s"$base/merges", s"$base/toks")
+          })
+        }
+    }
 
   private def mergesOf(s: SparkSession, d: String): Seq[Bpe.BpeMerge] =
     Bpe.readMerges(s, artifact(s, d)._1)

@@ -110,14 +110,20 @@ object KMeans {
   // table dir, point construction, k, iters, sample rate; only the
   // centroid rows (groups·k — KBs) are held. The persisted-to-disk
   // production form remains IvfIndex.writeIndex* (spec-pinned).
-  private val codebooks = scala.collection.mutable.Map[String, Seq[Row]]()
+  private val codebooks = scala.collection.concurrent.TrieMap[String, Seq[Row]]()
+  private val codebookLocks = scala.collection.concurrent.TrieMap[String, Object]()
 
   /** [[train]] memoized under `key` for the life of the JVM. `points`
-    * is by-name: on a cache hit the sample plan is never built. */
+    * is by-name: on a cache hit the sample plan is never built. Locking
+    * is per-key, so concurrent misses on DIFFERENT keys train in
+    * parallel instead of queueing behind one training job. */
   def trainCached(spark: SparkSession, points: => DataFrame, k: Int, iters: Int,
       key: String): DataFrame = {
-    val rows = codebooks.synchronized {
-      codebooks.getOrElseUpdate(key, train(spark, points, k, iters).collect().toSeq)
+    val rows = codebooks.get(key) match {
+      case Some(v) => v
+      case None => codebookLocks.getOrElseUpdate(key, new Object).synchronized {
+        codebooks.getOrElseUpdate(key, train(spark, points, k, iters).collect().toSeq)
+      }
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), centSchema)
   }

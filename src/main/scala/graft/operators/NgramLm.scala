@@ -77,8 +77,9 @@ object NgramLm {
     * tokenize+count. The LAST token of a document is not a bigram
     * context, so unigram counts come from the pair frame's w1 side —
     * keeping Σc1 = Σc2, the balance add-one smoothing assumes. */
-  def train(docs: DataFrame, textCol: String, isRef: Column): DataFrame = {
-    val p = pairs(docs.filter(isRef), "doc_id", textCol).filter(col("ub").isNotNull)
+  def train(docs: DataFrame, textCol: String, isRef: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val p = pairs(docs.filter(isRef), idCol, textCol).filter(col("ub").isNotNull)
     p.groupBy(col("ub").as("bucket")).agg(count(lit(1)).as("cnt"))
       .select(col("bucket"), lit(0L).as("kind"), col("cnt"))
       .unionAll(
@@ -241,15 +242,20 @@ object NgramLmQueries extends QueryModule {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val model = train(docs, "text", col("doc_id") % 11 === 0)
+      // scored feeds BOTH the sample→cuts path and the final bucketing;
+      // ranked feeds its own count and the cut aggregate — checkpoint
+      // each so the corpus scoring chain runs once, not per consumer
       val scored = scoreExact(docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text",
           model, RefLikeThreshold)
         .select(col("doc_id"), col("lm_score"))
+        .localCheckpoint()
       // global score rank over the sample via the banded two-level rank
       // (LengthBatching with batchSize 1: batch_id IS the 0-based rank)
       val ranked = LengthBatching.batches(
           Sampling.deterministicSample(scored, "doc_id", CutSampleRate),
           "doc_id", "lm_score", batchSize = 1)
         .select(col("lm_score"), col("batch_id").as("rk"))
+        .localCheckpoint()
       val cuts = ranked
         .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
         .agg(min(when((col("rk") + 1) * 3 >= col("__n"), col("lm_score"))).as("t1"),
