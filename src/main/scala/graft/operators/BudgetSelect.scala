@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Token-budget corpus selection — the step that turns a scored corpus
@@ -31,24 +30,10 @@ object BudgetSelect {
     * cum_before < budget) to `docs`. Integer columns only. */
   def select(docs: DataFrame, idCol: String, scoreCol: String, tokenCol: String,
       budget: Long, bandWidth: Long = 8L): DataFrame = {
-    require(budget >= 0 && bandWidth > 0, "budget and bandWidth must be non-negative")
-    val g = docs.withColumn("__band", expr(s"$scoreCol div $bandWidth"))
-    // step 1: within-band inclusive running total (parallel across bands)
-    val wIn = Window.partitionBy(col("__band"))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = g.withColumn("__cum_in", sum(col(tokenCol)).over(wIn))
-    // step 2: per-band totals → exclusive offsets in band-DESC order
-    // (one row per band — tiny)
-    val wOff = Window.orderBy(col("__band").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = g.groupBy(col("__band")).agg(sum(col(tokenCol)).as("__btot"))
-      .withColumn("__boff", coalesce(sum(col("__btot")).over(wOff), lit(0L)))
-      .select(col("__band"), col("__boff"))
-    // step 3: global exclusive cumsum = band offset + (inclusive − own)
-    local.join(broadcast(offsets), Seq("__band"))
-      .withColumn("cum_before", col("__boff") + col("__cum_in") - col(tokenCol))
+    require(budget >= 0 && bandWidth > 0,
+      "budget must be non-negative and bandWidth positive")
+    TwoLevel.exclusiveCumsum(docs, col(tokenCol), expr(s"$scoreCol div $bandWidth"),
+        Seq(col(scoreCol).desc, col(idCol).asc), "cum_before", bandDesc = true)
       .withColumn("selected", (col("cum_before") < budget).cast("long"))
-      .drop("__band", "__cum_in", "__boff")
   }
 }

@@ -3,7 +3,6 @@ package graft.operators
 import graft.{Q, QueryModule, Tables}
 import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -29,22 +28,11 @@ object LengthBatching {
   def batches(docs: DataFrame, idCol: String, tokenCol: String,
       batchSize: Int, bandWidth: Long = 16L): DataFrame = {
     require(batchSize > 0 && bandWidth > 0, "batchSize and bandWidth must be positive")
-    val g = docs.withColumn("__band", expr(s"$tokenCol div $bandWidth"))
-    // step 1: within-band rank (parallel across bands)
-    val wIn = Window.partitionBy(col("__band"))
-      .orderBy(col(tokenCol).asc, col(idCol).asc)
-    val local = g.withColumn("__rn", row_number().over(wIn).cast(LongType))
-    // step 2: per-band counts → exclusive global offsets (band-count rows)
-    val wOff = Window.orderBy(col("__band")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = g.groupBy(col("__band")).agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
-      .select(col("__band"), col("__off"))
-    // step 3: global rank = offset + local − 1; deal into batches
-    local.join(broadcast(offsets), Seq("__band"))
-      .withColumn("__rank", col("__off") + col("__rn") - 1)
+    TwoLevel.exclusiveCumsum(docs, lit(1L), expr(s"$tokenCol div $bandWidth"),
+        Seq(col(tokenCol).asc, col(idCol).asc), "__rank")
       .withColumn("batch_id", expr(s"__rank div $batchSize"))
       .withColumn("batch_pos", col("__rank") % batchSize)
-      .drop("__band", "__rn", "__off", "__rank")
+      .drop("__rank")
   }
 
   /** Per-batch padding report: rows, token span, and `pad_tokens` =

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing — the training-data step after chunking: concatenate
@@ -44,24 +43,11 @@ object SequencePacking {
   def pack(chunks: DataFrame, tokenCol: String, window: Int,
       groupExpr: Column, ordCols: Seq[String]): DataFrame = {
     require(window > 0, "window must be positive")
-    val ord = ordCols.map(col)
-    val g = chunks.withColumn("__g", groupExpr)
-    // step 1: within-group INCLUSIVE running total (parallel across groups)
-    val wIn = Window.partitionBy(col("__g")).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = g.withColumn("__cum_in", sum(col(tokenCol)).over(wIn))
-    // step 2: per-group totals → exclusive global offset (tiny frame)
-    val wOff = Window.orderBy(col("__g"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = g.groupBy(col("__g")).agg(sum(col(tokenCol)).as("__gtot"))
-      .withColumn("__goff", coalesce(sum(col("__gtot")).over(wOff), lit(0L)))
-      .select(col("__g"), col("__goff"))
-    // step 3: global exclusive start = group offset + (incl − own)
-    local.join(broadcast(offsets), Seq("__g"))
-      .withColumn("__start", col("__goff") + col("__cum_in") - col(tokenCol))
+    TwoLevel.exclusiveCumsum(chunks, col(tokenCol), groupExpr,
+        ordCols.map(col), "__start")
       .withColumn("bin_id", expr(s"__start div $window"))
       .withColumn("bin_off", col("__start") % window)
-      .drop("__g", "__cum_in", "__goff", "__start")
+      .drop("__start")
   }
 
   /** Bin summary: rows/tokens landed per window (a straight groupBy on

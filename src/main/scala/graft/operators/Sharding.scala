@@ -1,9 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Deterministic global shuffle + sharding — the training-export step
   * after curation and packing: the corpus is re-ordered by an md5 hash
@@ -35,23 +33,14 @@ object Sharding {
     * total even across md5-prefix collisions). */
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val g = df
-      .withColumn("__gate", Sampling.hashGate(col(idCol)))
-      .withColumn("__g", substring(col("__gate"), 1, 2))
-    // step 1: within-group rank (parallel across the 256 hash-prefix groups)
-    val wIn = Window.partitionBy(col("__g")).orderBy(col("__gate"), col(idCol))
-    val local = g.withColumn("__rn", row_number().over(wIn).cast(LongType))
-    // step 2: per-group counts -> exclusive global offsets (256-row frame)
-    val wOff = Window.orderBy(col("__g")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = g.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
-      .select(col("__g"), col("__off"))
-    // step 3: global rank = offset + local rank; deal round-robin
-    local.join(broadcast(offsets), Seq("__g"))
-      .withColumn("__rank", col("__off") + col("__rn") - 1)
+    // band = first hash byte (256 bands, contiguous under the hash
+    // order); exclusive count-rank via the shared two-level seam
+    val g = df.withColumn("__gate", Sampling.hashGate(col(idCol)))
+    TwoLevel.exclusiveCumsum(g, lit(1L), substring(col("__gate"), 1, 2),
+        Seq(col("__gate"), col(idCol)), "__rank")
       .withColumn("shard", col("__rank") % nShards)
       .withColumn("pos", expr(s"__rank div $nShards"))
-      .drop("__gate", "__g", "__rn", "__off", "__rank")
+      .drop("__gate", "__rank")
   }
 
   /** Materialize the shards as a parquet directory partitioned by
