@@ -801,6 +801,52 @@ object AnnQueries extends QueryModule {
         WHERE rnk <= $topk ORDER BY query_id, rnk"""))
   }
 
+  // Filtered ("hybrid") search — the composition every vector store
+  // exposes: a metadata/text predicate prunes the corpus BEFORE any
+  // distance math. The predicate reaches the documents scan as a
+  // pushed filter; survivors restrict the embedding table via a
+  // SEMI-join on the shared id (keyed — at 100 TB neither corpus
+  // frame broadcasts), and only that restricted set enters the cosine
+  // ranking. With a persisted index the same shape holds: probe the
+  // pruned cells, post-filter candidates by the semi-join.
+  private val ann12 = {
+    val topk = 3; val nQ = 4
+    Q(
+      "q_ann12_filtered_search",
+      s"filtered hybrid search: keyword+lang predicate prunes the corpus, cosine top-$topk over survivors",
+      (s, d) => {
+        graft.functions.VecExpressions.register(s)
+        val e = Tables.embeddings(s, d)
+        val keep = Tables.documents(s, d)
+          .filter(col("lang") === "en" && col("text").contains("spark"))
+          .select(col("doc_id").as("vec_id"))
+        val cand = e.join(keep, Seq("vec_id"), "semi")
+        val q = e.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(q).join(cand, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= topk)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH keep AS (
+          SELECT doc_id AS vec_id FROM documents
+          WHERE lang = 'en' AND text LIKE '%spark%'),
+        cand AS (SELECT e.* FROM embeddings e JOIN keep USING (vec_id)),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $nQ)
+        SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+          SELECT q.query_id, c.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC, c.vec_id ASC) AS rnk
+          FROM q CROSS JOIN cand c WHERE c.vec_id <> q.query_id)
+        WHERE rnk <= $topk ORDER BY query_id, rnk"""))
+  }
+
   override val all: Seq[Q] =
-    Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8, ann9, ann10, ann11)
+    Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8, ann9, ann10, ann11, ann12)
 }
