@@ -14,9 +14,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS); Spark has no ns type, so
-      // read as long and convert in Tables.events (micros, lossless for
-      // this data; DuckDB truncates to micros the same way).
+      // some events.parquet generations store TIMESTAMP(NANOS); Spark
+      // has no ns type, so read as long and convert in
+      // Tables.normalizeEventsTs (micros, lossless for this data; DuckDB
+      // truncates to micros the same way). µs-generation files are
+      // unaffected by this flag and normalize from TIMESTAMP_NTZ.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Viollier CSVs are windows-1252 (S2); Spark 4 restricts csv
       // charsets to a short list unless legacy java charsets are on

@@ -21,19 +21,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it scans as LongType and
-    * is converted here to a microsecond timestamp (lossless for this
-    * data, and identical to DuckDB's ns→µs read). */
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others;
+    * [[normalizeEventsTs]] maps every physical shape to the same
+    * session-UTC TimestampType column so downstream `unix_micros` /
+    * window arithmetic is generation-independent. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(t(s, d, "events"))
+
+  /** Normalize the `ts` column to TimestampType (µs, session-UTC):
+    *  - LongType — TIMESTAMP(NANOS) read under
+    *    spark.sql.legacy.parquet.nanosAsLong=true; integer-divide to µs
+    *    (`/` on longs is double division in Spark and loses precision
+    *    above 2^53 — epoch-ns values are ~1.7e18) exactly like DuckDB's
+    *    ns→µs truncating read;
+    *  - TimestampNTZType — TIMESTAMP(MICROS) without UTC adjustment; the
+    *    cast interprets the naive value in the session timezone (UTC in
+    *    GraftSession), so the numeric micros are unchanged — identical
+    *    to DuckDB's naive TIMESTAMP read;
+    *  - TimestampType — already the target shape. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      // integer division: `/` on longs is double division in Spark and
-      // loses precision above 2^53 (epoch-ns values are ~1.7e18)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -4,7 +4,6 @@ import graft.SparkSpec
 import graft.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.TimestampType
 
 class EventStreamsSpec extends SparkSpec {
 
@@ -22,10 +21,8 @@ class EventStreamsSpec extends SparkSpec {
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$sf0001/events.parquet").schema)
       .parquet(stagedDir)
-    // same ns→µs conversion as Tables.events
-    if (raw.schema("ts").dataType != TimestampType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // same physical-type normalization as the batch reader
+    Tables.normalizeEventsTs(raw)
   }
 
   test("streaming hourly rollup equals the batch rollup") {
