@@ -29,6 +29,11 @@ import org.apache.spark.sql.types.LongType
   * Σq ≤ n_bigrams·10^6 ≪ 2^63), bit-reproducible in any engine, and
   * the whole pipeline unrolls into the DuckDB oracle. A float
   * log-perplexity twin for production ranking is [[scoreLogPpl]].
+  *
+  * Two smoothings share the pair frame: add-one ([[train]] /
+  * [[scoreExact]] — the simplest correct rung) and interpolated
+  * Kneser–Ney ([[trainKn]] / [[scoreKnExact]] — the smoothing real
+  * KenLM-style filters use, built on continuation type counts).
   */
 object NgramLm {
 
@@ -57,9 +62,11 @@ object NgramLm {
     s"${Sketches.md5Long56Sql(s"'b:' || $w1Expr || ' ' || $w2Expr")} % $Buckets"
 
   /** (doc_id-preserving) adjacent-pair explode of `textCol`: one row
-    * per bigram with the unigram-context and bigram buckets attached;
-    * documents with fewer than 2 tokens keep one all-null row
-    * (explode_outer) so they survive to the final scoring frame. */
+    * per bigram with the context (`ub` = w1), word (`vb` = w2, same
+    * unigram bucket space as ub so a word hashes identically in both
+    * roles) and bigram (`bb`) buckets attached; documents with fewer
+    * than 2 tokens keep one all-null row (explode_outer) so they
+    * survive to the final scoring frame. */
   private def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
       .select(col(idCol),
@@ -68,7 +75,8 @@ object NgramLm {
           expr("transform(sequence(0, size(__ws) - 2), " +
             "i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"))).as("__p"))
       .select(col(idCol), col("n_bigrams"),
-        uniBucket(col("__p.w1")).as("ub"), biBucket(col("__p.w1"), col("__p.w2")).as("bb"))
+        uniBucket(col("__p.w1")).as("ub"), uniBucket(col("__p.w2")).as("vb"),
+        biBucket(col("__p.w1"), col("__p.w2")).as("bb"))
 
   /** Trained model: (bucket, kind, cnt) with kind 0 = unigram context,
     * 1 = bigram — ≤ 2·B rows, broadcastable. Two map-side-combinable
@@ -110,6 +118,85 @@ object NgramLm {
         (col("n_bigrams") > 0 && col("lm_score") >= threshold).cast(LongType))
   }
 
+  /** Kneser–Ney model (Kneser & Ney 1995; Chen & Goodman 1999 §2.7's
+    * interpolated form with a fixed absolute discount D = 3/4): beside
+    * the raw counts, KN needs the TYPE statistics — how many distinct
+    * bigram types follow a context (N1+(w1,·)), how many distinct
+    * contexts precede a word (N1+(·,w2), the "continuation" count that
+    * replaces the raw unigram in the backoff), and the total number of
+    * bigram types. All counted over the hashed bucket spaces, so every
+    * type statistic is bounded by B = 65536 regardless of corpus size
+    * and the model stays ≤ 4·B + 1 rows (broadcastable at any scale).
+    *
+    * Model rows (bucket, kind, cnt): kind 0 = context count c1(ub),
+    * 1 = bigram count c12(bb), 2 = N1+(ub,·) distinct-following,
+    * 3 = N1+(·,vb) distinct-preceding, 4 = total bigram types (one
+    * row, bucket 0). */
+  def trainKn(docs: DataFrame, textCol: String, isRef: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val p = pairs(docs.filter(isRef), idCol, textCol).filter(col("ub").isNotNull)
+    // one pass for the two ub statistics (raw + type count), split into
+    // the two model kinds on the already-aggregated ≤B-row frame
+    val ubStats = p.groupBy(col("ub").as("bucket"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("bb")).as("n1"))
+      .localCheckpoint()
+    ubStats.select(col("bucket"), lit(0L).as("kind"), col("c1").as("cnt"))
+      .unionAll(
+        ubStats.select(col("bucket"), lit(2L).as("kind"), col("n1").as("cnt")))
+      .unionAll(
+        p.groupBy(col("bb").as("bucket")).agg(count(lit(1)).as("cnt"))
+          .select(col("bucket"), lit(1L).as("kind"), col("cnt")))
+      .unionAll(
+        p.groupBy(col("vb").as("bucket")).agg(countDistinct(col("ub")).as("cnt"))
+          .select(col("bucket"), lit(3L).as("kind"), col("cnt")))
+      .unionAll(
+        p.agg(countDistinct(col("bb")).as("cnt"))
+          .select(lit(0L).as("bucket"), lit(4L).as("kind"), col("cnt")))
+      .localCheckpoint()
+  }
+
+  /** Integer-exact interpolated-KN document score. Per bigram, with
+    * D = 3/4 expressed as the rational 3/4 (no floats):
+    *
+    *   seen context:  q = (S·max(4·c12 − 3, 0)) div (4·c1)
+    *                    + (S·3·N1+(ub,·)·N1+(·,vb)) div (4·c1·Nt)
+    *   unseen context: q = (S·N1+(·,vb)) div Nt   (pure continuation)
+    *
+    * (two independent floor divisions — defined, not approximated, the
+    * same way in the oracle). BIGINT bounds at 100 TB: type counts are
+    * ≤ B = 65536 by construction, so the second numerator is
+    * ≤ S·3·B² ≈ 1.3e16 and the denominators ≤ 4·c1·B; the first
+    * numerator S·4·c12 needs c12 ≲ 2e12 — satisfied until a single
+    * hash bucket holds trillions of bigram occurrences. Document score
+    * = sum(q) div n_bigrams, 0 for bigram-less documents. */
+  def scoreKnExact(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val ub = model.filter(col("kind").isin(0L, 2L))
+      .groupBy(col("bucket").as("ub"))
+      .agg(max(when(col("kind") === 0L, col("cnt"))).as("c1"),
+        max(when(col("kind") === 2L, col("cnt"))).as("n1"))
+    val bi = model.filter(col("kind") === 1L)
+      .select(col("bucket").as("bb"), col("cnt").as("c2"))
+    val vb = model.filter(col("kind") === 3L)
+      .select(col("bucket").as("vb"), col("cnt").as("nc"))
+    val nt = model.filter(col("kind") === 4L).select(col("cnt").as("nt"))
+    pairs(docs, idCol, textCol)
+      .join(broadcast(ub), Seq("ub"), "left")
+      .join(broadcast(bi), Seq("bb"), "left")
+      .join(broadcast(vb), Seq("vb"), "left")
+      .crossJoin(broadcast(nt))
+      .withColumn("__q", when(col("ub").isNull, lit(0L)).otherwise(
+        when(col("c1").isNotNull,
+          expr(s"($Scale * greatest(4L * coalesce(c2, 0L) - 3L, 0L)) div (4L * c1)") +
+            expr(s"($Scale * 3L * n1 * coalesce(nc, 0L)) div (4L * c1 * nt)"))
+          .otherwise(expr(s"($Scale * coalesce(nc, 0L)) div nt"))))
+      .groupBy(col(idCol), col("n_bigrams"))
+      .agg(sum(col("__q")).as("__sq"))
+      .select(col(idCol), col("n_bigrams"),
+        when(col("n_bigrams") > 0, expr("__sq div n_bigrams"))
+          .otherwise(lit(0L)).as("kn_score"))
+  }
+
   /** Production ranking twin: mean negative log-likelihood per bigram
     * (log-perplexity; lower = more reference-like). Float math — fast
     * and rankable, NOT bit-reproducible across engines; the gate uses
@@ -140,18 +227,23 @@ object NgramLmQueries extends QueryModule {
 
   private val RefLikeThreshold = 57L
 
-  /** Shared oracle prefix: tokenize → bigram-pair explode → hashed
-    * model counts → per-background-doc likelihood sums. */
-  private def lmSqlCtes: String = {
-    val ub = uniBucketSql("w1")
-    val bb = biBucketSql("w1", "w2")
-    s"""toks AS (
+  /** Tokenize → bigram-pair explode: the CTE prefix every LM oracle
+    * (add-one and Kneser–Ney) builds on. */
+  private def pairsSqlCtes: String =
+    """toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
         FROM documents),
       prs AS MATERIALIZED (
         SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
         FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-              FROM toks WHERE len(ws) >= 2)),
+              FROM toks WHERE len(ws) >= 2))"""
+
+  /** Shared oracle prefix: tokenize → bigram-pair explode → hashed
+    * model counts → per-background-doc likelihood sums. */
+  private def lmSqlCtes: String = {
+    val ub = uniBucketSql("w1")
+    val bb = biBucketSql("w1", "w2")
+    s"""$pairsSqlCtes,
       refp AS MATERIALIZED (
         SELECT $ub AS ub, $bb AS bb FROM prs WHERE doc_id % 11 = 0),
       uni AS (SELECT ub, count(*) AS c1 FROM refp GROUP BY ub),
@@ -293,5 +385,59 @@ object NgramLmQueries extends QueryModule {
       FROM scored s CROSS JOIN cuts c
       ORDER BY s.doc_id"""))
 
-  override val all: Seq[Q] = Seq(lm1, lm2, lm3)
+  /** KN oracle CTEs: the pair prefix plus the four type-statistic
+    * aggregates and the per-bigram interpolated score (D = 3/4 as the
+    * rational 3/4; the two floor divisions mirror
+    * [[NgramLm.scoreKnExact]] term for term). */
+  private def knSqlCtes: String = {
+    val ub = uniBucketSql("w1")
+    val vb = uniBucketSql("w2")
+    val bb = biBucketSql("w1", "w2")
+    s"""$pairsSqlCtes,
+      krefp AS MATERIALIZED (
+        SELECT $ub AS ub, $vb AS vb, $bb AS bb FROM prs WHERE doc_id % 11 = 0),
+      kc1 AS (SELECT ub, count(*) AS c1, count(DISTINCT bb) AS n1 FROM krefp GROUP BY ub),
+      kcb AS (SELECT bb, count(*) AS c2 FROM krefp GROUP BY bb),
+      knc AS (SELECT vb, count(DISTINCT ub) AS nc FROM krefp GROUP BY vb),
+      knt AS (SELECT count(DISTINCT bb) AS nt FROM krefp),
+      kbgp AS (
+        SELECT doc_id, $ub AS ub, $vb AS vb, $bb AS bb
+        FROM prs WHERE doc_id % 11 <> 0),
+      kq AS (
+        SELECT p.doc_id,
+               CASE WHEN u.c1 IS NOT NULL THEN
+                 ($Scale * greatest(4 * coalesce(b.c2, 0) - 3, 0)) // (4 * u.c1)
+                 + ($Scale * 3 * u.n1 * coalesce(n.nc, 0)) // (4 * u.c1 * t.nt)
+               ELSE ($Scale * coalesce(n.nc, 0)) // t.nt END AS q
+        FROM kbgp p
+        LEFT JOIN kc1 u ON u.ub = p.ub
+        LEFT JOIN kcb b ON b.bb = p.bb
+        LEFT JOIN knc n ON n.vb = p.vb
+        CROSS JOIN knt t),
+      ksums AS (
+        SELECT doc_id, CAST(sum(q) AS BIGINT) AS sq,
+               CAST(count(*) AS BIGINT) AS n_bg
+        FROM kq GROUP BY doc_id)"""
+  }
+
+  private val lm4 = Q(
+    "q_lm4_kneser_ney",
+    "interpolated Kneser-Ney bigram LM: absolute discount 3/4, hashed continuation counts, integer-exact",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = trainKn(docs, "text", col("doc_id") % 11 === 0)
+      scoreKnExact(docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $knSqlCtes
+      SELECT t.doc_id,
+             CAST(greatest(len(t.ws) - 1, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(s.sq // s.n_bg, 0) AS BIGINT) AS kn_score
+      FROM toks t
+      LEFT JOIN ksums s ON s.doc_id = t.doc_id
+      WHERE t.doc_id % 11 <> 0
+      ORDER BY t.doc_id"""))
+
+  override val all: Seq[Q] = Seq(lm1, lm2, lm3, lm4)
 }

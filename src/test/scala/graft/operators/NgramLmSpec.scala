@@ -52,6 +52,48 @@ class NgramLmSpec extends SparkSpec {
     assert(kinds(0L)._2 <= Buckets && kinds(1L)._2 <= Buckets)
   }
 
+  test("KN hand-computed: discounted seen mass + continuation backoff") {
+    // reference "a b a b": pairs (a,b) (b,a) (a,b) →
+    //   c1: a=2, b=1; c2: ab=2, ba=1; N1+(a,·)=1, N1+(b,·)=1;
+    //   N1+(·,a)=1 ({b}), N1+(·,b)=1 ({a}); Nt=2 types
+    val docs = df(0L -> "a b a b", 1L -> "a b", 2L -> "b a", 3L -> "x y")
+    val model = trainKn(docs, "text", col("doc_id") === 0L)
+    val out = scoreKnExact(docs.filter(col("doc_id") > 0L), "doc_id", "text", model)
+      .orderBy(col("doc_id")).collect()
+    // "a b": q = (1e6·max(4·2−3,0)) div (4·2) + (1e6·3·1·1) div (4·2·2)
+    assert(out(0).getAs[Long]("kn_score") == 1000000L * 5 / 8 + 3000000L / 16)
+    // "b a": q = (1e6·1) div 4 + (1e6·3) div (4·1·2)
+    assert(out(1).getAs[Long]("kn_score") == 250000L + 3000000L / 8)
+    // "x y": unseen context AND unseen continuation → 0
+    assert(out(2).getAs[Long]("kn_score") == 0L)
+  }
+
+  test("KN: unseen context with a SEEN continuation still gets backoff mass") {
+    // reference teaches (a,b); probe "z b" has unseen context z but b
+    // has continuation count 1 of Nt=1 types → q = 1e6·1 div 1
+    val docs = df(0L -> "a b", 1L -> "z b")
+    val model = trainKn(docs, "text", col("doc_id") === 0L)
+    val out = scoreKnExact(docs.filter(col("doc_id") === 1L), "doc_id", "text", model)
+      .collect()
+    assert(out.head.getAs[Long]("kn_score") == 1000000L)
+  }
+
+  test("KN model: bounded rows, single type-total row, degenerate docs score 0") {
+    val docs = df((0L until 40L).map(i =>
+      i -> s"w${i % 6} w${(i * 5) % 6} w${(i * 7) % 6}"): _*)
+    val model = trainKn(docs, "text", lit(true))
+    val byKind = model.groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKind.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(byKind(0L) == byKind(2L), "every context has both a raw and a type count")
+    assert(byKind.values.forall(_ <= Buckets))
+    assert(byKind(4L) == 1L)
+    val deg = scoreKnExact(df(100L -> "solo", 101L -> ""), "doc_id", "text", model)
+      .orderBy(col("doc_id")).collect()
+    assert(deg.forall(r => r.getAs[Long]("kn_score") == 0L &&
+      r.getAs[Long]("n_bigrams") == 0L))
+  }
+
   test("discrimination: reference-like text outscores out-of-domain text") {
     // reference: bigrams drawn from a tight 5-word loop; in-domain doc
     // repeats those bigrams, out-of-domain doc shares zero vocabulary
@@ -67,5 +109,10 @@ class NgramLmSpec extends SparkSpec {
     val ppl = scoreLogPpl(docs.filter(col("doc_id") >= 2L), "doc_id", "text", model)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_ppl")).toMap
     assert(ppl(2L) < ppl(3L))
+    // the KN scorer agrees on the ranking
+    val kn = scoreKnExact(docs.filter(col("doc_id") >= 2L), "doc_id", "text",
+      trainKn(docs, "text", col("doc_id") < 2L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kn_score")).toMap
+    assert(kn(2L) > kn(3L))
   }
 }
