@@ -847,6 +847,68 @@ object AnnQueries extends QueryModule {
         WHERE rnk <= $topk ORDER BY query_id, rnk"""))
   }
 
+  // Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1
+  // variant): every vector is sketched ONCE to R=8 BIGINT coordinates
+  // (64 floats → 8 longs, an 8× byte cut with no training step —
+  // unlike PQ there is no codebook to learn or drift). The shortlist
+  // scan ranks candidates by projected integer L2 (8 multiply-adds a
+  // pair), then only the C-deep shortlist pays the exact full-dim
+  // cosine — the ann11 rerank discipline with a data-independent
+  // compressor. Plane family t=4 keeps the signs disjoint from the
+  // LSH table families (t=0..2, dd6) and the bucketing planes.
+  private val ann13 = {
+    val topk = 3; val nQ = 8; val shortlist = 12
+    val signs = planeFamily(4, 8, 64)
+    Q(
+      "q_ann13_jl_projection",
+      s"JL random projection: 64f->8 BIGINT sketch, projected-L2 shortlist($shortlist), exact rerank top-$topk",
+      (s, d) => {
+        graft.functions.VecExpressions.register(s)
+        val e = Tables.embeddings(s, d)
+        val proj = e.select(col("vec_id"), col("embedding"),
+          intProject(col("embedding"), signs).as("pv"))
+        val q = proj.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("pv").as("qpv"))
+        val wp = Window.partitionBy(col("query_id"))
+          .orderBy(col("pd").asc, col("vec_id").asc)
+        val wr = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(q).join(proj, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), col("qv"), col("embedding"),
+            longSqDist(col("qpv"), col("pv")).as("pd"))
+          .withColumn("prnk", row_number().over(wp))
+          .filter(col("prnk") <= shortlist)
+          .select(col("query_id"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(wr).cast(LongType))
+          .filter(col("rnk") <= topk)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT vec_id, embedding,
+                 ${intProjectSql("embedding", signs)} AS pv
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, pv AS qpv
+              FROM p WHERE vec_id < $nQ),
+        cand AS (
+          SELECT q.query_id, e.vec_id, q.qv, e.embedding,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   list_sum(list_transform(q.qpv,
+                     (x, j) -> (x - e.pv[j]) * (x - e.pv[j]))) ASC,
+                   e.vec_id ASC) AS prnk
+          FROM q CROSS JOIN p e WHERE e.vec_id <> q.query_id)
+        SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qv, embedding) DESC, vec_id ASC) AS rnk
+          FROM cand WHERE prnk <= $shortlist)
+        WHERE rnk <= $topk ORDER BY query_id, rnk"""))
+  }
+
   override val all: Seq[Q] =
-    Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8, ann9, ann10, ann11, ann12)
+    Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8, ann9, ann10,
+      ann11, ann12, ann13)
 }

@@ -121,6 +121,22 @@ class FunctionsSpec extends SparkSpec {
     assert(sub("multibyte") == sites("multibyte")(1))
   }
 
+  test("intProject: hand-computed Rademacher sketch; longSqDist exact") {
+    import spark.implicits._
+    // quantized (1000, -2000); planes (+1,-1) and (-1,-1)
+    val signs = Seq(Seq(1, -1), Seq(-1, -1))
+    val df = Seq(Tuple1(Array(1.0f, -2.0f)), Tuple1(Array(1.0f, -2.0f)),
+      Tuple1(Array(0.5f, 0.5f))).toDF("v")
+    val out = df.select(intProject(col("v"), signs).as("p")).as[Seq[Long]].collect()
+    assert(out(0) == Seq(3000L, 1000L))
+    assert(out(0) == out(1), "projection is deterministic")
+    // longSqDist: identical sketches → 0; hand value vs (500,-1000)-quantized
+    val d = df.select(longSqDist(intProject(col("v"), signs),
+      intProject(lit(Array(1.0f, -2.0f)).cast("array<float>"), signs)).as("d"))
+      .as[Long].collect()
+    assert(d(0) == 0L && d(1) == 0L && d(2) > 0L)
+  }
+
   test("hyperplaneBucket groups identical vectors") {
     import spark.implicits._
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
