@@ -375,5 +375,48 @@ object BpeQueries extends QueryModule {
       FROM occ o JOIN vocab v USING (word)
       GROUP BY o.doc_id ORDER BY o.doc_id"""))
 
-  override val all: Seq[Q] = Seq(bpe1, bpe2, bpe3, bpe4)
+  // Tokenizer fertility report — the per-language health metric
+  // tokenizer papers track (tokens/word "fertility" and chars/token
+  // compression; e.g. the XLM-R and NLLB tokenizer analyses): a
+  // language whose fertility is far above the corpus mean is being
+  // shredded into fallback pieces and will dominate sequence length.
+  // Same scale shape as bpe3 (broadcast vocab, one corpus scan), one
+  // more groupBy key; ratios are integer-scaled (×1000 floor) so the
+  // gate is exact.
+  private val bpe5 = Q(
+    "q_bpe5_fertility",
+    "tokenizer fertility by language: BPE tokens/word and chars/token (x1000) from the persisted artifact",
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val vocab = vocabToksOf(s, d).groupBy(col("word")).agg(count(lit(1)).as("n_sub"))
+      docs.select(col("lang"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+        .join(broadcast(vocab), Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sub")).as("n_bpe_tokens"),
+          sum(length(col("word")).cast(LongType)).as("n_chars"))
+        .withColumn("fertility_x1000", expr("(1000 * n_bpe_tokens) div n_words"))
+        .withColumn("chars_per_tok_x1000", expr("(1000 * n_chars) div n_bpe_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH ${Bpe.wordsSqlCte()},
+      ${Bpe.trainSqlCtes("words", NMerges)},
+      vocab AS (SELECT word, count(*) AS n_sub FROM toks$NMerges GROUP BY word),
+      occ AS (
+        SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        FROM documents),
+      agg AS (
+        SELECT o.lang, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(v.n_sub) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(length(o.word)) AS BIGINT) AS n_chars
+        FROM occ o JOIN vocab v USING (word) GROUP BY o.lang)
+      SELECT lang, n_words, n_bpe_tokens, n_chars,
+             CAST((1000 * n_bpe_tokens) // n_words AS BIGINT) AS fertility_x1000,
+             CAST((1000 * n_chars) // n_bpe_tokens AS BIGINT) AS chars_per_tok_x1000
+      FROM agg ORDER BY lang"""))
+
+  override val all: Seq[Q] = Seq(bpe1, bpe2, bpe3, bpe4, bpe5)
 }
