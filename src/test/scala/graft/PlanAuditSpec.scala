@@ -339,6 +339,29 @@ class PlanAuditSpec extends SparkSpec {
       s"benchmark flagging needs no window:\n$p")
   }
 
+  test("q_lm4: KN model lookups broadcast; no corpus shuffle for scoring") {
+    val p = plan("q_lm4_kneser_ney")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"context/bigram/continuation model tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"a 100 TB corpus must never shuffle for the model lookup:\n$p")
+  }
+
+  test("q_ann13: queries broadcast against one projected-corpus scan; no SMJ") {
+    val p = plan("q_ann13_jl_projection")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 8-query probe set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the shortlist:\n$p")
+  }
+
+  test("q_bpe5: fertility vocab map broadcasts into the corpus scan") {
+    val p = plan("q_bpe5_fertility")
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus word stream must never shuffle for the vocab join:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     // AQE prints codegen spans only in the finalized plan — collect()
     // executes this exact queryExecution (write/count would clone it)
