@@ -123,15 +123,38 @@ object Bench {
     // single driver-facing line by sinking child output to a log file
     pb.redirectOutput(log)
     pb.redirectErrorStream(true)
-    val exit = try pb.start().waitFor() catch { case _: Exception => -1 }
+    // bounded wait: a wedged child JVM must surface as the (visible)
+    // retry/fallback path, not an indefinite silent hang of the parent
+    // — generous for a ≤forkEvery-query group (whole 125-query rounds
+    // finish in ~2 min)
+    val timeoutMin = sys.env.getOrElse("SPARK_GRAFT_FORK_TIMEOUT_MIN", "30").toLong
+    val exit = try {
+      val p = pb.start()
+      if (p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES))
+        p.exitValue()
+      else {
+        p.destroyForcibly().waitFor()
+        System.err.println(s"[bench] fork timed out after $timeoutMin min — killed")
+        -2
+      }
+    } catch { case _: Exception => -1 }
     val parsed =
       if (exit == 0) parseQueryTimes(outFile).filter(r => group.contains(r._1))
       else Seq.empty
-    if (parsed.size == group.size) {
+    if (parsed.size == group.size && parsed.forall(_._2 >= 0)) {
       // success: the record is merged into the parent's line; the log
       // stays only when something went wrong and names the evidence
       java.nio.file.Files.deleteIfExists(outFile)
       log.delete()
+      Some(parsed)
+    } else if (parsed.size == group.size) {
+      // full coverage but some query recorded -1 (failed inside the
+      // child): keep the log — it holds the only copy of the stack
+      // trace — and surface its path, but accept the record (a retry
+      // would rerun the whole group for a deterministic failure)
+      val failed = parsed.filter(_._2 < 0).map(_._1).mkString(",")
+      System.err.println(s"[bench] queries failed inside fork: $failed (log $log)")
+      java.nio.file.Files.deleteIfExists(outFile)
       Some(parsed)
     } else {
       System.err.println(s"[bench] fork of ${group.size} queries returned " +

@@ -253,7 +253,8 @@ object Reports {
       lineage: String, prevNum: Int = 20, prevDen: Int = 100): DataFrame = {
     val seqs = gisaid.filter(col("pango_lineage") === lineage)
       .select(col("strain"))
-      .join(nucMutations.select(col("strain")).distinct(), Seq("strain"), "semi")
+      // semi join ignores build-side duplicates — no distinct needed
+      .join(nucMutations.select(col("strain")), Seq("strain"), "semi")
       .localCheckpoint() // two consumers (total + join): one computation
     val total = seqs.agg(count(lit(1)).as("n_total"))
     seqs.join(nucMutations, Seq("strain"))
@@ -263,7 +264,9 @@ object Reports {
       .filter(col("n") * prevDen >= col("n_total") * prevNum)
       .withColumn("proportion", col("n").cast("double") / col("n_total"))
       .select(col("position"), col("mutation"), col("n"), col("proportion"))
-      .orderBy(col("n").desc, col("position"))
+      // mutation tiebreak makes the order total — equal-count rows at
+      // the same position would otherwise come back partition-ordered
+      .orderBy(col("n").desc, col("position"), col("mutation"))
   }
 
   /** Datathon host summary (ref `database/sql/aarhus_datathon.sql:1-5`):

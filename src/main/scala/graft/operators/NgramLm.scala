@@ -227,6 +227,38 @@ object NgramLmQueries extends QueryModule {
 
   private val RefLikeThreshold = 57L
 
+  // Train-once memo (the KMeans.trainCached / BPE-artifact discipline):
+  // the four LM gates share the identical reference-slice model per sf
+  // dir, so each variant trains once per JVM — the collected model is
+  // ≤ 4·65536+1 rows of three longs (a few MB) and re-enters every
+  // query plan as a fresh local DataFrame (broadcast-joined as before).
+  private val models =
+    scala.collection.concurrent.TrieMap[String, Seq[org.apache.spark.sql.Row]]()
+  private val modelLocks = scala.collection.concurrent.TrieMap[String, Object]()
+  private val modelSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("kind", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false)))
+
+  private def cachedModel(s: org.apache.spark.sql.SparkSession, key: String,
+      trainIt: => DataFrame): DataFrame = {
+    val rows = models.get(key) match {
+      case Some(v) => v
+      case None => modelLocks.getOrElseUpdate(key, new Object).synchronized {
+        models.getOrElseUpdate(key, trainIt.collect().toSeq)
+      }
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), modelSchema)
+  }
+
+  private def lmModelOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    cachedModel(s, s"lm:$d",
+      train(Tables.documents(s, d), "text", col("doc_id") % 11 === 0))
+
+  private def knModelOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    cachedModel(s, s"kn:$d",
+      trainKn(Tables.documents(s, d), "text", col("doc_id") % 11 === 0))
+
   /** Tokenize → bigram-pair explode: the CTE prefix every LM oracle
     * (add-one and Kneser–Ney) builds on. */
   private def pairsSqlCtes: String =
@@ -265,7 +297,7 @@ object NgramLmQueries extends QueryModule {
     "hashed bigram-LM perplexity filter: reference-trained smoothed LM, integer-exact mean likelihood",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val model = train(docs, "text", col("doc_id") % 11 === 0)
+      val model = lmModelOf(s, d)
       scoreExact(docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text",
         model, RefLikeThreshold)
         .orderBy(col("doc_id"))
@@ -292,7 +324,7 @@ object NgramLmQueries extends QueryModule {
     (s, d) => {
       import org.apache.spark.sql.types.LongType
       val docs = Tables.documents(s, d)
-      val model = train(docs, "text", col("doc_id") % 11 === 0)
+      val model = lmModelOf(s, d)
       val bg = docs.filter(col("doc_id") % 11 =!= 0)
       val scored = scoreExact(bg, "doc_id", "text", model, RefLikeThreshold)
         .select(col("doc_id"), col("lm_score"))
@@ -333,7 +365,7 @@ object NgramLmQueries extends QueryModule {
     "CCNet head/middle/tail bucketing: tercile cuts from a deterministic score sample",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val model = train(docs, "text", col("doc_id") % 11 === 0)
+      val model = lmModelOf(s, d)
       // scored feeds BOTH the sample→cuts path and the final bucketing;
       // ranked feeds its own count and the cut aggregate — checkpoint
       // each so the corpus scoring chain runs once, not per consumer
@@ -425,7 +457,7 @@ object NgramLmQueries extends QueryModule {
     "interpolated Kneser-Ney bigram LM: absolute discount 3/4, hashed continuation counts, integer-exact",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val model = trainKn(docs, "text", col("doc_id") % 11 === 0)
+      val model = knModelOf(s, d)
       scoreKnExact(docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", model)
         .orderBy(col("doc_id"))
     },
