@@ -471,5 +471,76 @@ object NgramLmQueries extends QueryModule {
       WHERE t.doc_id % 11 <> 0
       ORDER BY t.doc_id"""))
 
-  override val all: Seq[Q] = Seq(lm1, lm2, lm3, lm4)
+  /** q_lm5's corpus-wide token budget to allocate across domains. */
+  private val MixBudget = 20000L
+
+  // Quality-weighted domain mixing — the step between scoring and
+  // sampling when a training mix is DESIGNED rather than taken as-is
+  // (the data-mixture question of DoReMi (Xie et al. 2023) / the
+  // Llama-style mix tables, answered with the deterministic
+  // quality-proportional rule): each source domain gets budget share
+  // ∝ (mean LM score × its token mass), so high-quality domains are
+  // upweighted but cannot allocate beyond their actual size times
+  // quality. Everything is integer: per-domain aggregates (one
+  // groupBy), one broadcast total, floor-divided allocations. BIGINT
+  // bound: weight = mean_score·tokens ≤ 10^6·mass, so a single domain
+  // holding > ~9e12 tokens needs the weights pre-scaled (mean div
+  // 1000) before multiplying — a one-line change left out of the gate
+  // to keep both engines' arithmetic identical. The
+  // domain table is O(#sources) — tiny at any corpus scale; the only
+  // corpus-sized work is the lm scoring scan the other lm gates
+  // already pin.
+  private val lm5 = Q(
+    "q_lm5_domain_mix",
+    s"quality-weighted domain mixing: token budget $MixBudget split ∝ mean-LM-score × token mass",
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val bg = docs.filter(col("doc_id") % 11 =!= 0)
+      val scored = scoreExact(bg, "doc_id", "text", lmModelOf(s, d), RefLikeThreshold)
+        .select(col("doc_id"), col("lm_score"))
+      val toks = bg.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val domains = toks.join(scored, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("lm_score")).as("__s"))
+        .withColumn("mean_score", expr("__s div n_docs"))
+        .withColumn("__w", col("mean_score") * col("n_tokens"))
+      domains
+        .crossJoin(broadcast(domains.agg(sum(col("__w")).as("__tw"))))
+        .withColumn("alloc_tokens", expr(s"($MixBudget * __w) div __tw"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("mean_score"), col("alloc_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH $lmSqlCtes,
+      scored AS (
+        SELECT t.doc_id, CAST(coalesce(s.sq // s.n_bg, 0) AS BIGINT) AS lm_score,
+               CAST(len(t.ws) AS BIGINT) AS n_tokens
+        FROM toks t
+        LEFT JOIN sums s ON s.doc_id = t.doc_id
+        WHERE t.doc_id % 11 <> 0),
+      domains AS (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(sc.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(sc.lm_score) AS BIGINT) AS s_sum
+        FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+        GROUP BY d.source),
+      dw AS (
+        SELECT source, n_docs, n_tokens,
+               s_sum // n_docs AS mean_score,
+               (s_sum // n_docs) * n_tokens AS w
+        FROM domains),
+      tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM dw)
+      SELECT source, n_docs, n_tokens,
+             CAST(mean_score AS BIGINT) AS mean_score,
+             CAST(($MixBudget * w) // t.tw AS BIGINT) AS alloc_tokens
+      FROM dw CROSS JOIN tw t
+      ORDER BY source"""))
+
+  override val all: Seq[Q] = Seq(lm1, lm2, lm3, lm4, lm5)
 }
