@@ -133,7 +133,12 @@ object Bench {
       if (p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES))
         p.exitValue()
       else {
-        p.destroyForcibly().waitFor()
+        // the kill-wait is bounded too: a child stuck in uninterruptible
+        // I/O ignores even SIGKILL until the I/O returns, and an
+        // unbounded waitFor here would re-create the hang this timeout
+        // exists to remove — fall through to the retry path either way
+        p.destroyForcibly()
+          .waitFor(1, java.util.concurrent.TimeUnit.MINUTES)
         System.err.println(s"[bench] fork timed out after $timeoutMin min — killed")
         -2
       }

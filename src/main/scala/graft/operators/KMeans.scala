@@ -110,23 +110,15 @@ object KMeans {
   // table dir, point construction, k, iters, sample rate; only the
   // centroid rows (groups·k — KBs) are held. The persisted-to-disk
   // production form remains IvfIndex.writeIndex* (spec-pinned).
-  private val codebooks = scala.collection.concurrent.TrieMap[String, Seq[Row]]()
-  private val codebookLocks = scala.collection.concurrent.TrieMap[String, Object]()
-
-  /** [[train]] memoized under `key` for the life of the JVM. `points`
-    * is by-name: on a cache hit the sample plan is never built. Locking
-    * is per-key, so concurrent misses on DIFFERENT keys train in
-    * parallel instead of queueing behind one training job. */
+  /** [[train]] memoized under `key` for the life of the JVM (the
+    * shared [[graft.core.TrainOnce]] mechanism — one implementation of
+    * the per-key double-checked locking for every trained artifact).
+    * `points` is by-name: on a cache hit the sample plan is never
+    * built. */
   def trainCached(spark: SparkSession, points: => DataFrame, k: Int, iters: Int,
-      key: String): DataFrame = {
-    val rows = codebooks.get(key) match {
-      case Some(v) => v
-      case None => codebookLocks.getOrElseUpdate(key, new Object).synchronized {
-        codebooks.getOrElseUpdate(key, train(spark, points, k, iters).collect().toSeq)
-      }
-    }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), centSchema)
-  }
+      key: String): DataFrame =
+    graft.core.TrainOnce.cached(spark, s"kmeans:$key", centSchema)(
+      train(spark, points, k, iters))
 
   /** Nearest-centroid assignment (ties → lowest cent_id): adds `cell`
     * to `points` (grp, vec_id, qv, ...). Map-side: centroids broadcast. */

@@ -227,36 +227,23 @@ object NgramLmQueries extends QueryModule {
 
   private val RefLikeThreshold = 57L
 
-  // Train-once memo (the KMeans.trainCached / BPE-artifact discipline):
-  // the four LM gates share the identical reference-slice model per sf
-  // dir, so each variant trains once per JVM — the collected model is
-  // ≤ 4·65536+1 rows of three longs (a few MB) and re-enters every
-  // query plan as a fresh local DataFrame (broadcast-joined as before).
-  private val models =
-    scala.collection.concurrent.TrieMap[String, Seq[org.apache.spark.sql.Row]]()
-  private val modelLocks = scala.collection.concurrent.TrieMap[String, Object]()
+  // Train-once memo (the KMeans.trainCached / BPE-artifact discipline,
+  // via the shared graft.core.TrainOnce mechanism): the five LM gates
+  // share the identical reference-slice model per (variant, sf dir)
+  // per JVM — the collected model is ≤ 4·65536+1 rows of three longs
+  // (a few MB) and re-enters every query plan as a fresh local
+  // DataFrame (broadcast-joined as before).
   private val modelSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("bucket", LongType, nullable = false),
     org.apache.spark.sql.types.StructField("kind", LongType, nullable = false),
     org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false)))
 
-  private def cachedModel(s: org.apache.spark.sql.SparkSession, key: String,
-      trainIt: => DataFrame): DataFrame = {
-    val rows = models.get(key) match {
-      case Some(v) => v
-      case None => modelLocks.getOrElseUpdate(key, new Object).synchronized {
-        models.getOrElseUpdate(key, trainIt.collect().toSeq)
-      }
-    }
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), modelSchema)
-  }
-
   private def lmModelOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    cachedModel(s, s"lm:$d",
+    graft.core.TrainOnce.cached(s, s"ngramlm:lm:$d", modelSchema)(
       train(Tables.documents(s, d), "text", col("doc_id") % 11 === 0))
 
   private def knModelOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    cachedModel(s, s"kn:$d",
+    graft.core.TrainOnce.cached(s, s"ngramlm:kn:$d", modelSchema)(
       trainKn(Tables.documents(s, d), "text", col("doc_id") % 11 === 0))
 
   /** Tokenize → bigram-pair explode: the CTE prefix every LM oracle
@@ -483,10 +470,14 @@ object NgramLmQueries extends QueryModule {
   // upweighted but cannot allocate beyond their actual size times
   // quality. Everything is integer: per-domain aggregates (one
   // groupBy), one broadcast total, floor-divided allocations. BIGINT
-  // bound: weight = mean_score·tokens ≤ 10^6·mass, so a single domain
-  // holding > ~9e12 tokens needs the weights pre-scaled (mean div
-  // 1000) before multiplying — a one-line change left out of the gate
-  // to keep both engines' arithmetic identical. The
+  // bound: the allocation numerator is Budget·weight =
+  // Budget·mean_score·mass ≤ 2e4·10^6·mass, which stays inside 2^63
+  // only while a single domain holds ≲ 4.6e8 tokens — beyond that,
+  // pre-scale the weights (divide every __w by a common 10^k before
+  // the multiply; allocations shift by at most the rounding of the
+  // dropped digits) or compute the shares in the float twin. Left
+  // unscaled in the gate to keep both engines' arithmetic identical
+  // (under ANSI Spark an overflow fails loudly, never silently). The
   // domain table is O(#sources) — tiny at any corpus scale; the only
   // corpus-sized work is the lm scoring scan the other lm gates
   // already pin.
@@ -508,6 +499,10 @@ object NgramLmQueries extends QueryModule {
           sum(col("lm_score")).as("__s"))
         .withColumn("mean_score", expr("__s div n_docs"))
         .withColumn("__w", col("mean_score") * col("n_tokens"))
+        // two consumers (allocation rows + the broadcast total): the
+        // O(#sources) frame checkpoints so the corpus scoring chain
+        // beneath it runs once, not per consumer (the lm3 discipline)
+        .localCheckpoint()
       domains
         .crossJoin(broadcast(domains.agg(sum(col("__w")).as("__tw"))))
         .withColumn("alloc_tokens", expr(s"($MixBudget * __w) div __tw"))
