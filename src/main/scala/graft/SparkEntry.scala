@@ -14,7 +14,7 @@ object SparkEntry {
     DedupQueries, AnnQueries, TextQueries, EventQueries,
     GenomicsQueries, SimilarityQueries, MultimodalQueries, GraphQueries,
     BpeQueries, SkewQueries, SketchQueries, QualityClassifierQueries,
-    NgramLmQueries, LengthBatchingQueries, ZOrderQueries)
+    NgramLmQueries, LengthBatchingQueries, ZOrderQueries, MaxMatchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
