@@ -137,9 +137,12 @@ object Bench {
         // I/O ignores even SIGKILL until the I/O returns, and an
         // unbounded waitFor here would re-create the hang this timeout
         // exists to remove — fall through to the retry path either way
-        p.destroyForcibly()
+        val dead = p.destroyForcibly()
           .waitFor(1, java.util.concurrent.TimeUnit.MINUTES)
-        System.err.println(s"[bench] fork timed out after $timeoutMin min — killed")
+        System.err.println(s"[bench] fork timed out after $timeoutMin min — " +
+          (if (dead) "killed"
+           else "SIGKILL not yet effective; the child may still hold cores " +
+             "and contend with the retry's timings"))
         -2
       }
     } catch { case _: Exception => -1 }

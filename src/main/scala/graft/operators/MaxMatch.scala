@@ -3,7 +3,6 @@ package graft.operators
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Greedy longest-match-first ("MaxMatch") segmentation — the
   * INFERENCE-time tokenizer family member beside BPE's merge-order
@@ -37,9 +36,8 @@ object MaxMatch {
   def pieces(words: DataFrame, topK: Int): DataFrame =
     words.orderBy(col("freq").desc, col("word").asc).limit(topK)
       .select(col("word").as("piece"))
-      .unionAll(words.select(explode(expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-        .as("piece")))
+      // the Bpe.charTokens per-character idiom
+      .unionAll(words.select(explode(split(col("word"), "")).as("piece")))
       .distinct()
 
   /** Greedy segmentation of every word in `words` (one row per
@@ -53,6 +51,8 @@ object MaxMatch {
       return words.select(col("word"), lit(0L).as("pos"),
         col("word").as("piece"))
     val pcs = piecesDf.localCheckpoint()
+    require(!pcs.isEmpty,
+      "MaxMatch: empty piece set — the piece set must cover every character")
     val lmax = pcs.agg(max(length(col("piece")))).head().getInt(0)
     val maxRounds =
       words.agg(max(length(col("word")))).head().getInt(0).max(1)
@@ -117,7 +117,6 @@ object MaxMatchQueries extends QueryModule {
       val words = Bpe.wordFrequencies(Tables.documents(s, d), "text")
         .localCheckpoint() // three consumers: top-K, chars, segmentation
       MaxMatch.segmentation(words, MaxMatch.pieces(words, TopK))
-        .withColumn("n_pieces", col("n_pieces").cast(LongType))
         .orderBy(col("word"))
     },
     Some(s"""
