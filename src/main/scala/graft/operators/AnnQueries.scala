@@ -378,7 +378,7 @@ object AnnQueries extends QueryModule {
         graft.operators.KMeans.quantize(col("embedding")).as("qv"))
       val cent = graft.operators.KMeans.trainCached(s,
         Sampling.deterministicSample(pts, "vec_id", KmRate), KmK, KmIters,
-        coarseKey(d))
+        coarseKey(d), d)
       graft.operators.KMeans.assign(pts, cent)
         .select(col("vec_id"), col("cell"))
         .orderBy(col("vec_id"))
@@ -418,7 +418,7 @@ object AnnQueries extends QueryModule {
           km.quantize(col("embedding")).as("qv"))
         val coarse = km.trainCached(s,
           Sampling.deterministicSample(pts, "vec_id", KmRate), KmK, KmIters,
-          coarseKey(d))
+          coarseKey(d), d)
         val slices = array((0 until PqSub).map(i =>
           slice(col("embedding"), i * PqDsub + 1, PqDsub)): _*)
         val subPts = e.select(col("vec_id"), posexplode(slices).as(Seq("sub", "subvec")))
@@ -426,7 +426,7 @@ object AnnQueries extends QueryModule {
             km.quantize(col("subvec")).as("qv"))
         val pqCent = km.trainCached(s,
           Sampling.deterministicSample(subPts, "vec_id", KmRate), PqCent, KmIters,
-          pqRawKey(d))
+          pqRawKey(d), d)
         val cells = km.assign(pts, coarse).select(col("vec_id"), col("cell"))
         val codes = km.assign(subPts, pqCent)
           .select(col("grp").as("sub"), col("vec_id"), col("cell").as("code"))
@@ -682,7 +682,7 @@ object AnnQueries extends QueryModule {
           km.quantize(col("embedding")).as("qv"))
         val coarse = km.trainCached(s,
           Sampling.deterministicSample(pts, "vec_id", KmRate), KmK, KmIters,
-          coarseKey(d))
+          coarseKey(d), d)
         val cells = km.assign(pts, coarse)
         val centByCell = coarse.select(col("cent_id").as("cell"), col("cvec"))
         // corpus residuals vs the assigned centroid (broadcast join)
@@ -695,7 +695,7 @@ object AnnQueries extends QueryModule {
           .select(col("sub").cast(LongType).as("grp"), col("vec_id"), col("sv").as("qv"))
         val pqCent = km.trainCached(s,
           Sampling.deterministicSample(subPts, "vec_id", KmRate), PqCent, KmIters,
-          pqResKey(d))
+          pqResKey(d), d)
         val codes = km.assign(subPts, pqCent)
           .select(col("grp").as("sub"), col("vec_id"), col("cell").as("code"))
         // query probes over the coarse centroids

@@ -245,39 +245,25 @@ object BpeQueries extends QueryModule {
 
   private[operators] val NMerges = 6
 
-  // Train-once tokenizer artifact, per (sfDir, JVM): the four gates
-  // share ONE training run whose outputs (merge list + vocabulary
-  // segmentation) are persisted to a JVM-lifetime temp dir and read
-  // back — the production shape (a tokenizer is trained once and
-  // applied everywhere), and the reason the BPE gate family costs one
-  // training instead of four. Keyed by sfDir so test fixtures and the
-  // driver's sf dir never collide; JVM-lifetime paths mean no
-  // cross-run staleness is possible.
-  private lazy val artifactRoot =
-    java.nio.file.Files.createTempDirectory("graft-bpe-").toString
-  private val artifacts = scala.collection.concurrent.TrieMap[String, (String, String)]()
-  private val artifactLocks = scala.collection.concurrent.TrieMap[String, Object]()
-  // monotone sequence, not hashCode: two sf-dir strings with colliding
-  // hashCodes must never share (and silently overwrite) one artifact dir
-  private val artifactSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  private def artifact(s: SparkSession, d: String): (String, String) =
-    artifacts.get(d) match {
-      case Some(v) => v
-      case None =>
-        // per-key lock: a concurrent caller for a DIFFERENT sf dir
-        // trains in parallel instead of queueing behind this one
-        artifactLocks.getOrElseUpdate(d, new Object).synchronized {
-          artifacts.getOrElseUpdate(d, {
-            val (merges, toks) =
-              Bpe.train(Bpe.wordFrequencies(Tables.documents(s, d), "text"), NMerges)
-            val base = s"$artifactRoot/a${artifactSeq.getAndIncrement()}"
-            Bpe.writeMerges(s, merges, s"$base/merges")
-            Bpe.writeVocabToks(toks, s"$base/toks")
-            (s"$base/merges", s"$base/toks")
-          })
-        }
+  // Persisted tokenizer artifact, per sf dir (the TrainOnce disk
+  // tier): the gates share ONE training run whose outputs (merge list
+  // + vocabulary segmentation) live as parquet under the shared
+  // artifact root, keyed by the source dir's content fingerprint — a
+  // fresh JVM (bench fork, later production run) READS the tokenizer
+  // instead of retraining, which is the production shape (a tokenizer
+  // is trained once and shipped). Regenerating the dataset in place
+  // changes the fingerprint and retrains; distinct sf dirs and spec
+  // fixtures never collide (the dir is part of the key).
+  private def artifact(s: SparkSession, d: String): (String, String) = {
+    val key = s"bpe:$NMerges:$d@${graft.core.TrainOnce.sourceFingerprint(s, d)}"
+    val base = graft.core.TrainOnce.artifactDir(key) { tmp =>
+      val (merges, toks) =
+        Bpe.train(Bpe.wordFrequencies(Tables.documents(s, d), "text"), NMerges)
+      Bpe.writeMerges(s, merges, s"$tmp/merges")
+      Bpe.writeVocabToks(toks, s"$tmp/toks")
     }
+    (s"$base/merges", s"$base/toks")
+  }
 
   private def mergesOf(s: SparkSession, d: String): Seq[Bpe.BpeMerge] =
     Bpe.readMerges(s, artifact(s, d)._1)

@@ -549,7 +549,7 @@ object DedupQueries extends QueryModule {
       s"SemDeDup: trained $k-cell k-means clustering, within-cell BIGINT-exact cosine dedup (7/20)",
       (s, d) => SemanticDedup.dedup(s, Tables.embeddings(s, d),
           k = k, iters = iters, sampleRate = rate, tNum = 7, tDen = 20,
-          codebookKey = Some(s"semdedup|$k|$iters|$rate|$d"))
+          codebookKey = Some(s"semdedup|$k|$iters|$rate|$d"), codebookSrcDir = d)
         .orderBy(col("vec_id")),
       Some(s"""
         WITH samp AS (

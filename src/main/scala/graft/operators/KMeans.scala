@@ -110,15 +110,25 @@ object KMeans {
   // table dir, point construction, k, iters, sample rate; only the
   // centroid rows (groups·k — KBs) are held. The persisted-to-disk
   // production form remains IvfIndex.writeIndex* (spec-pinned).
-  /** [[train]] memoized under `key` for the life of the JVM (the
-    * shared [[graft.core.TrainOnce]] mechanism — one implementation of
-    * the per-key double-checked locking for every trained artifact).
+  /** [[train]] memoized under `key` (the shared
+    * [[graft.core.TrainOnce]] mechanism — one implementation of the
+    * per-key double-checked locking for every trained artifact).
     * `points` is by-name: on a cache hit the sample plan is never
-    * built. */
+    * built. With `srcDir` set (the dataset dir the points come from),
+    * the codebook is a PERSISTED artifact — parquet under the artifact
+    * root, keyed by (key, content fingerprint of srcDir) — so a fresh
+    * JVM (a bench fork, a scoring job weeks later) reads it instead of
+    * re-running Lloyd, and an in-place regeneration of the source data
+    * changes the fingerprint and retrains. Empty srcDir = session-local
+    * inputs (spec fixtures): memory tier only, nothing persisted. */
   def trainCached(spark: SparkSession, points: => DataFrame, k: Int, iters: Int,
-      key: String): DataFrame =
-    graft.core.TrainOnce.cached(spark, s"kmeans:$key", centSchema)(
-      train(spark, points, k, iters))
+      key: String, srcDir: String = ""): DataFrame =
+    if (srcDir.nonEmpty)
+      graft.core.TrainOnce.cachedOnDisk(spark, s"kmeans:$key", srcDir, centSchema)(
+        train(spark, points, k, iters))
+    else
+      graft.core.TrainOnce.cached(spark, s"kmeans:$key", centSchema)(
+        train(spark, points, k, iters))
 
   /** Nearest-centroid assignment (ties → lowest cent_id): adds `cell`
     * to `points` (grp, vec_id, qv, ...). Map-side: centroids broadcast. */

@@ -33,12 +33,14 @@ object SemanticDedup {
   /** Returns (vec_id, cell, kept): cluster cell and the 0/1 keeper flag
     * under threshold tNum/tDen. `embeddings` needs (vec_id, embedding).
     * `codebookKey`: when set, the k-means training is memoized under it
-    * for the life of the JVM ([[KMeans.trainCached]]) — pass a key that
-    * captures the embeddings' identity plus (k, iters, sampleRate).
+    * ([[KMeans.trainCached]]) — pass a key that captures the
+    * embeddings' identity plus (k, iters, sampleRate); with
+    * `codebookSrcDir` also set, the codebook persists as an on-disk
+    * artifact fingerprint-keyed to that dataset dir.
     */
   def dedup(spark: SparkSession, embeddings: DataFrame, k: Int, iters: Int,
       sampleRate: Double, tNum: Long, tDen: Long,
-      codebookKey: Option[String] = None): DataFrame = {
+      codebookKey: Option[String] = None, codebookSrcDir: String = ""): DataFrame = {
     require(tNum >= 0 && tDen > 0, "threshold must be a non-negative rational")
     // same BIGINT-exactness precondition as nearDupPairsExact: guard
     // sides stay < 2⁶³ only for ~unit-scale inputs; raise, never wrap
@@ -47,7 +49,8 @@ object SemanticDedup {
       KMeans.quantize(col("embedding")).as("qv"))
     val cent = codebookKey match {
       case Some(key) => KMeans.trainCached(spark,
-        Sampling.deterministicSample(pts, "vec_id", sampleRate), k, iters, key)
+        Sampling.deterministicSample(pts, "vec_id", sampleRate), k, iters, key,
+        codebookSrcDir)
       case None => KMeans.train(spark,
         Sampling.deterministicSample(pts, "vec_id", sampleRate), k, iters)
     }
