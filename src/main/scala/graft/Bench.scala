@@ -36,15 +36,30 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val isChild = sys.env.contains("SPARK_GRAFT_FORK_CHILD")
 
+    // contention telemetry rides INSIDE the single driver-facing JSON
+    // line: the round-6 outlier adjudication needed a judge re-run
+    // because the driver's log capture truncates the tail and carried
+    // no loadavg/fork evidence — now every record is self-describing
+    val loadPre = loadavg()
+    val forkStats = scala.collection.mutable.ArrayBuffer[String]()
     val results: Seq[(String, Double)] =
       if (!isChild && forkEvery > 0 && names.size > forkEvery)
-        names.grouped(forkEvery).toSeq.flatMap(g => forkGroup(g, sfDir, passes))
+        names.grouped(forkEvery).toSeq.flatMap { g =>
+          val (r, attempts, fellBack) = forkGroup(g, sfDir, passes)
+          forkStats += s"""{"n":${g.size},"attempts":$attempts,"in_process_fallback":$fellBack}"""
+          r
+        }
       else runInProcess(names, sfDir, passes)
+    val loadPost = loadavg()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val contention = s"""{"loadavg_pre":$loadPre,"loadavg_post":$loadPost,""" +
+      s""""passes":$passes,"fork_every":$forkEvery,""" +
+      s""""forks":${forkStats.mkString("[", ",", "]")}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""contention":$contention,"sf":"$sfDir"}"""
     println(json)
     // self-record: the driver's log capture truncates long tails, which
     // lost round 2's totals — keep the round record complete on disk
@@ -86,21 +101,35 @@ object Bench {
     results
   }
 
+  /** 1-minute system load average from /proc/loadavg (-1 where
+    * unreadable) — the telemetry that distinguishes a plan regression
+    * from a busy host in the recorded line itself. */
+  private def loadavg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split(" ")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
   /** Re-exec this class on one query group in a fresh JVM (same flags
     * and classpath as this one), read back its self-record. A child
     * that dies gets ONE more fresh JVM (fork isolation is the whole
     * point — an in-process rerun would re-admit exactly the JVM-
     * pollution drift forking removes) before the last-resort
-    * in-process fallback that keeps the record complete. */
+    * in-process fallback that keeps the record complete. Returns the
+    * timings plus (attempts, fell-back-in-process) for the telemetry
+    * block. */
   private def forkGroup(group: Seq[String], sfDir: String,
-      passes: Int): Seq[(String, Double)] = {
-    val attempts = Iterator.from(1).map(a => a -> forkOnce(group)).take(2)
-    attempts.collectFirst { case (_, Some(parsed)) => parsed }.getOrElse {
-      System.err.println(s"[bench] fork of ${group.size} queries failed twice " +
-        "— falling back in-process (timings may carry parent-JVM drift)")
-      runInProcess(group, sfDir, passes)
+      passes: Int): (Seq[(String, Double)], Int, Boolean) =
+    forkOnce(group) match {
+      case Some(parsed) => (parsed, 1, false)
+      case None => forkOnce(group) match {
+        case Some(parsed) => (parsed, 2, false)
+        case None =>
+          System.err.println(s"[bench] fork of ${group.size} queries failed twice " +
+            "— falling back in-process (timings may carry parent-JVM drift)")
+          (runInProcess(group, sfDir, passes), 2, true)
+      }
     }
-  }
 
   /** One fork attempt: Some(times) iff the child exits 0 with a record
     * covering the whole group. */

@@ -362,6 +362,43 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus word stream must never shuffle for the vocab join:\n$p")
   }
 
+  test("no gate materializes an O(corpus) frame: every LogicalRDD leaf is a bounded artifact") {
+    // localCheckpoint / collected-and-reparallelized frames appear as
+    // LogicalRDD leaves: pinned executor blocks with TRUNCATED lineage
+    // (an executor loss mid-run kills the job instead of recomputing)
+    // that survive catalog.clearCache(). That is only acceptable for
+    // BOUNDED artifacts — trained models, codebooks, vocab tables,
+    // per-group seams — never for corpus-sized data (q_lm3 once
+    // checkpointed every scored document; it persists DISK_ONLY now).
+    // Iterative graph gates are exempt: per-round lineage truncation is
+    // the standard design there (recompute would be exponential in
+    // rounds) and their state is the derived edge set, not the corpus.
+    val exempt = Set("q_cc1_components", "q_cc2_components_star",
+      "q_cc3_triangles", "q_cc4_pagerank", "q_dd10_dup_clusters")
+    val bounded: Set[Set[String]] = Set(
+      Set("bucket", "kind", "cnt"),               // hashed LM models, ≤ 4·B+1 rows
+      Set("bucket", "cnt_t", "cnt_b"),            // quality-classifier model, ≤ B rows
+      Set("grp", "cent_id", "cvec"),              // k-means codebooks, groups·k rows
+      Set("query_id", "vec_id"),                  // ANN re-rank shortlist, O(queries·R)
+      Set("word", "rem", "pos", "bl"),            // MaxMatch vocab table, O(|vocab|)
+      Set("source", "n_docs", "n_tokens", "__s", "mean_score", "__w"), // lm5 domains, O(#sources)
+      Set("mg", "__n"))                           // Misra–Gries summary, ≤ k rows
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exempt)
+      .flatMap { n =>
+        SparkEntry.queries(n)(spark, sf0001).queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r.schema.fieldNames.toSet
+        }.distinct
+          // q_sp5's one-row profile leaf carries table-specific column
+          // names (<col>__n/__nulls/__sk/__min/__max) — match by shape
+          .filterNot(s => s.nonEmpty && s.forall(f => f.contains("__")))
+          .filterNot(bounded)
+          .map(s => s"$n :: ${s.toSeq.sorted.mkString(",")}")
+      }
+    assert(offenders.isEmpty,
+      s"unexpected materialized leaves (corpus-sized checkpoint?):\n${offenders.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     // AQE prints codegen spans only in the finalized plan — collect()
     // executes this exact queryExecution (write/count would clone it)
