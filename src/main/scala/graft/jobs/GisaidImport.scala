@@ -70,7 +70,16 @@ object GisaidImport {
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
     val (feedPath, existing, identifiers) =
       if (mode == "--demo") demoInputs(spark, outDir) else sys.error("only --demo wired")
+    run(spark, feedPath, existing, identifiers, outDir)
+    spark.stop()
+  }
 
+  /** The import pipeline proper (steps 1–7), callable from the main
+    * above or from an ordered job chain ([[ImportAndRefresh]] — the
+    * reference's importer chains the matview refresh as its stage 8,
+    * `gisaid/GisaidApiImporter.java:384-387`). */
+  def run(spark: SparkSession, feedPath: String, existing: DataFrame,
+      identifiers: DataFrame, outDir: String): Unit = {
     // 1. extract + drift check; an .xz feed (what GISAID actually
     // ships) routes through the chunker so the read is multi-task
     // instead of one unsplittable stream
@@ -141,14 +150,27 @@ object GisaidImport {
         TableIO.writeAtomicSwap(df, s"$outDir/$name")
         println(s"[gisaid] $name rows=${TableIO.read(spark, s"$outDir/$name").count()}")
       }
-    spark.stop()
   }
 
   /** Demo inputs: a JSON-lines feed (new + changed + unchanged +
     * deleted records) and small existing tables. */
   private def demoInputs(spark: SparkSession, outDir: String): (String, DataFrame, DataFrame) = {
+    val (feed, existing) = demoFeedAndExisting(spark,
+      java.nio.file.Files.createTempDirectory("gisaid_feed"))
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("gisaid_feed")
+    val identifiers = Seq((16160L, "EPI_ISL_OLD", "existing"), (16200L, null, "pending"))
+      .toDF("ethid", "gisaid_id", "note")
+    (feed, existing, identifiers)
+  }
+
+  /** Demo feed + existing table with the feed file written under an
+    * EXPLICIT dir, only if absent — a stable path with a stable mtime,
+    * so a job chain's skip-if-unchanged fingerprint holds across
+    * invocations. Identifiers are the caller's (the chain feeds the
+    * serving-schema identifier table the views read). */
+  private[jobs] def demoFeedAndExisting(spark: SparkSession,
+      dir: java.nio.file.Path): (String, DataFrame) = {
+    import spark.implicits._
     def rec(id: Int, strain: String, date: String, seq: String, lineage: String) =
       s"""{"covv_accession_id":"EPI_ISL_$id","covv_virus_name":"$strain","covv_collection_date":"$date","covv_location":"Europe / ch / Zurich / Zurich","covv_patient_age":"${if (id % 7 == 0) "?" else (id % 90).toString}","covv_gender":"Male","covv_lineage":"$lineage","covv_subm_date":"2021-04-0${id % 9 + 1}","sequence":"$seq"}"""
     val base = demoReference
@@ -159,7 +181,9 @@ object GisaidImport {
       val strain = if (i % 4 == 0) s"Switzerland/ZH-ETHZ-16$i/2021" else s"Germany/BY-$i/2021"
       rec(i, strain, date, seq, if (i % 2 == 0) "B.1.1.7" else "BA.1")
     }
-    java.nio.file.Files.writeString(dir.resolve("provision.json"), lines.mkString("\n"))
+    val feedFile = dir.resolve("provision.json")
+    if (!java.nio.file.Files.exists(feedFile))
+      java.nio.file.Files.writeString(feedFile, lines.mkString("\n"))
     // existing: ids 150..250 (so 201..250 get deleted, 1..149 are new),
     // with id%6==0 records carrying a changed lineage
     val existing = (150 to 250).map { i =>
@@ -167,8 +191,6 @@ object GisaidImport {
         if (i % 6 == 0) "OLD.LINEAGE" else (if (i % 2 == 0) "B.1.1.7" else "BA.1"),
         if (i % 3 == 0) mutated else base)
     }.toDF("gisaid_epi_isl", "strain", "date", "pango_lineage", "seq_aligned")
-    val identifiers = Seq((16160L, "EPI_ISL_OLD", "existing"), (16200L, null, "pending"))
-      .toDF("ethid", "gisaid_id", "note")
-    (dir.resolve("provision.json").toString, existing, identifiers)
+    (feedFile.toString, existing)
   }
 }

@@ -20,6 +20,14 @@ object SpectrumRefresh {
     val Array(inDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
+    run(spark, inDir, outDir)
+    spark.stop()
+  }
+
+  /** The refresh cycle proper, callable from the main above or chained
+    * after an import ([[ImportAndRefresh]] — the reference's
+    * `refresh_all_mv()` runs as the importer's last stage). */
+  def run(spark: SparkSession, inDir: String, outDir: String): Unit = {
     val t = tables(spark, inDir)
     val views = SpectrumViews.buildAll(
       t("consensus_sequence"), t("sequence_identifier"), t("viollier_test"),
@@ -60,7 +68,6 @@ object SpectrumRefresh {
       TableIO.writeAtomicSwap(df, s"$outDir/$name")
       println(s"[spectrum] $name rows=${TableIO.read(spark, s"$outDir/$name").count()}")
     }
-    spark.stop()
   }
 
   /** Armee marker derived from data, never synthesized: the import
@@ -90,7 +97,7 @@ object SpectrumRefresh {
 
   /** FIXTURES.md-shaped deterministic demo tables (seed-free: derived
     * from modular arithmetic over ids). */
-  private def demoTables(spark: SparkSession): Map[String, DataFrame] = {
+  private[jobs] def demoTables(spark: SparkSession): Map[String, DataFrame] = {
     import spark.implicits._
     import java.sql.Date
     val n = 500
