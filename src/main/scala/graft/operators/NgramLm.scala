@@ -204,6 +204,153 @@ object NgramLm {
           .otherwise(lit(0L)).as("kn_score"))
   }
 
+  // ------------------------------------------------------------------
+  // Trigram interpolated Kneser–Ney — the next rung of the KenLM shape
+  // (Heafield 2011 trains 5-gram KN models; the recursion below is
+  // Chen & Goodman 1999 §2.8's interpolated form cut at order 3, every
+  // level discounted by D = 3/4):
+  //
+  //   p3(w3|w1w2) = max(c123−D,0)/c12 + (D·N1+(w1w2,·)/c12) · p2c(w3|w2)
+  //   p2c(w3|w2)  = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+  //                 + (D·N1+(w2,·)/N1+(·w2·)) · p1c(w3)
+  //   p1c(w3)     = N1+(·w3) / N1+(··)
+  //
+  // Every statistic is counted over the HASHED bucket spaces of the
+  // reference slice's trigram stream (so the model is ≤ 7·B+1 rows at
+  // any corpus size), and — for self-consistency and a replayable
+  // oracle — the bigram-level type counts are DEFINED over the same
+  // trigram stream: N1+(w2,·) = distinct (w2,w3) pair buckets with
+  // middle w2, N1+(·w3) = distinct pair buckets ending in w3, N1+(··)
+  // = total distinct pair buckets.
+  // ------------------------------------------------------------------
+
+  /** md5 bucket of a trigram ("t:" tag keeps the space independent of
+    * the unigram/bigram ones). */
+  def triBucket(w1: Column, w2: Column, w3: Column): Column =
+    Sketches.md5Long56(concat(lit("t:"), w1, lit(" "), w2, lit(" "), w3)) % Buckets
+
+  def triBucketSql(w1Expr: String, w2Expr: String, w3Expr: String): String =
+    s"${Sketches.md5Long56Sql(s"'t:' || $w1Expr || ' ' || $w2Expr || ' ' || $w3Expr")} % $Buckets"
+
+  /** Adjacent-triple explode of `textCol` with every bucket the KN3
+    * recursion needs attached: u1 (first word), cb (context pair
+    * w1w2), tb (trigram), ab (continuation pair w2w3), mb (middle
+    * word w2), wb (last word w3). Documents with fewer than 3 tokens
+    * keep one all-null row (explode_outer) so they survive scoring. */
+  private def triples(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        greatest(size(col("__ws")) - 2, lit(0)).cast(LongType).as("n_trigrams"),
+        explode_outer(when(size(col("__ws")) >= 3,
+          expr("transform(sequence(0, size(__ws) - 3), " +
+            "i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2, __ws[i + 2] AS w3))"))).as("__t"))
+      .select(col(idCol), col("n_trigrams"),
+        uniBucket(col("__t.w1")).as("u1"),
+        biBucket(col("__t.w1"), col("__t.w2")).as("cb"),
+        triBucket(col("__t.w1"), col("__t.w2"), col("__t.w3")).as("tb"),
+        biBucket(col("__t.w2"), col("__t.w3")).as("ab"),
+        uniBucket(col("__t.w2")).as("mb"),
+        uniBucket(col("__t.w3")).as("wb"))
+
+  /** Trigram-KN model: (bucket, kind, cnt), ≤ 7·B + 1 rows. Kinds:
+    * 0 = c12 context count (by cb), 1 = c123 trigram count (by tb),
+    * 2 = N1+(w1w2,·) types following a context (by cb), 3 = N1+(·w2w3)
+    * distinct predecessors of a pair (by ab), 4 = N1+(·w2·) trigram
+    * types with middle w2 (by mb), 5 = N1+(w2,·) pair types with
+    * middle w2 (by mb), 6 = N1+(·w3) pair types ending in w3 (by wb),
+    * 7 = N1+(··) total pair types (one row). Key-space-sharing stats
+    * (0+2, 4+5) aggregate in one pass each. */
+  def trainKn3(docs: DataFrame, textCol: String, isRef: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val p = triples(docs.filter(isRef), idCol, textCol).filter(col("u1").isNotNull)
+    val cbStats = p.groupBy(col("cb").as("bucket"))
+      .agg(count(lit(1)).as("c12"), countDistinct(col("tb")).as("n2"))
+      .localCheckpoint()
+    val mbStats = p.groupBy(col("mb").as("bucket"))
+      .agg(countDistinct(col("tb")).as("nm"), countDistinct(col("ab")).as("nf"))
+      .localCheckpoint()
+    cbStats.select(col("bucket"), lit(0L).as("kind"), col("c12").as("cnt"))
+      .unionAll(cbStats.select(col("bucket"), lit(2L).as("kind"), col("n2").as("cnt")))
+      .unionAll(p.groupBy(col("tb").as("bucket")).agg(count(lit(1)).as("cnt"))
+        .select(col("bucket"), lit(1L).as("kind"), col("cnt")))
+      .unionAll(p.groupBy(col("ab").as("bucket")).agg(countDistinct(col("u1")).as("cnt"))
+        .select(col("bucket"), lit(3L).as("kind"), col("cnt")))
+      .unionAll(mbStats.select(col("bucket"), lit(4L).as("kind"), col("nm").as("cnt")))
+      .unionAll(mbStats.select(col("bucket"), lit(5L).as("kind"), col("nf").as("cnt")))
+      .unionAll(p.groupBy(col("wb").as("bucket")).agg(countDistinct(col("ab")).as("cnt"))
+        .select(col("bucket"), lit(6L).as("kind"), col("cnt")))
+      .unionAll(p.agg(countDistinct(col("ab")).as("cnt"))
+        .select(lit(0L).as("bucket"), lit(7L).as("kind"), col("cnt")))
+      .localCheckpoint()
+  }
+
+  /** Integer-exact interpolated trigram-KN document score: per
+    * trigram, with D = 3/4 as the rational 3/4,
+    *
+    *   seen context (c12 and the middle stats present):
+    *     q = (S·max(4·c123−3,0)) div (4·c12)
+    *       + (S·3·N2·max(4·nA−3,0)) div (16·c12·nM)
+    *       + (((S·9·N2·nF) div (16·c12·nM)) · nU) div nT
+    *   seen context, middle bucket empty (cross-space hash-collision
+    *     artifact — cb hit but w2 never a middle): first term only
+    *   unseen context, middle seen:
+    *     q = (S·max(4·nA−3,0)) div (4·nM) + (S·3·nF·nU) div (4·nM·nT)
+    *   both unseen: q = (S·nU) div nT
+    *
+    * BIGINT bounds at 100 TB: type counts ≤ B = 65536 by construction;
+    * term-2's numerator ≤ S·3·B·4·B ≈ 5.2e16; term-3 is factored —
+    * N2 ≤ c12 and nF ≤ nM (each pair type arises from ≥1 trigram
+    * type), so the inner division is ≤ 9·S/16 ≈ 5.6e5 and the outer
+    * product ≤ 3.7e10 — because the unfactored numerator S·9·N2·nF·nU
+    * could reach 2.5e21 at bucket saturation. Same factoring in the
+    * oracle, term for term. Document score = sum(q) div n_trigrams,
+    * 0 for trigram-less documents. */
+  def scoreKn3Exact(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val cbm = model.filter(col("kind").isin(0L, 2L))
+      .groupBy(col("bucket").as("cb"))
+      .agg(max(when(col("kind") === 0L, col("cnt"))).as("c12"),
+        max(when(col("kind") === 2L, col("cnt"))).as("n2"))
+    val tbm = model.filter(col("kind") === 1L)
+      .select(col("bucket").as("tb"), col("cnt").as("na3"))
+    val abm = model.filter(col("kind") === 3L)
+      .select(col("bucket").as("ab"), col("cnt").as("na"))
+    val mbm = model.filter(col("kind").isin(4L, 5L))
+      .groupBy(col("bucket").as("mb"))
+      .agg(max(when(col("kind") === 4L, col("cnt"))).as("nm"),
+        max(when(col("kind") === 5L, col("cnt"))).as("nf"))
+    val wbm = model.filter(col("kind") === 6L)
+      .select(col("bucket").as("wb"), col("cnt").as("nu"))
+    // nT divides every continuation term; extract it eagerly from the
+    // bounded model and fail with the real problem (empty reference
+    // slice) instead of a bare DIVIDE_BY_ZERO — the scoreKnExact guard
+    val nt = model.filter(col("kind") === 7L).select(col("cnt")).head().getLong(0)
+    require(nt > 0,
+      "trigram KN model trained on a reference slice with no trigrams (Nt = 0)")
+    triples(docs, idCol, textCol)
+      .join(broadcast(cbm), Seq("cb"), "left")
+      .join(broadcast(tbm), Seq("tb"), "left")
+      .join(broadcast(abm), Seq("ab"), "left")
+      .join(broadcast(mbm), Seq("mb"), "left")
+      .join(broadcast(wbm), Seq("wb"), "left")
+      .withColumn("__q", when(col("u1").isNull, lit(0L)).otherwise(
+        when(col("c12").isNotNull && col("nm").isNotNull,
+          expr(s"($Scale * greatest(4L * coalesce(na3, 0L) - 3L, 0L)) div (4L * c12)") +
+            expr(s"($Scale * 3L * n2 * greatest(4L * coalesce(na, 0L) - 3L, 0L)) div (16L * c12 * nm)") +
+            expr(s"((($Scale * 9L * n2 * coalesce(nf, 0L)) div (16L * c12 * nm)) * coalesce(nu, 0L)) div $nt"))
+          .when(col("c12").isNotNull,
+            expr(s"($Scale * greatest(4L * coalesce(na3, 0L) - 3L, 0L)) div (4L * c12)"))
+          .when(col("nm").isNotNull,
+            expr(s"($Scale * greatest(4L * coalesce(na, 0L) - 3L, 0L)) div (4L * nm)") +
+              expr(s"($Scale * 3L * coalesce(nf, 0L) * coalesce(nu, 0L)) div (4L * nm * $nt)"))
+          .otherwise(expr(s"($Scale * coalesce(nu, 0L)) div $nt"))))
+      .groupBy(col(idCol), col("n_trigrams"))
+      .agg(sum(col("__q")).as("__sq"))
+      .select(col(idCol), col("n_trigrams"),
+        when(col("n_trigrams") > 0, expr("__sq div n_trigrams"))
+          .otherwise(lit(0L)).as("kn3_score"))
+  }
+
   /** Production ranking twin: mean negative log-likelihood per bigram
     * (log-perplexity; lower = more reference-like). Float math — fast
     * and rankable, NOT bit-reproducible across engines; the gate uses
@@ -563,5 +710,88 @@ object NgramLmQueries extends QueryModule {
       FROM dw CROSS JOIN tw t
       ORDER BY source"""))
 
-  override val all: Seq[Q] = Seq(lm1, lm2, lm3, lm4, lm5)
+  private def kn3ModelOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.core.TrainOnce.cachedOnDisk(s, s"ngramlm:kn3:$d", d, modelSchema)(
+      trainKn3(Tables.documents(s, d), "text", col("doc_id") % 11 === 0))
+
+  /** Trigram-KN oracle CTEs: triple explode → the seven hashed type
+    * statistics → the per-trigram interpolated score, mirroring
+    * [[NgramLm.scoreKn3Exact]] term for term (including the factored
+    * third term — see the BIGINT-bound note there). */
+  private def kn3SqlCtes: String = {
+    val u1 = uniBucketSql("w1")
+    val cb = biBucketSql("w1", "w2")
+    val tb = triBucketSql("w1", "w2", "w3")
+    val ab = biBucketSql("w2", "w3")
+    val mb = uniBucketSql("w2")
+    val wb = uniBucketSql("w3")
+    s"""toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        FROM documents),
+      trs AS MATERIALIZED (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+              FROM toks WHERE len(ws) >= 3)),
+      tref AS MATERIALIZED (
+        SELECT $u1 AS u1, $cb AS cb, $tb AS tb, $ab AS ab, $mb AS mb, $wb AS wb
+        FROM trs WHERE doc_id % 11 = 0),
+      tcb AS (SELECT cb, count(*) AS c12, count(DISTINCT tb) AS n2 FROM tref GROUP BY cb),
+      ttb AS (SELECT tb, count(*) AS c123 FROM tref GROUP BY tb),
+      tab AS (SELECT ab, count(DISTINCT u1) AS na FROM tref GROUP BY ab),
+      tmb AS (SELECT mb, count(DISTINCT tb) AS nm, count(DISTINCT ab) AS nf FROM tref GROUP BY mb),
+      twb AS (SELECT wb, count(DISTINCT ab) AS nu FROM tref GROUP BY wb),
+      tnt AS (SELECT count(DISTINCT ab) AS nt FROM tref),
+      tbg AS (
+        SELECT doc_id, $cb AS cb, $tb AS tb, $ab AS ab, $mb AS mb, $wb AS wb
+        FROM trs WHERE doc_id % 11 <> 0),
+      tq AS (
+        -- t.nt = 0 (reference slice with no trigrams) errors here as a
+        -- division by zero; the Spark side rejects it up front with a
+        -- named require in scoreKn3Exact
+        SELECT p.doc_id,
+               CASE
+                 WHEN c.c12 IS NOT NULL AND m.nm IS NOT NULL THEN
+                   ($Scale * greatest(4 * coalesce(g.c123, 0) - 3, 0)) // (4 * c.c12)
+                   + ($Scale * 3 * c.n2 * greatest(4 * coalesce(a.na, 0) - 3, 0)) // (16 * c.c12 * m.nm)
+                   + ((($Scale * 9 * c.n2 * coalesce(m.nf, 0)) // (16 * c.c12 * m.nm)) * coalesce(u.nu, 0)) // t.nt
+                 WHEN c.c12 IS NOT NULL THEN
+                   ($Scale * greatest(4 * coalesce(g.c123, 0) - 3, 0)) // (4 * c.c12)
+                 WHEN m.nm IS NOT NULL THEN
+                   ($Scale * greatest(4 * coalesce(a.na, 0) - 3, 0)) // (4 * m.nm)
+                   + ($Scale * 3 * coalesce(m.nf, 0) * coalesce(u.nu, 0)) // (4 * m.nm * t.nt)
+                 ELSE ($Scale * coalesce(u.nu, 0)) // t.nt
+               END AS q
+        FROM tbg p
+        LEFT JOIN tcb c ON c.cb = p.cb
+        LEFT JOIN ttb g ON g.tb = p.tb
+        LEFT JOIN tab a ON a.ab = p.ab
+        LEFT JOIN tmb m ON m.mb = p.mb
+        LEFT JOIN twb u ON u.wb = p.wb
+        CROSS JOIN tnt t),
+      tsums AS (
+        SELECT doc_id, CAST(sum(q) AS BIGINT) AS sq,
+               CAST(count(*) AS BIGINT) AS n_tg
+        FROM tq GROUP BY doc_id)"""
+  }
+
+  private val lm6 = Q(
+    "q_lm6_trigram_kneser_ney",
+    "interpolated trigram Kneser-Ney: 3-level discount recursion over hashed type counts, integer-exact",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = kn3ModelOf(s, d)
+      scoreKn3Exact(docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $kn3SqlCtes
+      SELECT t.doc_id,
+             CAST(greatest(len(t.ws) - 2, 0) AS BIGINT) AS n_trigrams,
+             CAST(coalesce(s.sq // s.n_tg, 0) AS BIGINT) AS kn3_score
+      FROM toks t
+      LEFT JOIN tsums s ON s.doc_id = t.doc_id
+      WHERE t.doc_id % 11 <> 0
+      ORDER BY t.doc_id"""))
+
+  override val all: Seq[Q] = Seq(lm1, lm2, lm3, lm4, lm5, lm6)
 }

@@ -362,6 +362,14 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus word stream must never shuffle for the vocab join:\n$p")
   }
 
+  test("q_lm6: all five trigram-KN model lookups broadcast; no corpus shuffle") {
+    val p = plan("q_lm6_trigram_kneser_ney")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
+      s"context/trigram/pair/middle/last model tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"a 100 TB corpus must never shuffle for the model lookup:\n$p")
+  }
+
   test("no gate materializes an O(corpus) frame: every LogicalRDD leaf is a bounded artifact") {
     // localCheckpoint / collected-and-reparallelized frames appear as
     // LogicalRDD leaves: pinned executor blocks with TRUNCATED lineage

@@ -94,6 +94,52 @@ class NgramLmSpec extends SparkSpec {
       r.getAs[Long]("n_bigrams") == 0L))
   }
 
+  test("trigram KN hand-computed: three-level discount recursion") {
+    // reference "a b c a b c": trigrams (a,b,c) (b,c,a) (c,a,b) (a,b,c)
+    //   c12: ab=2, bc=1, ca=1;  c123: abc=2, bca=1, cab=1
+    //   N2 per context = 1 everywhere; pair types (w2,w3): bc=2,ca=1,ab=1
+    //   na = 1 everywhere; nm = nf = 1 per middle; nu = 1 per last; Nt = 3
+    val docs = df(0L -> "a b c a b c", 1L -> "a b c", 2L -> "x b c", 3L -> "x y z")
+    val model = trainKn3(docs, "text", col("doc_id") === 0L)
+    val out = scoreKn3Exact(docs.filter(col("doc_id") > 0L), "doc_id", "text", model)
+      .orderBy(col("doc_id")).collect()
+    // "a b c": seen context — (1e6·max(8−3,0)) div (4·2) = 625000
+    //   + (1e6·3·1·max(4−3,0)) div (16·2·1) = 93750
+    //   + (((1e6·9·1·1) div (16·2·1)) · 1) div 3 = 281250 div 3 = 93750
+    assert(out(0).getAs[Long]("n_trigrams") == 1L)
+    assert(out(0).getAs[Long]("kn3_score") == 625000L + 93750L + 93750L)
+    // "x b c": unseen context, seen middle — (1e6·max(4−3,0)) div 4
+    //   + (1e6·3·1·1) div (4·1·3) = 250000 + 250000
+    assert(out(1).getAs[Long]("kn3_score") == 500000L)
+    // "x y z": everything unseen → 0
+    assert(out(2).getAs[Long]("kn3_score") == 0L)
+  }
+
+  test("trigram KN model: 8 kinds, bounded rows, one total row; short docs score 0") {
+    val docs = df((0L until 40L).map(i =>
+      i -> s"w${i % 5} w${(i * 3) % 5} w${(i * 7) % 5} w${(i * 11) % 5}"): _*)
+    val model = trainKn3(docs, "text", lit(true))
+    val byKind = model.groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKind.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(byKind(0L) == byKind(2L) && byKind(4L) == byKind(5L))
+    assert(byKind.values.forall(_ <= Buckets))
+    assert(byKind(7L) == 1L)
+    val deg = scoreKn3Exact(df(100L -> "a b", 101L -> ""), "doc_id", "text", model)
+      .orderBy(col("doc_id")).collect()
+    assert(deg.forall(r => r.getAs[Long]("kn3_score") == 0L &&
+      r.getAs[Long]("n_trigrams") == 0L))
+  }
+
+  test("trigram KN rejects a reference slice with no trigrams (named require, not div-0)") {
+    val docs = df(0L -> "a b", 1L -> "c d e")
+    val model = trainKn3(docs, "text", col("doc_id") === 0L) // ref doc has 2 tokens
+    val e = intercept[IllegalArgumentException] {
+      scoreKn3Exact(docs.filter(col("doc_id") === 1L), "doc_id", "text", model)
+    }
+    assert(e.getMessage.contains("no trigrams"))
+  }
+
   test("discrimination: reference-like text outscores out-of-domain text") {
     // reference: bigrams drawn from a tight 5-word loop; in-domain doc
     // repeats those bigrams, out-of-domain doc shares zero vocabulary
