@@ -14,7 +14,8 @@ object SparkEntry {
     DedupQueries, AnnQueries, TextQueries, EventQueries,
     GenomicsQueries, SimilarityQueries, MultimodalQueries, GraphQueries,
     BpeQueries, SkewQueries, SketchQueries, QualityClassifierQueries,
-    NgramLmQueries, LengthBatchingQueries, ZOrderQueries, MaxMatchQueries)
+    NgramLmQueries, LengthBatchingQueries, ZOrderQueries, MaxMatchQueries,
+    RelFuzzQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
