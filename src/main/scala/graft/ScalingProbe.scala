@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Self-scaled 10× probe of the expensive gate families (SCALING.md).
+  *
+  * The driver's largest dataset is sf0.1; this synthesizes a ~10×
+  * corpus NEXT TO it (builder-side, under /tmp — never touching the
+  * driver's testdata): documents and embeddings are unioned 10× with
+  * shard-offset ids and a per-shard rewrite that PRESERVES each
+  * shard's internal structure while making shards mutually unrelated —
+  * every word gets a shard suffix (so cross-shard shingle/MinHash/
+  * n-gram similarity collapses to ~0) and embeddings are rotated by k
+  * components (cross-shard cosine ≈ random). This keeps the
+  * DUPLICATE DENSITY of the 10× corpus equal to sf0.1's: a first
+  * attempt that only appended one tag token left the shards as
+  * near-duplicates of each other, and the dedup gates "scaled" 26×
+  * because the candidate-pair count grew quadratically in the shard
+  * count — a correct answer about a 90%-duplicate corpus, but a
+  * measurement of the synthetic duplication, not of the operator. All
+  * other tables pass through at 1× (noted per gate in the output).
+  *
+  * Timing per (gate, dir): one warmup execution (JIT + the train-once
+  * artifact fill — the same amortization the bench applies), then the
+  * min of two timed runs through the noop sink with the cache cleared
+  * between runs. The report records the measured exponent
+  * log10(t_big/t_sf) — 1.0 = perfectly linear in the scaled tables,
+  * < 1 = sublinear (fixed overheads amortizing), > 1 = super-linear
+  * (a plan that would NOT survive 100×; each gets a plan fix or a
+  * written explanation in SCALING.md).
+  *
+  * Usage: ScalingProbe <sfDir> <bigDir> <out.md>
+  */
+object ScalingProbe {
+
+  /** The ten most expensive gates of the round-6 guarded self-bench. */
+  val Gates: Seq[String] = Seq(
+    "q_dd8_semantic_dedup", "q_llm1_corpus_curation", "q_dd2_minhash_lsh",
+    "q_dd4_ngram_jaccard", "q_dd6_multitable_lsh", "q_llm2_training_export",
+    "q_dd10_dup_clusters", "q_dd7_incremental_lsh", "q_dd9_substring_spans",
+    "q_dd12_span_removal")
+
+  val Shards = 10
+  private val IdOffset = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, bigDir, outMd) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
+    synthesize(spark, sfDir, bigDir)
+
+    def exec(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+    def timed(name: String, dir: String): Double = {
+      exec(name, dir) // warmup: JIT + train-once artifact fill
+      math.min(exec(name, dir), exec(name, dir))
+    }
+
+    val rows = Gates.map { g =>
+      val tSf = timed(g, sfDir)
+      val tBig = timed(g, bigDir)
+      row(g, tSf, tBig)
+    }
+
+    // dd8 with the k ∝ N knob applied (the SemDeDup scaling contract:
+    // k ≈ N / target-cell-size, so per-cell pair work stays constant):
+    // the GATE pins k = 8 at every sf for oracle determinism, which is
+    // quadratic in cell size when N grows 10× — this row measures the
+    // production configuration instead
+    def dd8(dir: String, k: Int): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.SemanticDedup.dedup(spark,
+          Tables.embeddings(spark, dir), k, 2, 0.5, 7, 20,
+          codebookKey = Some(s"semdedup-probe|$k|$dir"), codebookSrcDir = dir)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+    dd8(bigDir, 80) // warmup + codebook artifact fill
+    val kRow = {
+      val tSf = { dd8(sfDir, 8); math.min(dd8(sfDir, 8), dd8(sfDir, 8)) }
+      val tBig = math.min(dd8(bigDir, 80), dd8(bigDir, 80))
+      row("q_dd8 with k∝N (8→80)", tSf, tBig)
+    }
+
+    writeMd(outMd, sfDir, bigDir, rows :+ kRow)
+    spark.stop()
+  }
+
+  private def row(g: String, tSf: Double, tBig: Double) = {
+    val ratio = tBig / tSf
+    val exp = math.log10(ratio)
+    println(f"[scaling] $g%-28s sf=$tSf%6.2fs big=$tBig%7.2fs ratio=$ratio%5.2f exp=$exp%4.2f")
+    (g, tSf, tBig, ratio, exp)
+  }
+
+  /** 10× documents + embeddings, 1× passthrough for everything else.
+    * Idempotent via a marker file. */
+  def synthesize(spark: SparkSession, sfDir: String, bigDir: String): Unit = {
+    val marker = java.nio.file.Paths.get(bigDir, "_SYNTH_COMPLETE")
+    if (java.nio.file.Files.exists(marker)) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(bigDir))
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until Shards).map { k =>
+      // per-word shard suffix: shard k's vocabulary is disjoint from
+      // every other shard's, so cross-shard similarity is zero while
+      // within-shard token structure (lengths, repetitions, dup pairs)
+      // is exactly sf0.1's
+      val text =
+        if (k == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"_$k"))), " ")
+      docs.select(
+        (col("doc_id") + lit(k * IdOffset)).as("doc_id"),
+        text.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    (0 until Shards).map { k =>
+      // rotate components by k: each shard keeps sf0.1's exact
+      // geometry internally; cross-shard cosine decorrelates
+      val rotated =
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k))
+      emb.select(
+        (col("vec_id") + lit(k * IdOffset)).as("vec_id"),
+        rotated.as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+
+    val scaled = Set("documents.parquet", "embeddings.parquet")
+    java.nio.file.Files.list(java.nio.file.Paths.get(sfDir)).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet") && !scaled(n))
+        spark.read.parquet(p.toString).write.mode("overwrite").parquet(s"$bigDir/$n")
+    }
+    java.nio.file.Files.writeString(marker, s"from $sfDir x$Shards\n")
+  }
+
+  private def writeMd(path: String, sfDir: String, bigDir: String,
+      rows: Seq[(String, Double, Double, Double, Double)]): Unit = {
+    val load = try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).trim catch { case _: Exception => "?" }
+    val sb = new StringBuilder
+    // a SECTION fragment — appended to SCALING.md by hand with the
+    // per-gate explanations, never overwriting the living document
+    sb.append("## Measured 10x self-scaled probe (round 7)\n\n")
+    sb.append(s"Source: `$sfDir` -> synthesized `$bigDir` ")
+    sb.append(s"($Shards near-duplicate-free shards of documents+embeddings; ")
+    sb.append("all other tables 1x passthrough). Timing: warmup + min of 2, ")
+    sb.append("noop sink, cache cleared per run, local[32]. ")
+    sb.append(s"Post-run loadavg: `$load`.\n\n")
+    sb.append("Measured exponent = log10(t_10x / t_1x): 1.0 = linear in the ")
+    sb.append("scaled tables, <1 sublinear, >1 super-linear (needs a plan fix ")
+    sb.append("or an explanation below).\n\n")
+    sb.append("| gate | t(sf0.1) s | t(~sf1) s | ratio | exponent |\n")
+    sb.append("|---|---|---|---|---|\n")
+    rows.foreach { case (g, a, b, r, e) =>
+      sb.append(f"| $g | $a%.2f | $b%.2f | $r%.2f | $e%.2f |\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+}

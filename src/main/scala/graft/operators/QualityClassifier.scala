@@ -120,13 +120,25 @@ object QualityClassifier {
 object QualityClassifierQueries extends QueryModule {
   import QualityClassifier._
 
+  // Persisted model artifact (the NgramLm/Bpe disk-tier discipline):
+  // trained once per (sf dir, content fingerprint), read by every
+  // later process — classifiers are shipped artifacts, not per-query
+  // computations.
+  private val modelSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cnt_t", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cnt_b", LongType, nullable = false)))
+
+  private def modelOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.core.TrainOnce.cachedOnDisk(s, s"qualityclassifier:$d", d, modelSchema)(
+      train(Tables.documents(s, d), "text", col("doc_id") % 11 === 0))
+
   private val qc1 = Q(
     "q_qc1_learned_quality",
     "learned quality filter: hashed-unigram classifier, reference slice vs background",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val model = train(docs, "text", col("doc_id") % 11 === 0)
-      classifyExact(docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", model)
+      classifyExact(docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", modelOf(s, d))
         .orderBy(col("doc_id"))
     },
     Some {
