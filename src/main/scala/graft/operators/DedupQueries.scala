@@ -38,6 +38,36 @@ object DedupQueries extends QueryModule {
             FROM documents)
       GROUP BY fp ORDER BY keep_id"""))
 
+  // Bag-canonical dedup: fingerprint = md5 over the SORTED DISTINCT
+  // token set of the canonical form — one rung looser than dd1's exact
+  // fingerprint, catching shuffled and repeated-word copies that share
+  // a vocabulary (the cheap order-insensitive pass pipelines run before
+  // paying MinHash). Same scale shape as dd1: map-side fingerprint →
+  // hash groupBy (two-phase partial agg), no joins.
+  private val dd13 = Q(
+    "q_dd13_bag_dedup",
+    "order-insensitive dedup: sorted distinct-token-set md5 fingerprint groupBy",
+    (s, d) => {
+      val canon = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val bagFp = md5(concat_ws(" ",
+        array_sort(array_distinct(filter(split(canon, " "), t => t =!= "")))))
+      Tables.documents(s, d)
+        .select(col("doc_id"), bagFp.as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), cnt.as("n_docs"))
+        .select(col("keep_id"), col("n_docs"))
+        .orderBy(col("keep_id"))
+    },
+    Some("""
+      SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+      FROM (SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(list_filter(
+                string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                x -> x <> ''))), ' ')) AS fp
+            FROM documents)
+      GROUP BY fp ORDER BY keep_id"""))
+
   /** dd2's verified MinHash+LSH near-dup pairs (doc_a, doc_b, jaccard),
     * factored out so the cluster gate (dd10) composes the identical
     * pipeline. Plan notes inline. */
@@ -666,5 +696,6 @@ object DedupQueries extends QueryModule {
   }
 
   override val all: Seq[Q] =
-    Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dc3, dd7, dd8, dd9, dd10, dd11, dd12)
+    Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dc3, dd7, dd8, dd9, dd10, dd11,
+      dd12, dd13)
 }

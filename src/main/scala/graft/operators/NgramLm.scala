@@ -205,6 +205,51 @@ object NgramLm {
   }
 
   // ------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+  // Two hashed bag-of-bigrams models — one over the TARGET domain
+  // slice, one over the RAW corpus — and each document is scored by
+  // its per-feature importance ratio p_target(f)/p_raw(f). High mean
+  // ratio = the document looks like the target domain relative to the
+  // crawl at large; DSIR selects pretraining data by resampling with
+  // these weights, our gate form thresholds them (the deterministic
+  // equivalent at fixed budget).
+  //
+  // Integer-exact form: the global constant (N_raw+B)/(N_target+B) in
+  // the ratio is rank-irrelevant within one corpus and is folded out,
+  // so the per-bigram term is q = (S·(ct+1)) div (cr+1) — add-one
+  // smoothed counts only, BIGINT-bounded (S·(ct+1) needs ct ≲ 9e12 —
+  // a single hash bucket holding trillions of target occurrences).
+  // Document weight = mean(q) in floor division; both models are ≤ B
+  // rows of bigram counts, so scoring is two broadcast joins over one
+  // corpus scan — map-side at 100 TB.
+  // ------------------------------------------------------------------
+
+  /** Integer-exact DSIR document weight: per document emit n_bigrams,
+    * dsir_score = mean over bigram features of
+    * (S·(ct+1)) div (cr+1) (0 when the document has no bigram), and
+    * selected = 1 iff dsir_score ≥ threshold. `target` / `raw` are
+    * [[train]] models (their kind-1 bigram rows are used). */
+  def scoreDsir(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, raw: DataFrame, threshold: Long): DataFrame = {
+    val t = target.filter(col("kind") === 1L)
+      .select(col("bucket").as("bb"), col("cnt").as("ct"))
+    val r = raw.filter(col("kind") === 1L)
+      .select(col("bucket").as("bb"), col("cnt").as("cr"))
+    pairs(docs, idCol, textCol)
+      .join(broadcast(t), Seq("bb"), "left")
+      .join(broadcast(r), Seq("bb"), "left")
+      .withColumn("__q", when(col("ub").isNull, lit(0L)).otherwise(
+        expr(s"($Scale * (coalesce(ct, 0L) + 1L)) div (coalesce(cr, 0L) + 1L)")))
+      .groupBy(col(idCol), col("n_bigrams"))
+      .agg(sum(col("__q")).as("__sq"))
+      .select(col(idCol), col("n_bigrams"),
+        when(col("n_bigrams") > 0, expr("__sq div n_bigrams"))
+          .otherwise(lit(0L)).as("dsir_score"))
+      .withColumn("selected",
+        (col("n_bigrams") > 0 && col("dsir_score") >= threshold).cast(LongType))
+  }
+
+  // ------------------------------------------------------------------
   // Trigram interpolated Kneser–Ney — the next rung of the KenLM shape
   // (Heafield 2011 trains 5-gram KN models; the recursion below is
   // Chen & Goodman 1999 §2.8's interpolated form cut at order 3, every
@@ -793,5 +838,60 @@ object NgramLmQueries extends QueryModule {
       WHERE t.doc_id % 11 <> 0
       ORDER BY t.doc_id"""))
 
-  override val all: Seq[Q] = Seq(lm1, lm2, lm3, lm4, lm5, lm6)
+  /** q_lm7's selection threshold (score scale = [[NgramLm.Scale]]):
+    * picked from the sf0.01 score distribution so the DSIR gate admits
+    * most of the target slice plus the target-like tail of the rest —
+    * at sf0.01, 193/218 'en' docs and ~32 others. Production callers
+    * set it from their token budget instead (sort by weight, cut). */
+  private val DsirThreshold = 455000L
+
+  // DSIR models via the same disk-artifact tier as the LM models:
+  // target = the 'en' slice (the "formal text" domain proxy of Xie et
+  // al.'s Pile-CC setup), raw = the whole corpus. Both ≤ 2·B rows.
+  private def dsirTargetModelOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.core.TrainOnce.cachedOnDisk(s, s"ngramlm:dsir_t:$d", d, modelSchema)(
+      train(Tables.documents(s, d), "text", col("lang") === "en"))
+
+  private def dsirRawModelOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.core.TrainOnce.cachedOnDisk(s, s"ngramlm:dsir_r:$d", d, modelSchema)(
+      train(Tables.documents(s, d), "text", lit(true)))
+
+  private val lm7 = Q(
+    "q_lm7_dsir",
+    "DSIR importance weighting: hashed-bigram target/raw likelihood ratio, integer-exact, thresholded selection",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      scoreDsir(docs, "doc_id", "text",
+          dsirTargetModelOf(s, d), dsirRawModelOf(s, d), DsirThreshold)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bb = biBucketSql("w1", "w2")
+      s"""
+      WITH $pairsSqlCtes,
+      allb AS MATERIALIZED (SELECT doc_id, $bb AS bb FROM prs),
+      tcnt AS (
+        SELECT bb, count(*) AS ct FROM allb
+        WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+        GROUP BY bb),
+      rcnt AS (SELECT bb, count(*) AS cr FROM allb GROUP BY bb),
+      sums AS (
+        SELECT a.doc_id,
+               CAST(sum(($Scale * (coalesce(t.ct, 0) + 1)) // (coalesce(r.cr, 0) + 1)) AS BIGINT) AS sq,
+               CAST(count(*) AS BIGINT) AS n_bg
+        FROM allb a
+        LEFT JOIN tcnt t ON t.bb = a.bb
+        LEFT JOIN rcnt r ON r.bb = a.bb
+        GROUP BY a.doc_id)
+      SELECT t.doc_id,
+             CAST(greatest(len(t.ws) - 1, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(s.sq // s.n_bg, 0) AS BIGINT) AS dsir_score,
+             CAST(CASE WHEN s.n_bg > 0 AND s.sq // s.n_bg >= $DsirThreshold
+               THEN 1 ELSE 0 END AS BIGINT) AS selected
+      FROM toks t
+      LEFT JOIN sums s ON s.doc_id = t.doc_id
+      ORDER BY t.doc_id"""
+    })
+
+  override val all: Seq[Q] = Seq(lm1, lm2, lm3, lm4, lm5, lm6, lm7)
 }

@@ -352,6 +352,78 @@ object TextQueries extends QueryModule {
         FROM cum ORDER BY doc_id, chunk_idx"""))
   }
 
+  // Gopher-style document quality rules (Rae et al. 2021, Table A1):
+  // per-doc signals — word count, mean word length, alphabetic-word
+  // fraction, symbol-word fraction, stopword occurrences — and the
+  // composed keep/drop verdict. All pure codegen column expressions
+  // over one shared token split (one scan, no shuffle beyond the
+  // presentation sort). The stopword rule is adapted to occurrence
+  // counts over the repo's 6-word list (the paper requires >=2 distinct
+  // of its 8 English function words; this corpus's vocabulary carries
+  // only two of those, which would make the rule constant).
+  // Double math: integer sums with a single final division in a fixed
+  // op order -> bit-reproducible in any IEEE engine.
+  private val tx12 = {
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    val stopSql = stop.map(s => s"'$s'").mkString(", ")
+    val (minW, maxW) = (50L, 100000L)
+    Q(
+      "q_tx12_gopher_rules",
+      "Gopher quality rules: word-count/word-length/alpha/symbol/stopword signals + keep verdict",
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), t => t =!= "")
+        val nW = size(col("__toks")).cast(LongType)
+        val sumLen = aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t).cast(LongType))
+        val nAlpha = size(filter(col("__toks"), t => t.rlike("[A-Za-z]"))).cast(LongType)
+        val nSym = size(filter(col("__toks"), t => t.rlike("^#") || t.contains("..."))).cast(LongType)
+        val nStop = size(filter(col("__toks"), t => t.isin(stop.map(lit): _*))).cast(LongType)
+        Tables.documents(s, d)
+          .withColumn("__toks", toks)
+          .select(col("doc_id"), nW.as("n_words"), sumLen.as("__sl"),
+            nAlpha.as("__na"), nSym.as("__ns"), nStop.as("n_stop"))
+          .select(col("doc_id"), col("n_words"),
+            when(col("n_words") === 0, lit(0.0))
+              .otherwise(col("__sl").cast("double") / col("n_words").cast("double"))
+              .as("mean_word_len"),
+            when(col("n_words") === 0, lit(0.0))
+              .otherwise(col("__na").cast("double") / col("n_words").cast("double"))
+              .as("frac_alpha"),
+            when(col("n_words") === 0, lit(0.0))
+              .otherwise(col("__ns").cast("double") / col("n_words").cast("double"))
+              .as("symbol_frac"),
+            col("n_stop"))
+          .withColumn("keep",
+            col("n_words").between(minW, maxW) &&
+              col("mean_word_len").between(3.0, 10.0) &&
+              col("frac_alpha") >= 0.8 && col("symbol_frac") <= 0.1 &&
+              col("n_stop") >= 2L)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END AS mean_word_len,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END AS frac_alpha,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '^#') OR contains(x, '...'))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END AS symbol_frac,
+            CAST(len(list_filter(toks, x -> x IN ($stopSql))) AS BIGINT) AS n_stop
+          FROM t)
+        SELECT doc_id, n_words, mean_word_len, frac_alpha, symbol_frac, n_stop,
+               (n_words BETWEEN $minW AND $maxW)
+                 AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                 AND frac_alpha >= 0.8 AND symbol_frac <= 0.1
+                 AND n_stop >= 2 AS keep
+        FROM s ORDER BY doc_id"""))
+  }
+
   // Deterministic corpus mixing (Sampling operator): per-source rates
   // applied as an md5-hash gate — no rand(), reproducible across
   // engines/partitionings, pure codegen filter on the scan (no join,
@@ -664,6 +736,6 @@ object TextQueries extends QueryModule {
   }
 
   override val all: Seq[Q] =
-    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, s1, s2, s3, s4, s5,
-      llm1, llm2)
+    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, s1, s2, s3,
+      s4, s5, llm1, llm2)
 }

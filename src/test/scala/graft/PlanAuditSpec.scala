@@ -60,6 +60,16 @@ class PlanAuditSpec extends SparkSpec {
       s"should not read unused columns: $readSchema")
   }
 
+  test("q_tx12: map-side signals — scan prunes to doc_id+text, no join/agg shuffle") {
+    val p = plan("q_tx12_gopher_rules")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"should not read unused columns: $readSchema")
+    // the only exchange is the presentation sort's range partitioning
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"per-doc signals must stay map-side:\n$p")
+  }
+
   test("dedup family: no broadcast hints on O(corpus) frames") {
     // dd2's band table, dd4's shingle index, and dd5's bucketed corpus
     // all scale with N — a plan-level broadcast hint on any of them is
@@ -360,6 +370,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"the corpus word stream must never shuffle for the vocab join:\n$p")
+  }
+
+  test("q_lm7: both DSIR model lookups broadcast; no corpus shuffle for scoring") {
+    val p = plan("q_lm7_dsir")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"target and raw bigram models must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"a 100 TB corpus must never shuffle for the model lookup:\n$p")
   }
 
   test("q_lm6: all five trigram-KN model lookups broadcast; no corpus shuffle") {

@@ -161,4 +161,40 @@ class NgramLmSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kn_score")).toMap
     assert(kn(2L) > kn(3L))
   }
+
+  test("DSIR hand-computed: per-feature target/raw ratio, mean, threshold") {
+    // target = doc 0 ("a b a b"): ct(a,b)=2, ct(b,a)=1
+    // raw = all docs:             cr(a,b)=3, cr(b,a)=1, cr(x,y)=1
+    val docs = df(0L -> "a b a b", 1L -> "a b", 2L -> "x y", 3L -> "solo")
+    val target = train(docs, "text", col("doc_id") === 0L)
+    val raw = train(docs, "text", lit(true))
+    val out = scoreDsir(docs, "doc_id", "text", target, raw, 600000L)
+      .orderBy(col("doc_id")).collect()
+    // doc 0: q(a,b) = 1e6·3 div 4 = 750000, q(b,a) = 1e6·2 div 2 = 1e6
+    //        mean = (750000 + 1000000 + 750000) div 3 = 833333
+    assert(out(0).getAs[Long]("dsir_score") == 833333L)
+    assert(out(0).getAs[Long]("selected") == 1L)
+    // doc 1: one (a,b) pair → 750000, selected
+    assert(out(1).getAs[Long]("dsir_score") == 750000L)
+    assert(out(1).getAs[Long]("selected") == 1L)
+    // doc 2: (x,y) unseen in target → 1e6·1 div 2 = 500000 < threshold
+    assert(out(2).getAs[Long]("dsir_score") == 500000L)
+    assert(out(2).getAs[Long]("selected") == 0L)
+    // doc 3: no bigram → score 0, never selected
+    assert(out(3).getAs[Long]("n_bigrams") == 0L)
+    assert(out(3).getAs[Long]("dsir_score") == 0L && out(3).getAs[Long]("selected") == 0L)
+  }
+
+  test("DSIR discrimination: target-like docs outweigh out-of-domain docs") {
+    val loop = (0 until 60).map(i => s"t${i % 5}").mkString(" ")
+    val docs = df(0L -> loop, 1L -> loop, 2L -> "t0 t1 t2 t3 t4 t0 t1 t2",
+      3L -> "zz qq rr ss tt uu vv ww")
+    val target = train(docs, "text", col("doc_id") < 2L)
+    val raw = train(docs, "text", lit(true))
+    val w = scoreDsir(docs.filter(col("doc_id") >= 2L), "doc_id", "text",
+      target, raw, 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dsir_score")).toMap
+    assert(w(2L) > w(3L),
+      s"target-like ${w(2L)} must outweigh out-of-domain ${w(3L)}")
+  }
 }
