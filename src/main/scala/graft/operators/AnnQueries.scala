@@ -908,7 +908,90 @@ object AnnQueries extends QueryModule {
         WHERE rnk <= $topk ORDER BY query_id, rnk"""))
   }
 
+  // Scalar quantization (the FAISS SQ8 layout): per-dimension corpus
+  // min/max define a uint8 grid; each float component compresses to
+  // code = clamp(floor((x − mn)·255/(mx − mn)), 0, 255) — 4 bytes →
+  // 1 byte per component, distances on codes are pure BIGINT L2. The
+  // per-dim stats are a 64-row trained artifact: collected once and
+  // re-entering the plan as LITERAL arrays, so encoding is a single
+  // codegen projection over the corpus scan (no join, no shuffle).
+  // Search = code-space shortlist (ann13's rerank discipline) + exact
+  // cosine top-k on the survivors. The float arithmetic that defines
+  // the grid is the same IEEE op order on both engines (sub, mul 255.0,
+  // div, floor) so codes are bit-identical cross-engine.
+  private val ann14 = {
+    val topk = 3; val nQ = 8; val shortlist = 12
+    Q(
+      "q_ann14_sq8",
+      s"scalar quantization SQ8: per-dim min/max uint8 codes, code-L2 shortlist($shortlist), exact rerank top-$topk",
+      (s, d) => {
+        graft.functions.VecExpressions.register(s)
+        val e = Tables.embeddings(s, d)
+        val stats = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("i"))
+          .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+          .orderBy(col("i")).collect()
+        val mnA = array(stats.toSeq.map(r => lit(r.getDouble(1))): _*)
+        val mxA = array(stats.toSeq.map(r => lit(r.getDouble(2))): _*)
+        val codes = transform(col("embedding"), (x, i) => {
+          val mn = element_at(mnA, i + 1)
+          val mx = element_at(mxA, i + 1)
+          when(mx === mn, lit(0L)).otherwise(
+            least(greatest(floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)),
+              lit(0L)), lit(255L)))
+        })
+        val c = e.select(col("vec_id"), col("embedding"), codes.as("cv"))
+        val q = c.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("cv").as("qcv"))
+        val wp = Window.partitionBy(col("query_id"))
+          .orderBy(col("cd").asc, col("vec_id").asc)
+        val wr = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(q).join(c, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), col("qv"), col("embedding"),
+            longSqDist(col("qcv"), col("cv")).as("cd"))
+          .withColumn("prnk", row_number().over(wp))
+          .filter(col("prnk") <= shortlist)
+          .select(col("query_id"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(wr).cast(LongType))
+          .filter(col("rnk") <= topk)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH dims AS (
+          SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i FROM embeddings)
+          GROUP BY i),
+        st AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims),
+        c AS MATERIALIZED (
+          SELECT vec_id, embedding,
+                 list_transform(embedding, (x, j) ->
+                   CASE WHEN st.mxs[j] = st.mns[j] THEN 0
+                        ELSE CAST(least(greatest(floor((CAST(x AS DOUBLE) - st.mns[j]) * 255.0
+                          / (st.mxs[j] - st.mns[j])), 0.0), 255.0) AS BIGINT) END) AS cv
+          FROM embeddings, st),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, cv AS qcv
+              FROM c WHERE vec_id < $nQ),
+        cand AS (
+          SELECT q.query_id, e.vec_id, q.qv, e.embedding,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   list_sum(list_transform(q.qcv,
+                     (x, j) -> (x - e.cv[j]) * (x - e.cv[j]))) ASC,
+                   e.vec_id ASC) AS prnk
+          FROM q CROSS JOIN c e WHERE e.vec_id <> q.query_id)
+        SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qv, embedding) DESC, vec_id ASC) AS rnk
+          FROM cand WHERE prnk <= $shortlist)
+        WHERE rnk <= $topk ORDER BY query_id, rnk"""))
+  }
+
   override val all: Seq[Q] =
     Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8, ann9, ann10,
-      ann11, ann12, ann13)
+      ann11, ann12, ann13, ann14)
 }

@@ -365,6 +365,14 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus must not shuffle for the shortlist:\n$p")
   }
 
+  test("q_ann14: SQ8 codes are a literal-array projection; queries broadcast, no SMJ") {
+    val p = plan("q_ann14_sq8")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 8-query probe set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the code-space shortlist:\n$p")
+  }
+
   test("q_bpe5: fertility vocab map broadcasts into the corpus scan") {
     val p = plan("q_bpe5_fertility")
     assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
