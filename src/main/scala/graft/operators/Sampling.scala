@@ -124,6 +124,41 @@ object Sampling {
       .orderBy(col("race_key"), col(idCol))
       .limit(k)
 
+  /** Temperature-sampled source mixing (the mT5/XLM-R scheme: Conneau
+    * et al. 2020 §5.1 sample language l with p_l ∝ (n_l/N)^α, α
+    * flattening the head so low-resource sources up-sample) in
+    * integer-exact form at α = 1/2: source weight w_s =
+    * floor(sqrt(n_s)) — sqrt is IEEE correctly-rounded, so the floor
+    * is deterministic in any engine and everything after is BIGINT —
+    * and source quota = (budget·w_s) div Σw. The quota is then filled
+    * deterministically: docs rank within their source by md5(id) (an
+    * unbiased shuffle, reproducible, no rand()) and the first quota_s
+    * ranks are selected.
+    *
+    * Scale shape: per-source counts are a two-phase agg collapsing to
+    * #sources rows (quotas broadcast back); the within-source rank is
+    * [[TwoLevel.exclusiveCumsumBy]] banded on the rank key's first hex
+    * char — per-(source, band) parallelism, never one task per source.
+    * Returns (idCol, sourceCol, src_rank, quota, selected). */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    val quotas = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val withTotal = quotas.crossJoin(
+      broadcast(quotas.agg(sum(col("__w")).as("__tw"))))
+      .withColumn("quota", expr(s"($budget * __w) div __tw"))
+      .select(col(sourceCol), col("quota"))
+    val ranked = TwoLevel.exclusiveCumsumBy(
+      df.withColumn("__key", hashGate(col(idCol))),
+      lit(1L), col(sourceCol), substring(col("__key"), 1, 1),
+      Seq(col("__key"), col(idCol)), "src_rank")
+    ranked.join(broadcast(withTotal), Seq(sourceCol))
+      .withColumn("selected",
+        (col("src_rank") < col("quota")).cast(org.apache.spark.sql.types.LongType))
+      .select(col(idCol), col(sourceCol), col("src_rank"), col("quota"),
+        col("selected"))
+  }
+
   /** Driver-side rate computation from target shares: rate(s) =
     * min(1, share(s)·totalTarget / count(s)). The per-source counts
     * are one aggregation over the corpus; sources are few by contract

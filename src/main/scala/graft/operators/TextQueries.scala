@@ -551,6 +551,36 @@ object TextQueries extends QueryModule {
         ORDER BY race_key, doc_id LIMIT $k"""))
   }
 
+  // Temperature-sampled source mixing (Sampling.temperatureMix): the
+  // mT5/XLM-R α = 1/2 scheme in integer-exact form — source weight
+  // floor(sqrt(n_s)), quota (budget·w) div Σw, per-source md5-rank
+  // admission. The oracle's PARTITION BY source window is the SEMANTIC
+  // definition; the implementation computes the identical rank via the
+  // banded per-group two-level prefix (TwoLevel.exclusiveCumsumBy) —
+  // no one-task-per-source window.
+  private val s7 = {
+    val budget = 200L
+    Q(
+      "q_s7_temperature_mix",
+      s"temperature-sampled source mixing at alpha=1/2: isqrt weights, $budget-doc budget, md5-rank admission",
+      (s, d) => Sampling.temperatureMix(Tables.documents(s, d), "source",
+          "doc_id", budget)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        w AS (SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM s),
+        tw AS (SELECT CAST(sum(w) AS BIGINT) AS twv FROM w),
+        qa AS (SELECT source, ($budget * w) // twv AS quota FROM w, tw),
+        r AS (SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) - 1 AS src_rank
+              FROM documents)
+        SELECT r.doc_id, r.source, CAST(r.src_rank AS BIGINT) AS src_rank, q.quota,
+               CAST(CASE WHEN r.src_rank < q.quota THEN 1 ELSE 0 END AS BIGINT) AS selected
+        FROM r JOIN qa q ON q.source = r.source
+        ORDER BY r.doc_id"""))
+  }
+
   // Lexical-rarity quality signal (the exact-arithmetic cousin of a
   // perplexity filter): per-document count of occurrences of CORPUS-
   // rare tokens (global count ≤ 2) — high rare fraction flags OCR
@@ -737,5 +767,5 @@ object TextQueries extends QueryModule {
 
   override val all: Seq[Q] =
     Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, s1, s2, s3,
-      s4, s5, llm1, llm2)
+      s4, s5, s7, llm1, llm2)
 }

@@ -129,4 +129,42 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(bySource("big") - 300L) < 60, s"got $bySource")
     assert(math.abs(bySource("small") - 300L) < 60, s"got $bySource")
   }
+
+  test("temperatureMix: banded rank ≡ naive per-source window, bit-equal") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = ((0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(df, "source", "doc_id", 300L)
+    val naive = df
+      .withColumn("__key", Sampling.hashGate(col("doc_id")))
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("__key"), col("doc_id"))).cast("long") - 1L)
+      .select(col("doc_id"), col("r"))
+    val diff = out.join(naive, Seq("doc_id"))
+      .filter(col("src_rank") =!= col("r")).count()
+    assert(diff == 0L, "two-level per-group rank must equal the window rank")
+  }
+
+  test("temperatureMix: alpha=1/2 flattens the head; quotas exact; repartition-stable") {
+    import spark.implicits._
+    // 900 vs 100 docs → weights floor(sqrt) = 30 vs 10, quotas at
+    // budget 300: big (300·30) div 40 = 225, small (300·10) div 40 = 75
+    // — the small source gets 25% of the budget from 10% of the corpus.
+    val df = ((0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(df, "source", "doc_id", 300L).cache()
+    val quotas = out.groupBy("source").agg(max("quota")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quotas == Map("big" -> 225L, "small" -> 75L), s"got $quotas")
+    val sel = out.filter(col("selected") === 1L).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sel == quotas, "each source fills exactly its quota")
+    val re = Sampling.temperatureMix(df.repartition(13), "source", "doc_id", 300L)
+      .filter(col("selected") === 1L).select("doc_id").as[Long].collect().toSet
+    val first = out.filter(col("selected") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(re == first, "selection must not depend on partitioning")
+    out.unpersist()
+  }
 }
