@@ -127,5 +127,51 @@ object EventQueries extends QueryModule {
         ON l.t >= o.s AND l.t < o.s + 30
       ORDER BY 1, 2, 3"""))
 
-  override val all: Seq[Q] = Seq(ev1, ev2, ev3, rj1)
+  // Cohort retention: users cohorted by first-activity week, then for
+  // each (cohort, weeks-since) cell the distinct users still active —
+  // the classic product-analytics triangle. Scale shape: per-user
+  // first-activity and the distinct user-week table are both two-phase
+  // aggs keyed by user; their join co-partitions on user_id; the final
+  // cell agg is keyed by (cohort, offset) — bounded cells. Cohort
+  // sizes (O(#weeks) rows) broadcast back. Week math stays in
+  // TIMESTAMP (never raw DATE — engine-portable), offsets in exact
+  // integer day arithmetic.
+  private val ev4 = Q(
+    "q_ev4_retention_cohorts",
+    "cohort retention triangle: first-activity-week cohorts x weeks-since, distinct active users",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val fw = e.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"), date_trunc("WEEK", col("first_ts")).as("cohort_week"))
+      val aw = e.select(col("user_id"), date_trunc("WEEK", col("ts")).as("act_week"))
+        .distinct()
+      val cs = fw.groupBy(col("cohort_week"))
+        .agg(countDistinct(col("user_id")).cast(LongType).as("cohort_size"))
+      aw.join(fw, Seq("user_id"))
+        .withColumn("week_offset",
+          expr("datediff(act_week, cohort_week) div 7").cast(LongType))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).cast(LongType).as("n_active"))
+        .join(broadcast(cs), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"), col("n_active"),
+          col("cohort_size"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH fw AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+      aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events),
+      cells AS (
+        SELECT f.cohort_week,
+               CAST(datediff('day', f.cohort_week, a.act_week) // 7 AS BIGINT) AS week_offset,
+               count(DISTINCT a.user_id) AS n_active
+        FROM aw a JOIN fw f ON f.user_id = a.user_id
+        GROUP BY 1, 2),
+      cs AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_size FROM fw GROUP BY 1)
+      SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size
+      FROM cells c JOIN cs s ON s.cohort_week = c.cohort_week
+      ORDER BY c.cohort_week, c.week_offset"""))
+
+  override val all: Seq[Q] = Seq(ev1, ev2, ev3, ev4, rj1)
 }
