@@ -19,8 +19,10 @@ import scala.util.Random
   *  1. a DataFrame plan (what the engine under test runs),
   *  2. a COMMON-DIALECT SQL string — the generator's grammar is
   *     restricted to the Spark∩DuckDB surface (equi-joins, %, <>,
-  *     length(), CAST AS BIGINT, count/sum/min/max, DISTINCT), so the
-  *     SAME string parses in both engines,
+  *     length/upper/substring/CASE expression projections,
+  *     CAST AS BIGINT, count/sum/min/max, DISTINCT, HAVING on the
+  *     count family, ORDER-BY-all-columns LIMIT), so the SAME string
+  *     parses in both engines,
   *  3. a DuckDB checksum wrapper for the driver gate.
   *
   * The in-JVM property suite (`RelFuzzSpec`) proves rendering 1 ≡
@@ -106,22 +108,39 @@ object RelFuzz {
     def df = if (and) a.df && b.df else a.df || b.df
   }
 
-  sealed trait Agg { def alias: String; def sql: String; def df: Column }
+  sealed trait Agg {
+    def alias: String; def bareSql: String; def df: Column
+    final def sql: String = s"$bareSql AS $alias"
+    /** True for the count family — the aggs whose value range makes a
+      * small-integer HAVING threshold meaningful. */
+    def countLike: Boolean = false
+  }
   private final case class CountStar(alias: String) extends Agg {
-    def sql = s"CAST(count(*) AS BIGINT) AS $alias"
+    def bareSql = "CAST(count(*) AS BIGINT)"
     def df = count(lit(1)).cast(LongType).as(alias)
+    override def countLike = true
   }
   private final case class CountDist(c: String, alias: String) extends Agg {
-    def sql = s"CAST(count(DISTINCT $c) AS BIGINT) AS $alias"
+    def bareSql = s"CAST(count(DISTINCT $c) AS BIGINT)"
     def df = countDistinct(col(c)).cast(LongType).as(alias)
+    override def countLike = true
   }
   private final case class SumCol(c: String, alias: String) extends Agg {
-    def sql = s"CAST(sum($c) AS BIGINT) AS $alias"
+    def bareSql = s"CAST(sum($c) AS BIGINT)"
     def df = sum(col(c)).cast(LongType).as(alias)
   }
   private final case class MinMax(c: String, mx: Boolean, alias: String) extends Agg {
-    def sql = s"${if (mx) "max" else "min"}($c) AS $alias"
+    def bareSql = s"${if (mx) "max" else "min"}($c)"
     def df = (if (mx) max(col(c)) else min(col(c))).as(alias)
+  }
+
+  /** A computed projection column — the expression surface is where
+    * the ISO-week/HUGEINT class of divergence lives, so the grammar
+    * covers arithmetic, string functions, and CASE, restricted to the
+    * Spark∩DuckDB semantics overlap (ASCII data, non-negative ints). */
+  final case class ExprCol(alias: String, bareSql: String, dfc: Column) {
+    def sql = s"$bareSql AS $alias"
+    def df: Column = dfc.as(alias)
   }
 
   /** One generated query: id, the table chain, predicate, and either
@@ -134,25 +153,39 @@ object RelFuzz {
       groupCols: Seq[String],
       aggs: Seq[Agg],
       projCols: Seq[String],
-      distinct: Boolean) {
+      distinct: Boolean,
+      exprCols: Seq[ExprCol] = Seq.empty, // extra computed projections
+      having: Option[(Agg, Long)] = None, // (member of aggs, threshold): agg > v
+      orderLimit: Option[Int] = None) { // ORDER BY <all out cols> LIMIT k
 
     /** Output column names, in order. */
     def outCols: Seq[String] =
-      if (aggs.nonEmpty) groupCols ++ aggs.map(_.alias) else projCols
+      if (aggs.nonEmpty) groupCols ++ aggs.map(_.alias)
+      else projCols ++ exprCols.map(_.alias)
 
     /** Rendering 2: the common-dialect SQL (same string for Spark SQL
-      * and DuckDB). */
+      * and DuckDB). LIMIT is only multiset-deterministic under a TOTAL
+      * order, so it always rides on ORDER BY over every output column;
+      * NULLS FIRST is explicit because the engines' ASC defaults
+      * differ (Spark NULLS FIRST, DuckDB NULLS LAST). HAVING renders
+      * the full aggregate expression — alias visibility in HAVING
+      * differs across dialects, the expression parses in both. */
     def commonSql: String = {
       val from = tables.head +: tables.tail.zip(joinKinds).zip(edgesUsed).map {
         case ((t, jk), (_, _, lk, rk)) => s"$jk $t ON $lk = $rk"
       }
       val select =
         if (aggs.nonEmpty) (groupCols ++ aggs.map(_.sql)).mkString(", ")
-        else (if (distinct) "DISTINCT " else "") + projCols.mkString(", ")
+        else (if (distinct) "DISTINCT " else "") +
+          (projCols ++ exprCols.map(_.sql)).mkString(", ")
       s"SELECT $select FROM ${from.mkString(" ")}" +
         pred.map(p => s" WHERE ${p.sql}").getOrElse("") +
         (if (groupCols.nonEmpty) s" GROUP BY ${groupCols.mkString(", ")}"
-         else "")
+         else "") +
+        having.map { case (a, v) => s" HAVING ${a.bareSql} > $v" }.getOrElse("") +
+        orderLimit.map(k =>
+          s" ORDER BY ${outCols.map(c => s"$c ASC NULLS FIRST").mkString(", ")} LIMIT $k")
+          .getOrElse("")
     }
 
     private def edgesUsed: Seq[(String, String, String, String)] =
@@ -171,16 +204,27 @@ object RelFuzz {
             if (jk == "LEFT JOIN") "left" else "inner")
         }
       val filtered = pred.map(p => base.filter(p.df)).getOrElse(base)
-      if (aggs.nonEmpty) {
+      val shaped = if (aggs.nonEmpty) {
         val agged =
           if (groupCols.nonEmpty)
             filtered.groupBy(groupCols.map(col).toIndexedSeq: _*)
               .agg(aggs.head.df, aggs.tail.map(_.df).toIndexedSeq: _*)
           else filtered.agg(aggs.head.df, aggs.tail.map(_.df).toIndexedSeq: _*)
-        agged.select(outCols.map(col).toIndexedSeq: _*)
+        val had = having match {
+          case Some((a, v)) => agged.filter(col(a.alias) > v)
+          case None => agged
+        }
+        had.select(outCols.map(col).toIndexedSeq: _*)
       } else {
-        val proj = filtered.select(projCols.map(col).toIndexedSeq: _*)
+        val proj = filtered.select(
+          (projCols.map(col) ++ exprCols.map(_.df)).toIndexedSeq: _*)
         if (distinct) proj.distinct() else proj
+      }
+      orderLimit match {
+        case Some(k) =>
+          shaped.orderBy(outCols.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+            .limit(k)
+        case None => shaped
       }
     }
   }
@@ -239,6 +283,35 @@ object RelFuzz {
       case _ => Some(AndOr(onePred(), onePred(), rnd.nextBoolean()))
     }
 
+    def oneExpr(i: Int): ExprCol = {
+      val alias = s"expr_$i"
+      rnd.nextInt(6) match {
+        case 0 if numCols.size >= 2 =>
+          val a = numCols(rnd.nextInt(numCols.size))
+          val b = numCols(rnd.nextInt(numCols.size))
+          ExprCol(alias, s"($a + $b)", col(a) + col(b))
+        case 1 =>
+          val a = numCols(rnd.nextInt(numCols.size))
+          val k = Seq(3, 5, 7, 13)(rnd.nextInt(4))
+          ExprCol(alias, s"($a % $k)", col(a) % k)
+        case 2 if strCols.nonEmpty =>
+          val s = strCols(rnd.nextInt(strCols.size))
+          ExprCol(alias, s"length($s)", length(col(s)))
+        case 3 if strCols.nonEmpty =>
+          val s = strCols(rnd.nextInt(strCols.size))
+          ExprCol(alias, s"upper($s)", upper(col(s)))
+        case 4 if strCols.nonEmpty =>
+          val s = strCols(rnd.nextInt(strCols.size))
+          val n = 1 + rnd.nextInt(4)
+          ExprCol(alias, s"substring($s, 1, $n)", substring(col(s), 1, n))
+        case _ =>
+          val a = numCols(rnd.nextInt(numCols.size))
+          val k = Seq(2, 3, 5)(rnd.nextInt(3))
+          ExprCol(alias, s"CASE WHEN ($a % $k) = 0 THEN 'lo' ELSE 'hi' END",
+            when(col(a) % k === 0, lit("lo")).otherwise(lit("hi")))
+      }
+    }
+
     if (rnd.nextInt(100) < 60) {
       // aggregate shape
       val nGroup = rnd.nextInt(3)
@@ -255,14 +328,26 @@ object RelFuzz {
             MinMax(c, rnd.nextBoolean(), alias)
         }
       }
+      // HAVING rides on a count-family agg (small-int thresholds are
+      // meaningful there); 35% of grouped aggregates get one
+      val countAggs = aggs.filter(_.countLike)
+      val having =
+        if (groupCols.nonEmpty && countAggs.nonEmpty && rnd.nextInt(100) < 35)
+          Some((countAggs(rnd.nextInt(countAggs.size)), 1L + rnd.nextInt(4)))
+        else None
+      val orderLimit =
+        if (rnd.nextInt(100) < 25) Some(5 + rnd.nextInt(40)) else None
       FuzzQuery(id, chain, joinKinds, pred, groupCols, aggs, Seq.empty,
-        distinct = false)
+        distinct = false, Seq.empty, having, orderLimit)
     } else {
-      // projection shape
+      // projection shape: plain columns + 0–2 computed expressions
       val nProj = 2 + rnd.nextInt(3)
       val projCols = rnd.shuffle(cols.map(_.name)).take(nProj)
+      val exprCols = (0 until rnd.nextInt(3)).map(oneExpr)
+      val orderLimit =
+        if (rnd.nextInt(100) < 25) Some(5 + rnd.nextInt(40)) else None
       FuzzQuery(id, chain, joinKinds, pred, Seq.empty, Seq.empty, projCols,
-        distinct = rnd.nextInt(100) < 60)
+        distinct = rnd.nextInt(100) < 60, exprCols, None, orderLimit)
     }
   }
 
@@ -312,8 +397,8 @@ object RelFuzz {
 object RelFuzzQueries extends QueryModule {
   private val fz1 = Q(
     "q_fz1_relational_fuzz",
-    s"differential fuzz: ${RelFuzz.NQueries} seeded random filter/join/agg compositions, " +
-      "fingerprint-compared Spark vs DuckDB",
+    s"differential fuzz: ${RelFuzz.NQueries} seeded random filter/join/agg/expr/having/limit " +
+      "compositions, fingerprint-compared Spark vs DuckDB",
     (s, d) => RelFuzz.fingerprintAll(s, d, q => q.df(s, d)),
     Some(RelFuzz.duckOracleSql))
 
