@@ -123,5 +123,50 @@ object GraphQueries extends QueryModule {
         SELECT v AS vertex, rank FROM r$iters ORDER BY vertex"""))
   }
 
-  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4)
+  // k-core of the order–part bipartite graph (k = 2, the smallest k
+  // with a real peel cascade here: at sf0.01 the peel runs 8 rounds,
+  // 1711 → 761 vertices). Gate form = KCore.peel at a FIXED 10 rounds
+  // so the oracle replays it as a materialized CTE chain (the cc4
+  // unrolling discipline) — ≥ the cascade length at gate scale, so it
+  // equals the true 2-core; production uses KCore.peelUntil
+  // (spec-pinned equal at its stop round).
+  private val cc5 = {
+    val k = 2
+    val rounds = 10
+    val roundCtes = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT src AS v FROM (
+         |    SELECT s.src, count(*) AS d
+         |    FROM sym s JOIN a${r - 1} x ON x.v = s.src
+         |               JOIN a${r - 1} y ON y.v = s.dst
+         |    GROUP BY s.src)
+         |  WHERE d >= $k)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "q_cc5_kcore",
+      s"$k-core by iterative peeling, $rounds unrolled rounds over the order-part graph",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 500)
+          .select(col("l_orderkey").as("a"),
+            (col("l_partkey") + 1000000L).as("b"))
+          .distinct()
+        KCore.peel(edges, "a", "b", k, rounds)
+          .orderBy(col("vertex"))
+      },
+      Some(s"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000 AS b
+          FROM lineitem WHERE l_orderkey < 500),
+        sym AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+        a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),
+        $roundCtes
+        SELECT s.src AS vertex, CAST(count(*) AS BIGINT) AS core_degree
+        FROM sym s JOIN a$rounds x ON x.v = s.src
+                   JOIN a$rounds y ON y.v = s.dst
+        GROUP BY s.src ORDER BY vertex"""))
+  }
+
+  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4, cc5)
 }
