@@ -371,6 +371,59 @@ object SketchQueries extends QueryModule {
     },
     Some(kmvOracle))
 
+  // Sliding-window distinct via mergeable hourly sketches — the
+  // streaming-analytics shape KMV exists for: sketch each hour once
+  // (two-phase ObjectHashAggregate), then every trailing 6-hour window
+  // is a MERGE of 6 bounded sketches, never a rescan of the raw
+  // events. The range join is rewritten as an equi-aggregation: each
+  // hourly sketch EXPLODES into the ≤6 target windows it contributes
+  // to (bounded fan-out = winHours × K rows per hour), keyed shuffle
+  // on the target hour. Ghost windows (target hours with no events of
+  // their own) are excluded via the bounded hour set.
+  private val sp9 = {
+    val winHours = 6
+    Q(
+      "q_sp9_kmv_sliding",
+      s"sliding $winHours-hour KMV (k=$K) distinct-user estimate per event hour",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+            md5Long56(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+        val hourly = ev.groupBy(col("hr")).agg(kmvSketch(K)(col("h")).as("sk"))
+        val hours = hourly.select(col("hr").as("tgt"))
+        val contrib = hourly
+          .select(col("sk"),
+            explode(sequence(col("hr"), col("hr") + (winHours - 1))).as("tgt"))
+          .join(broadcast(hours), Seq("tgt")) // drop ghost windows
+          .select(col("tgt"), explode(col("sk")).as("h"))
+        contrib.groupBy(col("tgt"))
+          .agg(kmvSketch(K)(col("h")).as("__kmv_sk"))
+          .select(col("tgt").as("hr"), kmvEstimate("__kmv_sk", K).as("nd_est"))
+          .orderBy(col("hr"))
+      },
+      Some(s"""
+        WITH eh AS (
+          SELECT DISTINCT epoch_us(ts) // 3600000000 AS hr, $userHashSql AS h
+          FROM events WHERE user_id IS NOT NULL),
+        hs AS (
+          SELECT hr, h FROM (
+            SELECT hr, h, row_number() OVER (PARTITION BY hr ORDER BY h) AS rn
+            FROM eh)
+          WHERE rn <= $K),
+        hours AS (SELECT DISTINCT hr FROM eh),
+        c AS (
+          SELECT t.hr AS tgt, s.h
+          FROM hs s JOIN hours t ON t.hr BETWEEN s.hr AND s.hr + ${winHours - 1}),
+        d AS (SELECT DISTINCT tgt, h FROM c),
+        r AS (
+          SELECT tgt, h,
+                 row_number() OVER (PARTITION BY tgt ORDER BY h) AS rn,
+                 count(*) OVER (PARTITION BY tgt) AS nd
+          FROM d)
+        SELECT tgt AS hr, ${kmvEstimateSql(K)} AS nd_est
+        FROM r GROUP BY tgt ORDER BY hr"""))
+  }
+
   private val D = 4
   private val W = 1024
 
@@ -669,5 +722,5 @@ object SketchQueries extends QueryModule {
           (SELECT count(*) FROM probe WHERE k IN (SELECT k FROM urgent)) AS n_false_pos"""
     })
 
-  override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5, sp6, sp7, sp8)
+  override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5, sp6, sp7, sp8, sp9)
 }

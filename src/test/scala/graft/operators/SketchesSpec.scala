@@ -177,4 +177,25 @@ class SketchesSpec extends SparkSpec {
     assert(h == java.lang.Long.parseLong(hex, 16))
     assert(h >= 0 && h < HashSpace)
   }
+
+  test("sp9 sliding windows: below sketch saturation the estimate IS the exact distinct") {
+    // at sf0.001 every 6-hour window holds far fewer than K=64 distinct
+    // users, so the KMV estimate degrades to the exact union count —
+    // the sliding pipeline must therefore match a brute-force
+    // window-by-window distinct over the raw events
+    val out = graft.SparkEntry.queries("q_sp9_kmv_sliding")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = graft.Tables.events(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("user_id").isNotNull)
+      .selectExpr("unix_micros(ts) div 3600000000 as hr", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hours = ev.map(_._1).distinct
+    val exact = hours.map { h =>
+      h -> ev.filter(e => e._1 >= h - 5 && e._1 <= h).map(_._2).distinct.length.toLong
+    }.toMap
+    assert(out.keySet == exact.keySet)
+    val saturated = out.count(_._2 >= K)
+    assert(saturated == 0, s"test premise: sf0.001 windows must stay under K, got $saturated at/over")
+    assert(out == exact, "unsaturated sliding KMV must equal exact sliding distinct")
+  }
 }
