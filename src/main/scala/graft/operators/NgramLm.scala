@@ -893,5 +893,78 @@ object NgramLmQueries extends QueryModule {
       ORDER BY t.doc_id"""
     })
 
-  override val all: Seq[Q] = Seq(lm1, lm2, lm3, lm4, lm5, lm6, lm7)
+  // Filter-vs-label audit — the agreement report every cheap selector
+  // ships with: how well does the DSIR importance filter (q_lm7's
+  // exact selection) recover the target-domain label it was tuned
+  // toward? Confusion cells + integer parts-per-million metrics
+  // (floor division, zero-guarded — no float ratios in the gate).
+  // This is deliberately an IN-SAMPLE audit (the filter is a corpus
+  // statistic, not a holdout model): it measures selector/label
+  // agreement, the number a pipeline dashboards before trusting the
+  // cheap filter as a proxy. (A holdout confusion for the qc1-style
+  // arithmetic-mean NB was tried and is structurally degenerate: with
+  // B-bucket Laplace smoothing flooding the totals, the mean-likelihood
+  // comparison collapses to raw count mass — only the log/product form
+  // separates, and logs are not gate-exact.)
+  private val lm8 = Q(
+    "q_lm8_dsir_audit",
+    "DSIR filter-vs-label confusion matrix + ppm precision/recall/accuracy",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pred = scoreDsir(docs, "doc_id", "text",
+          dsirTargetModelOf(s, d), dsirRawModelOf(s, d), DsirThreshold)
+        .select(col("doc_id"), col("selected"))
+      val truth = docs.select(col("doc_id"),
+        (col("lang") === "en").cast(LongType).as("is_en"))
+      pred.join(truth, Seq("doc_id"))
+        .agg(
+          sum(when(col("selected") === 1L && col("is_en") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("selected") === 1L && col("is_en") === 0L, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("selected") === 0L && col("is_en") === 1L, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("selected") === 0L && col("is_en") === 0L, 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("(1000000 * tp) div greatest(tp + fp, 1)").as("precision_ppm"),
+          expr("(1000000 * tp) div greatest(tp + fn, 1)").as("recall_ppm"),
+          expr("(1000000 * (tp + tn)) div greatest(tp + fp + fn + tn, 1)").as("accuracy_ppm"))
+    },
+    Some {
+      val bb = biBucketSql("w1", "w2")
+      s"""
+      WITH $pairsSqlCtes,
+      allb AS MATERIALIZED (SELECT doc_id, $bb AS bb FROM prs),
+      tcnt AS (
+        SELECT bb, count(*) AS ct FROM allb
+        WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+        GROUP BY bb),
+      rcnt AS (SELECT bb, count(*) AS cr FROM allb GROUP BY bb),
+      sums AS (
+        SELECT a.doc_id,
+               CAST(sum(($Scale * (coalesce(t.ct, 0) + 1)) // (coalesce(r.cr, 0) + 1)) AS BIGINT) AS sq,
+               CAST(count(*) AS BIGINT) AS n_bg
+        FROM allb a
+        LEFT JOIN tcnt t ON t.bb = a.bb
+        LEFT JOIN rcnt r ON r.bb = a.bb
+        GROUP BY a.doc_id),
+      pred AS (
+        SELECT t.doc_id,
+               CASE WHEN s.n_bg > 0 AND s.sq // s.n_bg >= $DsirThreshold
+                 THEN 1 ELSE 0 END AS selected
+        FROM toks t LEFT JOIN sums s ON s.doc_id = t.doc_id),
+      lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+              FROM documents),
+      cm AS (
+        SELECT
+          CAST(sum(CASE WHEN p.selected = 1 AND l.is_en = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN p.selected = 1 AND l.is_en = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN p.selected = 0 AND l.is_en = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CAST(sum(CASE WHEN p.selected = 0 AND l.is_en = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM pred p JOIN lab l USING (doc_id))
+      SELECT tp, fp, fn, tn,
+             (1000000 * tp) // greatest(tp + fp, 1) AS precision_ppm,
+             (1000000 * tp) // greatest(tp + fn, 1) AS recall_ppm,
+             (1000000 * (tp + tn)) // greatest(tp + fp + fn + tn, 1) AS accuracy_ppm
+      FROM cm"""
+    })
+
+  override val all: Seq[Q] = Seq(lm1, lm2, lm3, lm4, lm5, lm6, lm7, lm8)
 }
