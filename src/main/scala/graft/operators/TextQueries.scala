@@ -551,6 +551,50 @@ object TextQueries extends QueryModule {
         ORDER BY race_key, doc_id LIMIT $k"""))
   }
 
+  // N-gram novelty — the "contribution" curation signal (the additive
+  // complement of Lee et al.'s duplicated-span view): per document,
+  // the fraction of its distinct word 5-grams whose FIRST occurrence
+  // (min doc_id order) is this document. Low novelty = the document
+  // mostly restates earlier corpus content; selection pipelines rank
+  // by it to prefer additive documents. Scale shape: gram→min-doc is
+  // one two-phase agg; the re-join is keyed by gram and LINEAR (each
+  // gram row meets exactly one first-doc row — no candidate blowup, so
+  // no Zipf-head exclusion needed, unlike dd4's self-join).
+  private val tx13 = {
+    val n = 5
+    Q(
+      "q_tx13_novelty",
+      s"per-doc $n-gram novelty: fraction of distinct grams first seen in this doc (ppm)",
+      (s, d) => {
+        val g = wordShingles(Tables.documents(s, d), "doc_id", "text", n)
+        val first = g.groupBy(col("shingle")).agg(min(col("doc_id")).as("fd"))
+        g.join(first, Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(cnt.as("n_grams"),
+            sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            expr("(1000000 * n_novel) div n_grams").as("novelty_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 ${(0 until n).map(j => s"ws[i + $j]").mkString(" || ' ' || ")} AS gram
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${n - 2})) AS i
+                FROM t WHERE len(ws) >= $n)),
+        first AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram),
+        per AS (
+          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          FROM g JOIN first f USING (gram) GROUP BY g.doc_id)
+        SELECT doc_id, n_grams, n_novel,
+               (1000000 * n_novel) // n_grams AS novelty_ppm
+        FROM per ORDER BY doc_id"""))
+  }
+
   // Temperature-sampled source mixing (Sampling.temperatureMix): the
   // mT5/XLM-R α = 1/2 scheme in integer-exact form — source weight
   // floor(sqrt(n_s)), quota (budget·w) div Σw, per-source md5-rank
@@ -766,6 +810,6 @@ object TextQueries extends QueryModule {
   }
 
   override val all: Seq[Q] =
-    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, s1, s2, s3,
-      s4, s5, s7, llm1, llm2)
+    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, s1,
+      s2, s3, s4, s5, s7, llm1, llm2)
 }
