@@ -93,6 +93,27 @@ object EventStreams {
       .select(col("event_type"),
         graft.operators.Sketches.kmvEstimate("__kmv_sk", k).as("nd_est"))
 
+  /** Sliding-window distinct users via the KMV sketch — the streaming
+    * twin of the q_sp9 batch gate: Spark's native sliding event-time
+    * window (6 h length, 1 h slide) over the same typed Aggregator.
+    * State is bounded at k longs per OPEN window (≤ 6 concurrent per
+    * group under the slide), and the 1-hour watermark lets closed
+    * windows evict — the state never grows with users seen. The batch
+    * twin runs the identical expression (stream ≡ batch once the
+    * source drains, spec-pinned); window labels are [start, start+6h)
+    * interval structs, whereas q_sp9 keys trailing windows by their
+    * last hour — same contents, shifted label. */
+  def slidingDistinctSketch(events: DataFrame, k: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"),
+        graft.operators.Sketches.md5Long56(
+          concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+      .groupBy(window(col("ts"), "6 hours", "1 hour"))
+      .agg(graft.operators.Sketches.kmvSketch(k)(col("h")).as("__kmv_sk"))
+      .select(col("window.start").as("win_start"),
+        graft.operators.Sketches.kmvEstimate("__kmv_sk", k).as("nd_est"))
+
   /** Run any streaming transform over a bounded source and collect the
     * complete result via a memory sink — the Trigger.AvailableNow
     * pattern that replaces the reference's polling loops. */

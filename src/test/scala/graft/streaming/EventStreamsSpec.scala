@@ -64,6 +64,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming sliding KMV windows equal the batch windows (q_sp9's streaming twin)") {
+    val streamed = EventStreams.runAvailableNow(
+      spark, EventStreams.slidingDistinctSketch(eventStream()), "kmv_slide_test",
+      OutputMode.Complete)
+    val batch = EventStreams.slidingDistinctSketch(Tables.events(spark, sf0001))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // and each window's estimate equals the q_sp9-style trailing-hour
+    // computation for the hour the window CLOSES on (same member set,
+    // shifted label): spot-check via the unsaturated-exact property
+    val exact = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"), col("user_id"))
+    val anyWin = batch.orderBy(col("win_start")).limit(1).head()
+    val winStartHr = anyWin.getTimestamp(0).getTime / 3600000L
+    val members = exact.filter(col("hr") >= winStartHr && col("hr") < winStartHr + 6)
+      .select("user_id").distinct().count()
+    assert(anyWin.getLong(1) == members,
+      "unsaturated sliding estimate must equal the exact distinct for the window")
+  }
+
   test("flatMapGroupsWithState sessionization matches batch session count for closed sessions") {
     import spark.implicits._
     val ds = eventStream().as[EventStreams.Event]
