@@ -927,20 +927,9 @@ object AnnQueries extends QueryModule {
       (s, d) => {
         graft.functions.VecExpressions.register(s)
         val e = Tables.embeddings(s, d)
-        val stats = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
-          .groupBy(col("i"))
-          .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
-          .orderBy(col("i")).collect()
-        val mnA = array(stats.toSeq.map(r => lit(r.getDouble(1))): _*)
-        val mxA = array(stats.toSeq.map(r => lit(r.getDouble(2))): _*)
-        val codes = transform(col("embedding"), (x, i) => {
-          val mn = element_at(mnA, i + 1)
-          val mx = element_at(mxA, i + 1)
-          when(mx === mn, lit(0L)).otherwise(
-            least(greatest(floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)),
-              lit(0L)), lit(255L)))
-        })
-        val c = e.select(col("vec_id"), col("embedding"), codes.as("cv"))
+        val (mns, mxs) = IvfIndex.sqGrid(e)
+        val c = e.select(col("vec_id"), col("embedding"),
+          sq8Code(col("embedding"), mns, mxs).as("cv"))
         val q = c.filter(col("vec_id") < nQ)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
             col("cv").as("qcv"))

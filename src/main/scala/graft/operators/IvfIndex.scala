@@ -291,4 +291,68 @@ object IvfIndex {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
+
+  // ------------------------------------------------------------------
+  // Persisted SQ8 layout (q_ann14's production form): the stored index
+  // is ONLY (vec_id, cv) — one byte-range long per component instead
+  // of a float, the 4× compression that is the point of scalar
+  // quantization — plus the 64-row grid. The shortlist scans codes
+  // alone; floats are touched only for the top-R rerank, via a KEYED
+  // join back to the source embeddings (the probePqRerank discipline).
+  // ------------------------------------------------------------------
+
+  /** Per-dimension (min, max) grid of the corpus — the SQ8 trained
+    * artifact. One two-phase agg collapsing to dim rows, collected
+    * (bounded by contract) to re-enter plans as literal arrays. */
+  def sqGrid(embeddings: DataFrame): (Seq[Double], Seq[Double]) = {
+    val stats = embeddings
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy(col("i")).collect()
+    (stats.toSeq.map(_.getDouble(1)), stats.toSeq.map(_.getDouble(2)))
+  }
+
+  /** Build and persist the SQ8 index: codes under `path`/codes, the
+    * grid under `path`/grid. */
+  def writeIndexSq(embeddings: DataFrame, path: String): Unit = {
+    val (mns, mxs) = sqGrid(embeddings)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    mns.indices.map(i => (i, mns(i), mxs(i))).toDF("i", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/grid")
+    embeddings
+      .select(col("vec_id"), sq8Code(col("embedding"), mns, mxs).as("cv"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Probe the SQ8 index: encode queries on the STORED grid (an index
+    * must answer with the grid it was built with, even after the
+    * corpus drifts), code-L2 shortlist over the codes table, exact
+    * cosine rerank for the shortlist only — floats enter through a
+    * keyed join of the shortlisted ids against `embeddings`. */
+  def probeSq(spark: SparkSession, indexPath: String, queries: DataFrame,
+      embeddings: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    graft.functions.VecExpressions.register(spark)
+    val g = spark.read.parquet(s"$indexPath/grid").orderBy(col("i")).collect()
+    val mns = g.toSeq.map(_.getDouble(1))
+    val mxs = g.toSeq.map(_.getDouble(2))
+    val q = queries.select(col("query_id"), col("qv"),
+      sq8Code(col("qv"), mns, mxs).as("qcv"))
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("cd").asc, col("vec_id").asc)
+    val short = broadcast(q).join(codes, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"),
+        longSqDist(col("qcv"), col("cv")).as("cd"))
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= shortlist)
+      .select(col("query_id"), col("qv"), col("vec_id"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    short.join(embeddings, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(wr).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
 }

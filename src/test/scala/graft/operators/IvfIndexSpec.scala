@@ -222,4 +222,25 @@ class IvfIndexSpec extends SparkSpec {
       .orderBy(col("query_id"), col("rnk")).collect().map(_.toSeq).toSeq
     assert(run(incDir) == run(rebuildDir))
   }
+
+  test("SQ8 index: code-only layout, stored-grid probe ≡ q_ann14") {
+    val e = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("sq8").toString + "/index"
+    IvfIndex.writeIndexSq(e, dir)
+
+    // the stored codes carry NO float column — the compression claim
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.toSet == Set("vec_id", "cv"),
+      s"codes table must be (vec_id, cv) only, got ${codes.columns.mkString(",")}")
+    assert(spark.read.parquet(s"$dir/grid").count() == 64L)
+
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val res = IvfIndex.probeSq(spark, dir, queries, e, shortlist = 12, k = 3)
+      .orderBy(col("query_id"), col("rnk"))
+    val expected = SparkEntry.queries("q_ann14_sq8")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(res.collect().map(_.toSeq).toSeq == expected,
+      "persisted SQ8 probe must equal the in-memory gate")
+  }
 }
