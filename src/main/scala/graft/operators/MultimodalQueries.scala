@@ -140,5 +140,81 @@ object MultimodalQueries extends QueryModule {
              END AS BIGINT) AS duration_ms
       FROM documents ORDER BY media_id"""))
 
-  override val all: Seq[Q] = Seq(mm1, mm2, mm3)
+  // ViT patch planning — the preprocessing arithmetic a vision-language
+  // pipeline runs between decode and the model: pad each surface up to
+  // the 16-px patch grid, count patches, sample video frames on a 2 s
+  // stride, and derive the visual token budget (n_frames · patches
+  // + 1 CLS). The decode is the REAL header roundtrip (mm2/mm3's
+  // synthesized PNG / MP4 bytes through ImageCodec/AvCodec in
+  // mapPartitions); the PLAN is pure Catalyst column math on the
+  // decoded metadata — the part that must be relational, because at
+  // 100 TB the planner's output (token budgets per shard) feeds
+  // packing and batching long before any pixel decode runs.
+  private val mm4 = {
+    val patch = 16
+    val strideMs = 2000L
+    Q(
+      "q_mm4_vision_plan",
+      s"ViT patch plan: $patch-px grid, ${strideMs}ms frame stride, visual token budget",
+      (s, d) => {
+        import s.implicits._
+        val decoded = Tables.documents(s, d)
+          .select(col("doc_id").cast(LongType)).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              if (id % 2 == 0) {
+                val w = (id % 64 + 1).toInt
+                val h = (id % 48 + 1).toInt
+                val info = graft.multimodal.ImageCodec.decode(
+                  graft.multimodal.ImageCodec.encodePng(w, h,
+                    (x, y) => ((x + y + id) % 256).toInt))
+                  .getOrElse(sys.error(s"undecodable synthesized png for id $id"))
+                (id, "image", info.width, info.height, 0L)
+              } else {
+                val av = graft.multimodal.AvCodec
+                val v = av.decodeVideo(av.encodeMp4Header(
+                    ((id % 32 + 1) * 16).toInt, ((id % 18 + 1) * 16).toInt,
+                    1000, id % 10000 + 1000))
+                  .getOrElse(sys.error(s"undecodable synthesized mp4 for id $id"))
+                (id, "video", v.width, v.height, v.durationMs)
+              }
+            }
+          }.toDF("media_id", "kind", "width", "height", "duration_ms")
+        decoded
+          .withColumn("grid_x", expr(s"(width + ${patch - 1}) div $patch").cast(LongType))
+          .withColumn("grid_y", expr(s"(height + ${patch - 1}) div $patch").cast(LongType))
+          .withColumn("n_frames",
+            when(col("kind") === "image", lit(1L))
+              .otherwise(expr(s"duration_ms div $strideMs") + 1L))
+          .select(col("media_id"), col("kind"), col("grid_x"), col("grid_y"),
+            col("n_frames"),
+            (col("n_frames") * col("grid_x") * col("grid_y") + 1L).as("n_tokens"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+                 CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1
+                      ELSE (doc_id % 32 + 1) * 16 END AS width,
+                 CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1
+                      ELSE (doc_id % 18 + 1) * 16 END AS height,
+                 CASE WHEN doc_id % 2 = 0 THEN 0
+                      ELSE doc_id % 10000 + 1000 END AS duration_ms
+          FROM documents),
+        p AS (
+          SELECT media_id, kind,
+                 (width + ${patch - 1}) // $patch AS grid_x,
+                 (height + ${patch - 1}) // $patch AS grid_y,
+                 CASE WHEN kind = 'image' THEN 1
+                      ELSE duration_ms // $strideMs + 1 END AS n_frames
+          FROM m)
+        SELECT media_id, kind, CAST(grid_x AS BIGINT) AS grid_x,
+               CAST(grid_y AS BIGINT) AS grid_y,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(n_frames * grid_x * grid_y + 1 AS BIGINT) AS n_tokens
+        FROM p ORDER BY media_id"""))
+  }
+
+  override val all: Seq[Q] = Seq(mm1, mm2, mm3, mm4)
 }
