@@ -1,0 +1,86 @@
+package graft.jobs
+
+import graft.operators.{NgramLm, Sampling}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed pretraining-mix pipeline — the chain a corpus walks from
+  * raw crawl to a mixed, budgeted pretraining set, built ONLY from the
+  * library's gate-verified stages:
+  *
+  *   1. Gopher rule gate (q_tx12's keep verdict) — drop boilerplate
+  *      and degenerate documents;
+  *   2. bag-of-words dedup (q_dd13) — collapse shuffled/restated
+  *      copies to the min-id keeper;
+  *   3. DSIR importance selection (q_lm7) — keep target-domain-like
+  *      documents by the hashed-bigram likelihood ratio;
+  *   4. temperature-sampled source quotas (q_s7, α = 1/2) — flatten
+  *      the source head and admit per-source md5-ranked survivors
+  *      under a document budget.
+  *
+  * Every stage is map-side or keyed-shuffle bounded exactly as its
+  * standalone gate (no new join shapes appear by composing); the DSIR
+  * models are the persisted full-corpus artifacts — a filter trained
+  * once, applied to any slice.
+  */
+object PretrainMix {
+
+  // q_tx12's rule constants (kept textually in sync — the composed
+  // gate's oracle replays the same arithmetic, so drift fails loudly)
+  private val Stop = Seq("the", "a", "and", "of", "to", "in")
+  private val MinW = 50L
+  private val MaxW = 100000L
+
+  /** The Gopher keep verdict of q_tx12 as a single boolean column. */
+  private def gopherKeep: org.apache.spark.sql.Column = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val nW = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nSym = size(filter(toks, t => t.rlike("^#") || t.contains("..."))).cast("long")
+    val nStop = size(filter(toks, t => t.isin(Stop.map(lit): _*))).cast("long")
+    val mean = when(nW === 0, lit(0.0)).otherwise(sumLen.cast("double") / nW.cast("double"))
+    val fracAlpha = when(nW === 0, lit(0.0)).otherwise(nAlpha.cast("double") / nW.cast("double"))
+    val symFrac = when(nW === 0, lit(0.0)).otherwise(nSym.cast("double") / nW.cast("double"))
+    nW.between(MinW, MaxW) && mean.between(3.0, 10.0) &&
+      fracAlpha >= 0.8 && symFrac <= 0.1 && nStop >= 2L
+  }
+
+  /** q_dd13's bag fingerprint. */
+  private def bagFp: org.apache.spark.sql.Column = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    md5(concat_ws(" ", array_sort(array_distinct(
+      filter(split(canon, " "), t => t =!= "")))))
+  }
+
+  /** Run the chain. `docs` must carry (doc_id, text, source). Returns
+    * the admitted set: (doc_id, source, src_rank, quota, n_tokens). */
+  def run(docs: DataFrame, budget: Long,
+      dsirTarget: DataFrame, dsirRaw: DataFrame, dsirThreshold: Long): DataFrame = {
+    // 1. rule gate (map-side filter on the scan)
+    val kept = docs.filter(gopherKeep)
+    // 2. bag dedup: min-id keeper per fingerprint (two-phase agg +
+    // keyed semi-join back — the dd1/dd13 shape)
+    val keepers = kept.select(col("doc_id"), bagFp.as("__fp"))
+      .groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val surv = kept.join(keepers, Seq("doc_id"))
+    // 3. DSIR selection with the full-corpus artifact models
+    val selected = NgramLm.scoreDsir(surv, "doc_id", "text",
+        dsirTarget, dsirRaw, dsirThreshold)
+      .filter(col("selected") === 1L)
+      .select(col("doc_id"))
+    val pool = surv.join(selected, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"))
+    // 4. temperature quotas over the surviving pool
+    Sampling.temperatureMix(pool.select(col("doc_id"), col("source")),
+        "source", "doc_id", budget)
+      .filter(col("selected") === 1L)
+      .join(pool.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("src_rank"), col("quota"),
+        col("n_tokens"))
+  }
+}

@@ -551,6 +551,95 @@ object TextQueries extends QueryModule {
         ORDER BY race_key, doc_id LIMIT $k"""))
   }
 
+  // Composed pretraining-mix chain (jobs/PretrainMix): Gopher keep →
+  // bag dedup → DSIR select → temperature quotas. The oracle is
+  // assembled from the tx12 / dd13 / lm7 / s7 fragments — composing
+  // the stages introduces NO new join shape, and the gate proves the
+  // composition end to end (the llm1/llm2 discipline).
+  private val llm3 = {
+    val budget = 60L
+    val stop = Seq("the", "a", "and", "of", "to", "in").map(s => s"'$s'").mkString(", ")
+    Q(
+      "q_llm3_mix_pipeline",
+      s"composed mix pipeline: gopher keep -> bag dedup -> DSIR select -> temperature quotas ($budget docs)",
+      (s, d) => graft.jobs.PretrainMix.run(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+          budget,
+          NgramLmQueries.dsirTargetModelOf(s, d), NgramLmQueries.dsirRawModelOf(s, d),
+          NgramLmQueries.DsirThreshold)
+        .orderBy(col("doc_id")),
+      Some {
+        val bb = NgramLm.biBucketSql("w1", "w2")
+        s"""
+        WITH tt AS (
+          SELECT doc_id, source, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS tks
+          FROM documents),
+        gop AS (
+          SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+              CAST(len(tks) AS BIGINT) AS n_words,
+              CASE WHEN len(tks) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(tks, x -> length(x))) AS DOUBLE)
+                        / CAST(len(tks) AS DOUBLE) END AS mean_word_len,
+              CASE WHEN len(tks) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(tks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                        / CAST(len(tks) AS DOUBLE) END AS frac_alpha,
+              CASE WHEN len(tks) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(tks, x -> regexp_matches(x, '^#') OR contains(x, '...'))) AS DOUBLE)
+                        / CAST(len(tks) AS DOUBLE) END AS symbol_frac,
+              CAST(len(list_filter(tks, x -> x IN ($stop))) AS BIGINT) AS n_stop
+            FROM tt)
+          WHERE (n_words BETWEEN 50 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND frac_alpha >= 0.8 AND symbol_frac <= 0.1 AND n_stop >= 2),
+        bagk AS (
+          SELECT min(doc_id) AS doc_id FROM (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(list_filter(
+                     string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                     x -> x <> ''))), ' ')) AS fp
+            FROM gop)
+          GROUP BY fp),
+        ${NgramLmQueries.pairsSqlCtes},
+        allb AS MATERIALIZED (SELECT doc_id, $bb AS bb FROM prs),
+        tcnt AS (
+          SELECT bb, count(*) AS ct FROM allb
+          WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+          GROUP BY bb),
+        rcnt AS (SELECT bb, count(*) AS cr FROM allb GROUP BY bb),
+        dsums AS (
+          SELECT a.doc_id,
+                 CAST(sum((${NgramLm.Scale} * (coalesce(t.ct, 0) + 1)) // (coalesce(r.cr, 0) + 1)) AS BIGINT) AS sq,
+                 CAST(count(*) AS BIGINT) AS n_bg
+          FROM allb a
+          LEFT JOIN tcnt t ON t.bb = a.bb
+          LEFT JOIN rcnt r ON r.bb = a.bb
+          GROUP BY a.doc_id),
+        dsel AS (
+          SELECT t.doc_id FROM toks t LEFT JOIN dsums s ON s.doc_id = t.doc_id
+          WHERE s.n_bg > 0 AND s.sq // s.n_bg >= ${NgramLmQueries.DsirThreshold}),
+        pool AS (
+          SELECT g.doc_id, g.source, g.text FROM gop g
+          JOIN bagk b ON b.doc_id = g.doc_id
+          JOIN dsel ON dsel.doc_id = g.doc_id),
+        sc AS (SELECT source, count(*) AS n FROM pool GROUP BY source),
+        wc AS (SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM sc),
+        twc AS (SELECT CAST(sum(w) AS BIGINT) AS twv FROM wc),
+        qac AS (SELECT source, ($budget * w) // twv AS quota FROM wc, twc),
+        rc AS (
+          SELECT doc_id, source, text,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) - 1 AS src_rank
+          FROM pool)
+        SELECT rc.doc_id, rc.source, CAST(rc.src_rank AS BIGINT) AS src_rank, q.quota,
+               CAST(len(list_filter(string_split(rc.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM rc JOIN qac q ON q.source = rc.source
+        WHERE rc.src_rank < q.quota
+        ORDER BY rc.doc_id"""
+      })
+  }
+
   // N-gram novelty — the "contribution" curation signal (the additive
   // complement of Lee et al.'s duplicated-span view): per document,
   // the fraction of its distinct word 5-grams whose FIRST occurrence
@@ -811,5 +900,5 @@ object TextQueries extends QueryModule {
 
   override val all: Seq[Q] =
     Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, s1,
-      s2, s3, s4, s5, s7, llm1, llm2)
+      s2, s3, s4, s5, s7, llm1, llm2, llm3)
 }
