@@ -56,6 +56,73 @@ object ZOrder {
     keyed.repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions(col("__z"))
   }
+
+  // ------------------------------------------------------------------
+  // Hilbert curve — the stronger locality key (Hilbert 1891; the
+  // xy2d walk of Warren's Hacker's Delight / Wikipedia's canonical
+  // form; what lakehouse "liquid"-style clustering uses instead of
+  // Z-order): consecutive keys are ALWAYS 4-adjacent cells, so a
+  // contiguous key range never jumps across the plane the way a
+  // Morton range does at quadrant seams — tighter bounding boxes per
+  // file at the same sort cost. Pure integer bit arithmetic, unrolled
+  // bits-per-axis levels; each level is its own projection so the
+  // expression tree stays LINEAR in bits (a single nested Column would
+  // double per level — 2^bits nodes).
+  // ------------------------------------------------------------------
+
+  /** Adds `out` = the Hilbert d-index of (x, y), both in [0, 2^bits). */
+  def hilbertKey(df: DataFrame, x: Column, y: Column, bits: Int,
+      out: String): DataFrame = {
+    require(2 * bits <= 62, "key must stay inside BIGINT")
+    var cur = df.withColumn("__hx", x.cast(LongType))
+      .withColumn("__hy", y.cast(LongType))
+      .withColumn(out, lit(0L))
+    for (i <- bits - 1 to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("__rx", shiftrightunsigned(col("__hx"), i).bitwiseAND(lit(1L)))
+        .withColumn("__ry", shiftrightunsigned(col("__hy"), i).bitwiseAND(lit(1L)))
+        .withColumn(out, col(out) + lit(s * s) *
+          (when(col("__rx") === 0L && col("__ry") === 0L, 0L)
+            .when(col("__rx") === 0L, 1L)
+            .when(col("__ry") === 1L, 2L)
+            .otherwise(3L)))
+        // rotate: flip both when rx = 1 ∧ ry = 0, then swap axes
+        .withColumn("__nx", when(col("__ry") === 0L,
+          when(col("__rx") === 1L, lit(s - 1) - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")))
+        .withColumn("__ny", when(col("__ry") === 0L,
+          when(col("__rx") === 1L, lit(s - 1) - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
+        .drop("__rx", "__ry", "__nx", "__ny")
+    }
+    cur.drop("__hx", "__hy")
+  }
+
+  /** DuckDB twin of [[hilbertKey]]: a chain of `bits` CTEs (hb1..hbN,
+    * reading hb0 = caller-provided base with columns hx, hy, hd=0 plus
+    * `passCols`); splice into WITH and select `hd` from [[hilbertFinalCte]]. */
+  def hilbertSqlCtes(bits: Int, passCols: Seq[String]): String = {
+    val pass = passCols.mkString(", ")
+    (bits - 1 to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val s = 1L << i
+      s"""hb${k + 1} AS (
+         |  SELECT $pass,
+         |    CASE WHEN ((hy >> $i) & 1) = 0
+         |         THEN CASE WHEN ((hx >> $i) & 1) = 1 THEN ${s - 1} - hy ELSE hy END
+         |         ELSE hx END AS hx,
+         |    CASE WHEN ((hy >> $i) & 1) = 0
+         |         THEN CASE WHEN ((hx >> $i) & 1) = 1 THEN ${s - 1} - hx ELSE hx END
+         |         ELSE hy END AS hy,
+         |    hd + ${s * s} * (CASE WHEN ((hx >> $i) & 1) = 0 AND ((hy >> $i) & 1) = 0 THEN 0
+         |                         WHEN ((hx >> $i) & 1) = 0 THEN 1
+         |                         WHEN ((hy >> $i) & 1) = 1 THEN 2 ELSE 3 END) AS hd
+         |  FROM hb$k)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  def hilbertFinalCte(bits: Int): String = s"hb$bits"
 }
 
 /** Z-order gate: the interleaved key itself is the contract. */
@@ -82,5 +149,31 @@ object ZOrderQueries extends QueryModule {
       ORDER BY zkey, l_orderkey, l_linenumber
       LIMIT 500"""))
 
-  override val all: Seq[Q] = Seq(z1)
+  private val z2 = Q(
+    "q_z2_hilbert_key",
+    s"Hilbert clustering key of (l_partkey, l_suppkey) mod 2^$Bits",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      hilbertKey(li.select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(1 << Bits)).as("__x"),
+          pmod(col("l_suppkey"), lit(1 << Bits)).as("__y")),
+          col("__x"), col("__y"), Bits, "hkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("hkey"))
+        .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
+        .limit(500)
+    },
+    Some(s"""
+      WITH hb0 AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey % ${1 << Bits} AS BIGINT) AS hx,
+               CAST(l_suppkey % ${1 << Bits} AS BIGINT) AS hy,
+               CAST(0 AS BIGINT) AS hd
+        FROM lineitem),
+      ${hilbertSqlCtes(Bits, Seq("l_orderkey", "l_linenumber"))}
+      SELECT l_orderkey, l_linenumber, hd AS hkey
+      FROM ${hilbertFinalCte(Bits)}
+      ORDER BY hkey, l_orderkey, l_linenumber
+      LIMIT 500"""))
+
+  override val all: Seq[Q] = Seq(z1, z2)
 }

@@ -74,4 +74,35 @@ class ZOrderSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("hilbertKey is a bijection on the full 8x8 grid") {
+    import spark.implicits._
+    val grid = (for (x <- 0 until 8; y <- 0 until 8) yield (x, y)).toDF("x", "y")
+    val keyed = ZOrder.hilbertKey(grid, col("x"), col("y"), 3, "hd")
+      .select("x", "y", "hd").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(keyed.values.toSet == (0L until 64L).toSet, "keys must cover 0..63 exactly once")
+  }
+
+  test("hilbert locality: consecutive keys are 4-adjacent cells (Z-order is not)") {
+    import spark.implicits._
+    val grid = (for (x <- 0 until 8; y <- 0 until 8) yield (x, y)).toDF("x", "y")
+    val byKey = ZOrder.hilbertKey(grid, col("x"), col("y"), 3, "hd")
+      .orderBy(col("hd")).select("x", "y").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val jumps = byKey.sliding(2).count { case Array((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(jumps == 0, s"every consecutive Hilbert pair must be adjacent; $jumps jumps")
+    // the same walk under the Morton key DOES jump at quadrant seams —
+    // the property Hilbert buys over Z-order
+    val byZ = grid.withColumn("z",
+        ZOrder.zOrderKey(Seq(col("x"), col("y")), 3))
+      .orderBy(col("z")).select("x", "y").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val zJumps = byZ.sliding(2).count { case Array((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(zJumps > 0, "premise: the Morton walk must jump somewhere")
+  }
 }
