@@ -40,8 +40,29 @@ object TwoLevel {
     * column; `lit(1L)` turns the cumsum into a 0-based global rank)
     * over the (band, ord...) order described above. */
   def exclusiveCumsum(df: DataFrame, value: Column, band: Column,
-      ord: Seq[Column], out: String, bandDesc: Boolean = false): DataFrame =
-    exclusiveCumsumBy(df, value, lit(0L), band, ord, out, bandDesc)
+      ord: Seq[Column], out: String, bandDesc: Boolean = false): DataFrame = {
+    // NOT a delegation to exclusiveCumsumBy with a constant group: a
+    // constant __tl_grp column survives into the seam window's
+    // partitionSpec and the plan audits (ShardingSpec /
+    // SequencePackingSpec) pin the seam as the ONE unpartitioned
+    // window over the band aggregate — keep that exact audited shape.
+    val g = df.withColumn("__tl_band", band)
+    // step 1: within-band INCLUSIVE running total (parallel across bands)
+    val wIn = Window.partitionBy(col("__tl_band")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = g.withColumn("__tl_in", sum(value).over(wIn))
+    // step 2: per-band totals → exclusive band offsets (tiny frame)
+    val wOff = Window
+      .orderBy(if (bandDesc) col("__tl_band").desc else col("__tl_band").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = g.groupBy(col("__tl_band")).agg(sum(value).as("__tl_tot"))
+      .withColumn("__tl_off", coalesce(sum(col("__tl_tot")).over(wOff), lit(0L)))
+      .select(col("__tl_band"), col("__tl_off"))
+    // step 3: global exclusive = band offset + (inclusive − own)
+    local.join(broadcast(offsets), Seq("__tl_band"))
+      .withColumn(out, col("__tl_off") + col("__tl_in") - value)
+      .drop("__tl_band", "__tl_in", "__tl_off")
+  }
 
   /** Per-GROUP variant: `out` = the exclusive running total of `value`
     * within each `group`, in (band, ord...) order — i.e. the
