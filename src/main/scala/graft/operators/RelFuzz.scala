@@ -265,11 +265,16 @@ object RelFuzz {
         val k = Seq(2, 3, 5, 7, 11)(rnd.nextInt(5))
         ModEq(numCols(rnd.nextInt(numCols.size)), k, rnd.nextInt(k), rnd.nextBoolean())
       case 1 if numCols.size >= 2 =>
+        // distinct columns — a self-comparison is trivially constant
+        // and tells the differential nothing
         val a = numCols(rnd.nextInt(numCols.size))
-        val b = numCols(rnd.nextInt(numCols.size))
+        val rest = numCols.filterNot(_ == a)
+        val b = rest(rnd.nextInt(rest.size))
         NumCmp(a, Seq("<", "<=", ">", ">=", "=", "<>")(rnd.nextInt(6)), b)
       case 2 if strCols.size >= 2 =>
-        StrNe(strCols(rnd.nextInt(strCols.size)), strCols(rnd.nextInt(strCols.size)))
+        val a = strCols(rnd.nextInt(strCols.size))
+        val rest = strCols.filterNot(_ == a)
+        StrNe(a, rest(rnd.nextInt(rest.size)))
       case _ if strCols.nonEmpty =>
         LenCmp(strCols(rnd.nextInt(strCols.size)),
           if (rnd.nextBoolean()) ">" else "<=", 3 + rnd.nextInt(13))
