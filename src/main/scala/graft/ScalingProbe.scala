@@ -34,12 +34,16 @@ import org.apache.spark.sql.functions._
   */
 object ScalingProbe {
 
-  /** The ten most expensive gates of the round-6 guarded self-bench. */
+  /** The ten most expensive gates of the round-6 guarded self-bench,
+    * plus the round-7 document-table additions (their inputs scale in
+    * the synthesized corpus; gates over unscaled tables would measure
+    * nothing). SPARK_GRAFT_PROBE_ONLY=q_a,q_b narrows a run. */
   val Gates: Seq[String] = Seq(
     "q_dd8_semantic_dedup", "q_llm1_corpus_curation", "q_dd2_minhash_lsh",
     "q_dd4_ngram_jaccard", "q_dd6_multitable_lsh", "q_llm2_training_export",
     "q_dd10_dup_clusters", "q_dd7_incremental_lsh", "q_dd9_substring_spans",
-    "q_dd12_span_removal")
+    "q_dd12_span_removal",
+    "q_tx13_novelty", "q_llm3_mix_pipeline", "q_lm7_dsir", "q_dd13_bag_dedup")
 
   val Shards = 10
   private val IdOffset = 10000000L
@@ -63,7 +67,8 @@ object ScalingProbe {
       math.min(exec(name, dir), exec(name, dir))
     }
 
-    val rows = Gates.map { g =>
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+    val rows = Gates.filter(g => only.forall(_.contains(g))).map { g =>
       val tSf = timed(g, sfDir)
       val tBig = timed(g, bigDir)
       row(g, tSf, tBig)
@@ -84,14 +89,14 @@ object ScalingProbe {
       spark.catalog.clearCache()
       t
     }
-    dd8(bigDir, 80) // warmup + codebook artifact fill
-    val kRow = {
+    val kRow = if (only.forall(_.contains("q_dd8_semantic_dedup"))) {
+      dd8(bigDir, 80) // warmup + codebook artifact fill
       val tSf = { dd8(sfDir, 8); math.min(dd8(sfDir, 8), dd8(sfDir, 8)) }
       val tBig = math.min(dd8(bigDir, 80), dd8(bigDir, 80))
-      row("q_dd8 with k∝N (8→80)", tSf, tBig)
-    }
+      Seq(row("q_dd8 with k∝N (8→80)", tSf, tBig))
+    } else Seq.empty
 
-    writeMd(outMd, sfDir, bigDir, rows :+ kRow)
+    writeMd(outMd, sfDir, bigDir, rows ++ kRow)
     spark.stop()
   }
 

@@ -71,8 +71,17 @@ object PretrainMix {
         dsirTarget, dsirRaw, dsirThreshold)
       .filter(col("selected") === 1L)
       .select(col("doc_id"))
+    // the pool feeds three consumers (source quotas, per-source ranks,
+    // the token-count join) — without materialization each one re-runs
+    // the whole gopher+dedup+DSIR chain (measured 3× wall at sf0.1).
+    // DISK_ONLY, not localCheckpoint: the pool is O(survivors) — at
+    // scale lineage must survive executor loss, and the blocks must
+    // die with clearCache()/unpersist (the lm3 discipline). Gate
+    // callers rely on the bench's per-query clearCache; job callers
+    // own an explicit unpersist once the admitted set is written.
     val pool = surv.join(selected, Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // 4. temperature quotas over the surviving pool
     Sampling.temperatureMix(pool.select(col("doc_id"), col("source")),
         "source", "doc_id", budget)
