@@ -144,6 +144,66 @@ object DedupQueries extends QueryModule {
         JOIN sizes sb ON sb.doc_id = i.db
         WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.7)"""
 
+  // Sketch-accuracy audit — the "is k=8 hashes enough?" question every
+  // LSH deployment answers before trusting the estimate: per candidate
+  // pair, the SIGNATURE-estimated Jaccard (matching minhash fraction —
+  // the unbiased MinHash estimator) against the exact shingle Jaccard,
+  // in integer ppm with the absolute error alongside. Same plan bones
+  // as dd2 (banded candidates, exact verify on candidates only) plus
+  // one broadcast-free signature self-join keyed by doc id.
+  private val dd14 = Q(
+    "q_dd14_minhash_audit",
+    "MinHash estimator audit: signature-estimated vs exact Jaccard per candidate pair (ppm)",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      val sh = wordShingles(doc, "doc_id", "text", 2).cache()
+      val sig = minhashSignature(sh, "doc_id", 8).cache()
+      val bands = lshBands(sig, "doc_id", 8, 2)
+      val a = bands.select(col("doc_id").as("da"), col("band"), col("band_key"))
+      val b = bands.select(col("doc_id").as("db"), col("band"), col("band_key"))
+      val cand = a.join(b, Seq("band", "band_key"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      val sa = sh.select(col("doc_id").as("da"), col("shingle"))
+      val sb = sh.select(col("doc_id").as("db"), col("shingle"))
+      val inter = cand
+        .join(sa, "da")
+        .join(sb, Seq("db", "shingle"))
+        .groupBy(col("da"), col("db")).agg(cnt.as("ninter"))
+      val sigA = sig.select(col("doc_id").as("da") +:
+        ((0 until 8).map(i => col(s"h$i").as(s"ha$i")) :+ col("n").as("na")): _*)
+      val sigB = sig.select(col("doc_id").as("db") +:
+        ((0 until 8).map(i => col(s"h$i").as(s"hb$i")) :+ col("n").as("nb")): _*)
+      val matches = (0 until 8)
+        .map(i => when(col(s"ha$i") === col(s"hb$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      inter.join(sigA, "da").join(sigB, "db")
+        .withColumn("__m", matches)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          expr("(1000000 * __m) div 8").as("est_jacc_ppm"),
+          expr("(1000000 * ninter) div (na + nb - ninter)").as("exact_jacc_ppm"))
+        .withColumn("abs_err_ppm", abs(col("est_jacc_ppm") - col("exact_jacc_ppm")))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH $minhashPairCtes,
+      m AS (
+        SELECT c.da, c.db,
+               (${(0 until 8).map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")}) AS matches
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.da
+        JOIN sig b ON b.doc_id = c.db)
+      SELECT i.da AS doc_a, i.db AS doc_b,
+             (1000000 * m.matches) // 8 AS est_jacc_ppm,
+             (1000000 * i.ninter) // (sa.n + sb.n - i.ninter) AS exact_jacc_ppm,
+             abs((1000000 * m.matches) // 8
+               - (1000000 * i.ninter) // (sa.n + sb.n - i.ninter)) AS abs_err_ppm
+      FROM inter i
+      JOIN m ON m.da = i.da AND m.db = i.db
+      JOIN sizes sa ON sa.doc_id = i.da
+      JOIN sizes sb ON sb.doc_id = i.db
+      ORDER BY doc_a, doc_b"""))
+
   // MinHash + LSH: word-bigram shingles, k=8 salted-md5 minima,
   // 4 bands × 2 rows, Jaccard-verified at ≥ 0.7. (Char n-grams are
   // degenerate on a small-vocab corpus — nearly all pairs collide;
@@ -697,5 +757,5 @@ object DedupQueries extends QueryModule {
 
   override val all: Seq[Q] =
     Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dc3, dd7, dd8, dd9, dd10, dd11,
-      dd12, dd13)
+      dd12, dd13, dd14)
 }
