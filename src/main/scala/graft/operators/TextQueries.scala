@@ -551,6 +551,43 @@ object TextQueries extends QueryModule {
         ORDER BY race_key, doc_id LIMIT $k"""))
   }
 
+  // Per-source vocabulary health — the corpus-diagnostics pair to
+  // bpe5's tokenizer fertility: type-token ratio (lexical diversity;
+  // boilerplate sources score low) and hapax fraction (singleton
+  // share of the vocabulary; OCR-noise sources score high). Scale
+  // shape: one (source, word) two-phase count — vocabulary-sized
+  // after the partial agg — then a per-source rollup of counts;
+  // integer ppm, no floats.
+  private val tx14 = Q(
+    "q_tx14_vocab_stats",
+    "per-source vocabulary stats: tokens, types, hapax, TTR and hapax share (ppm)",
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(cnt.as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        cnt.as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("(1000000 * n_types) div n_tokens").as("ttr_ppm"),
+        expr("(1000000 * n_hapax) div n_types").as("hapax_ppm"))
+      .orderBy(col("source")),
+    Some("""
+      WITH wc AS (
+        SELECT source, w, count(*) AS c FROM (
+          SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+          FROM documents)
+        GROUP BY source, w),
+      agg AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM wc GROUP BY source)
+      SELECT source, n_tokens, n_types, n_hapax,
+             (1000000 * n_types) // n_tokens AS ttr_ppm,
+             (1000000 * n_hapax) // n_types AS hapax_ppm
+      FROM agg ORDER BY source"""))
+
   // Composed pretraining-mix chain (jobs/PretrainMix): Gopher keep →
   // bag dedup → DSIR select → temperature quotas. The oracle is
   // assembled from the tx12 / dd13 / lm7 / s7 fragments — composing
@@ -899,6 +936,7 @@ object TextQueries extends QueryModule {
   }
 
   override val all: Seq[Q] =
-    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13, s1,
+    Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13,
+      tx14, s1,
       s2, s3, s4, s5, s7, llm1, llm2, llm3)
 }
