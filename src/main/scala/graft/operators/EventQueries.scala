@@ -173,5 +173,34 @@ object EventQueries extends QueryModule {
       FROM cells c JOIN cs s ON s.cohort_week = c.cohort_week
       ORDER BY c.cohort_week, c.week_offset"""))
 
-  override val all: Seq[Q] = Seq(ev1, ev2, ev3, ev4, rj1)
+  // Semi-structured property extraction — the JSON side-channel every
+  // event table carries: pull a typed value out of the props document
+  // per row (codegen'd path extraction, no UDF) and roll it up by
+  // type. Extraction is map-side on the scan; the rollup is one
+  // two-phase agg. Nulls (missing key / malformed document) drop out
+  // of the aggregates on both engines identically.
+  private val ev5 = Q(
+    "q_ev5_props_json",
+    "JSON property extraction + rollup: props.k as BIGINT per event_type",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      e.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(cnt.as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).cast(LongType).as("nd_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS nd_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  override val all: Seq[Q] = Seq(ev1, ev2, ev3, ev4, ev5, rj1)
 }
