@@ -159,6 +159,35 @@ object Sampling {
         col("selected"))
   }
 
+  /** Curriculum schedule (Bengio et al. 2009): rank the corpus
+    * easy→hard by a difficulty proxy, deal it into `stages` equal
+    * rank-quartile stages, and SHUFFLE within each stage (training
+    * wants stage-wise difficulty pacing but no intra-stage order
+    * bias — the standard curriculum + shuffle recipe). Integer-exact:
+    * stage = (stages·rk) div N over the 0-based global difficulty
+    * rank; within-stage positions are md5-rank deals.
+    *
+    * Scale shape: the global rank is [[TwoLevel.exclusiveCumsum]]
+    * banded on the difficulty prefix (monotone along the rank order);
+    * the within-stage rank is [[TwoLevel.exclusiveCumsumBy]] — both
+    * banded, no corpus-wide single-task window. N re-enters as a
+    * broadcast single-row aggregate. Returns
+    * (idCol, difficulty, rk, stage, stage_pos). */
+  def curriculumSchedule(df: DataFrame, idCol: String, difficulty: Column,
+      stages: Int): DataFrame = {
+    val t = df.select(col(idCol), difficulty.cast("long").as("difficulty"))
+    val ranked = TwoLevel.exclusiveCumsum(t, lit(1L),
+      expr("difficulty div 8"), Seq(col("difficulty"), col(idCol)), "rk")
+    val staged = ranked
+      .crossJoin(broadcast(t.agg(count(lit(1)).as("__n"))))
+      .withColumn("stage", expr(s"($stages * rk) div __n")).drop("__n")
+      .withColumn("__key", hashGate(col(idCol)))
+    TwoLevel.exclusiveCumsumBy(staged, lit(1L), col("stage"),
+        substring(col("__key"), 1, 1), Seq(col("__key"), col(idCol)), "stage_pos")
+      .select(col(idCol), col("difficulty"), col("rk"), col("stage"),
+        col("stage_pos"))
+  }
+
   /** Driver-side rate computation from target shares: rate(s) =
     * min(1, share(s)·totalTarget / count(s)). The per-source counts
     * are one aggregation over the corpus; sources are few by contract

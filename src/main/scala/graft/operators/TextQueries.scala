@@ -588,6 +588,40 @@ object TextQueries extends QueryModule {
              (1000000 * n_hapax) // n_types AS hapax_ppm
       FROM agg ORDER BY source"""))
 
+  // Curriculum schedule (Sampling.curriculumSchedule): token count as
+  // the difficulty proxy, 4 rank-quartile stages, md5-shuffled within
+  // stage. Both ranks run on the banded two-level seams; the oracle's
+  // two windows are the semantic definition.
+  private val s8 = {
+    val stages = 4
+    Q(
+      "q_s8_curriculum",
+      s"curriculum schedule: easy-to-hard $stages-stage deal by token count, shuffled within stage",
+      (s, d) => Sampling.curriculumSchedule(
+          Tables.documents(s, d)
+            .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("__diff")),
+          "doc_id", col("__diff"), stages)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS difficulty
+          FROM documents),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM t),
+        r AS (
+          SELECT doc_id, difficulty,
+                 CAST(row_number() OVER (ORDER BY difficulty, doc_id) - 1 AS BIGINT) AS rk
+          FROM t),
+        st AS (SELECT doc_id, difficulty, rk, ($stages * rk) // nn AS stage FROM r, n),
+        sp AS (
+          SELECT doc_id, difficulty, rk, stage,
+                 CAST(row_number() OVER (PARTITION BY stage
+                   ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) - 1 AS BIGINT) AS stage_pos
+          FROM st)
+        SELECT doc_id, difficulty, rk, stage, stage_pos
+        FROM sp ORDER BY doc_id"""))
+  }
+
   // Composed pretraining-mix chain (jobs/PretrainMix): Gopher keep →
   // bag dedup → DSIR select → temperature quotas. The oracle is
   // assembled from the tx12 / dd13 / lm7 / s7 fragments — composing
@@ -938,5 +972,5 @@ object TextQueries extends QueryModule {
   override val all: Seq[Q] =
     Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13,
       tx14, s1,
-      s2, s3, s4, s5, s7, llm1, llm2, llm3)
+      s2, s3, s4, s5, s7, s8, llm1, llm2, llm3)
 }

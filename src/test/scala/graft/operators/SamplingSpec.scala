@@ -167,4 +167,29 @@ class SamplingSpec extends SparkSpec {
     assert(re == first, "selection must not depend on partitioning")
     out.unpersist()
   }
+
+  test("curriculumSchedule: stages are difficulty-ordered, balanced, repartition-stable") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, (i * 7) % 97)).toDF("doc_id", "diff")
+    val out = Sampling.curriculumSchedule(df, "doc_id", col("diff"), 4).cache()
+    // rank-quartile stages: 100 docs each
+    val sizes = out.groupBy("stage").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0L -> 100L, 1L -> 100L, 2L -> 100L, 3L -> 100L), s"got $sizes")
+    // easy-to-hard: every doc in stage k is no harder than any in k+1
+    val bounds = out.groupBy("stage")
+      .agg(min("difficulty").as("lo"), max("difficulty").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (k <- 0L to 2L)
+      assert(bounds(k)._2 <= bounds(k + 1)._1,
+        s"stage $k max ${bounds(k)._2} must not exceed stage ${k + 1} min ${bounds(k + 1)._1}")
+    // within-stage positions are a 0-based permutation
+    val pos = out.filter(col("stage") === 0L).select("stage_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (0L until 100L))
+    // partitioning never changes the schedule
+    val re = Sampling.curriculumSchedule(df.repartition(13), "doc_id", col("diff"), 4)
+      .collect().map(_.toSeq).toSet
+    assert(re == out.collect().map(_.toSeq).toSet)
+    out.unpersist()
+  }
 }
