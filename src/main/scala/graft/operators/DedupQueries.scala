@@ -68,6 +68,48 @@ object DedupQueries extends QueryModule {
             FROM documents)
       GROUP BY fp ORDER BY keep_id"""))
 
+  // Best-keeper dedup: same bag groups as dd13, but the survivor is
+  // the BEST document (longest canonical form, id tie-break) instead
+  // of the first — the policy real pipelines use (RefinedWeb keeps the
+  // longest of a duplicate cluster; min-id merely keeps the oldest).
+  // Plan: one keyed shuffle on the fingerprint, rank-1 via window →
+  // Spark plans WindowGroupLimit (per-partition top-1 before the
+  // exchange, the j6 discipline).
+  private val dd15 = {
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      "q_dd15_best_keeper",
+      "bag-group dedup keeping the BEST (longest) member, not the first",
+      (s, d) => {
+        val canon = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(
+              filter(split(canon, " "), t => t =!= ""))))).as("fp"),
+            length(canon).cast(LongType).as("canon_len"))
+        val w = Window.partitionBy(col("fp"))
+          .orderBy(col("canon_len").desc, col("doc_id").asc)
+        keyed.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("fp"), col("doc_id").as("keep_id"), col("canon_len"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""
+        WITH k AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(list_filter(
+                   string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                   x -> x <> ''))), ' ')) AS fp,
+                 CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS canon_len
+          FROM documents)
+        SELECT fp, doc_id AS keep_id, canon_len FROM (
+          SELECT fp, doc_id, canon_len, row_number() OVER (
+            PARTITION BY fp ORDER BY canon_len DESC, doc_id ASC) AS rn
+          FROM k)
+        WHERE rn = 1 ORDER BY keep_id"""))
+  }
+
   /** dd2's verified MinHash+LSH near-dup pairs (doc_a, doc_b, jaccard),
     * factored out so the cluster gate (dd10) composes the identical
     * pipeline. Plan notes inline. */
@@ -757,5 +799,5 @@ object DedupQueries extends QueryModule {
 
   override val all: Seq[Q] =
     Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dc3, dd7, dd8, dd9, dd10, dd11,
-      dd12, dd13, dd14)
+      dd12, dd13, dd14, dd15)
 }
