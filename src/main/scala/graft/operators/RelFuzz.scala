@@ -373,12 +373,29 @@ object RelFuzz {
           .as("checksum"))
       .select(lit(q.id.toLong).as("qid"), col("n_rows"), col("checksum"))
 
-  /** The whole population reduced and unioned — the gate frame. */
+  /** The whole population reduced — the gate frame. Each generated
+    * query runs as its OWN Spark job (from a driver thread pool) and
+    * contributes exactly one bounded (qid, n_rows, checksum) row,
+    * assembled into a local frame. NOT a 100-branch unionAll plan:
+    * Catalyst analysis/optimization of the mega-union dominated the
+    * gate's cost (~0.26 s/branch, 26 s at sf0.1) while per-branch data
+    * is trivial; 100 small plans optimize independently and the
+    * driver-side collect is 100 rows by construction. */
   def fingerprintAll(spark: SparkSession, dir: String,
-      frames: FuzzQuery => DataFrame): DataFrame =
-    queries().map(q => fingerprint(q, frames(q)))
-      .reduce(_ unionAll _)
-      .orderBy(col("qid"))
+      frames: FuzzQuery => DataFrame): DataFrame = {
+    import scala.collection.parallel.CollectionConverters._
+    val pool = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(8))
+    val par = queries().par
+    par.tasksupport = pool
+    val rows = par.map { q =>
+      val r = fingerprint(q, frames(q)).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }.toList.sortBy(_._1)
+    pool.environment.shutdown()
+    import spark.implicits._
+    rows.toDF("qid", "n_rows", "checksum")
+  }
 
   /** DuckDB twin of [[fingerprint]]+[[fingerprintAll]]: one UNION ALL
     * branch per query, over the same canonical string. */
