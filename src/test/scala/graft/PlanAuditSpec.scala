@@ -380,6 +380,58 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus word stream must never shuffle for the vocab join:\n$p")
   }
 
+  test("q_dd13/q_dd15: bag dedup stays one keyed shuffle — no joins") {
+    for (n <- Seq("q_dd13_bag_dedup", "q_dd15_best_keeper")) {
+      val p = plan(n)
+      assert(!p.contains("Join"), s"$n must not join:\n$p")
+    }
+    // dd15's rank-1 pushes a per-partition group limit below the shuffle
+    assert(plan("q_dd15_best_keeper").contains("WindowGroupLimit"))
+  }
+
+  test("q_tx13: novelty re-join is keyed, never cartesian or broadcast-hinted") {
+    val qe = SparkEntry.queries("q_tx13_novelty")(spark, sf0001).queryExecution
+    assert(!qe.analyzed.toString.contains("ResolvedHint"),
+      "the gram frame is O(corpus) — no broadcast hint")
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("q_sp9: sliding windows via bounded explode — no range join, no BNL") {
+    val p = plan("q_sp9_kmv_sliding")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the trailing-window merge must be the equi-aggregation rewrite:\n$p")
+  }
+
+  test("q_s7/q_s8: per-group ranks run banded — no unpartitioned corpus window") {
+    for (n <- Seq("q_s7_temperature_mix", "q_s8_curriculum")) {
+      val windows = SparkEntry.queries(n)(spark, sf0001)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+      val global = windows.filter(_.partitionSpec.isEmpty)
+      // only the band-aggregate seams may be unpartitioned, and each
+      // sits on an Aggregate (reduced frame), never the corpus scan
+      global.foreach { w =>
+        assert(w.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty, s"$n: global window must sit on the reduced band frame")
+      }
+    }
+  }
+
+  test("q_llm3: DSIR models broadcast inside the composed chain; no cartesian") {
+    val p = plan("q_llm3_mix_pipeline")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"target/raw model lookups must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_z2: Hilbert key is computed on the scan — no join, no aggregate before the sort") {
+    val p = plan("q_z2_hilbert_key")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"the key must be a pure projection chain:\n$p")
+  }
+
   test("q_lm7: both DSIR model lookups broadcast; no corpus shuffle for scoring") {
     val p = plan("q_lm7_dsir")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
