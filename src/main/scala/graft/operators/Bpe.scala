@@ -404,5 +404,45 @@ object BpeQueries extends QueryModule {
              CAST((1000 * n_chars) // n_bpe_tokens AS BIGINT) AS chars_per_tok_x1000
       FROM agg ORDER BY lang"""))
 
-  override val all: Seq[Q] = Seq(bpe1, bpe2, bpe3, bpe4, bpe5)
+  // Vocabulary coverage curve — "how big must the vocab be": corpus
+  // token coverage as a function of piece rank. The persisted artifact
+  // is self-sufficient (each (word, pos, tok) row carries the word's
+  // corpus frequency), so piece mass = one vocab-sized groupBy and the
+  // curve is a window over the ≤|pieces| frequency table — bounded by
+  // construction, so the unpartitioned window is a few-hundred-row
+  // seam, not a corpus scan.
+  private val bpe7 = {
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      "q_bpe7_vocab_coverage",
+      "cumulative corpus coverage by BPE piece rank (the vocab-budget curve), from the artifact",
+      (s, d) => {
+        val pc = vocabToksOf(s, d).groupBy(col("tok"))
+          .agg(sum(col("freq")).as("c"))
+        val w = Window.orderBy(col("c").desc, col("tok").asc)
+        pc.withColumn("rk", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+          .withColumn("__cum", sum(col("c")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(pc.agg(sum(col("c")).as("__n"))))
+          .select(col("rk"), col("tok"), col("c"),
+            expr("(1000000 * __cum) div __n").as("cum_cov_ppm"))
+          .orderBy(col("rk"))
+      },
+      Some(s"""
+        WITH ${Bpe.wordsSqlCte()},
+        ${Bpe.trainSqlCtes("words", NMerges)},
+        pc AS (SELECT tok, CAST(sum(freq) AS BIGINT) AS c
+               FROM toks$NMerges GROUP BY tok),
+        nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pc),
+        r AS (
+          SELECT tok, c,
+                 CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS rk,
+                 CAST(sum(c) OVER (ORDER BY c DESC, tok ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM pc)
+        SELECT rk, tok, c, (1000000 * cum) // nn.n AS cum_cov_ppm
+        FROM r, nn ORDER BY rk"""))
+  }
+
+  override val all: Seq[Q] = Seq(bpe1, bpe2, bpe3, bpe4, bpe5, bpe7)
 }
