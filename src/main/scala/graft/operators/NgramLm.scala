@@ -966,5 +966,58 @@ object NgramLmQueries extends QueryModule {
       FROM cm"""
     })
 
-  override val all: Seq[Q] = Seq(lm1, lm2, lm3, lm4, lm5, lm6, lm7, lm8)
+  // Domain distance — the mix-design diagnostic beside lm5's quality
+  // weighting: per source, the total-variation distance between its
+  // hashed-unigram distribution and the corpus's,
+  // TV = Σ_b |c_s(b)·N − c(b)·N_s| / (2·N_s·N), in integer ppm.
+  // Scale shape: both count tables are hash-bounded (≤ B rows; in
+  // practice ≤ |vocab buckets|), the per-source grid is
+  // #sources × #buckets — INDEPENDENT of corpus size — and every join
+  // broadcasts a bounded frame. BIGINT bound: the summed numerator is
+  // ≤ 2·N_s·N, so ×10^6 needs N_s·N ≲ 4.6e12 — beyond that the
+  // production form divides per bucket in doubles before summing
+  // (ranking-stable; only the gate needs bit-exactness).
+  private val lm9 = Q(
+    "q_lm9_domain_distance",
+    "per-source domain distance: hashed-unigram total variation vs the corpus (ppm)",
+    (s, d) => {
+      val occ = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .select(col("source"), uniBucket(col("w")).as("b"))
+      val sb = occ.groupBy(col("source"), col("b")).agg(count(lit(1)).as("cs"))
+      val cb = occ.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val st = sb.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+      val nn = cb.agg(sum(col("c")).as("n"))
+      st.crossJoin(broadcast(cb))
+        .join(sb, Seq("source", "b"), "left")
+        .crossJoin(broadcast(nn))
+        .withColumn("__t",
+          abs(coalesce(col("cs"), lit(0L)) * col("n") - col("c") * col("ns")))
+        .groupBy(col("source"), col("ns"), col("n"))
+        .agg(sum(col("__t")).as("__num"))
+        .select(col("source"), col("ns").as("n_tokens"),
+          expr("(1000000 * __num) div (2 * ns * n)").as("tv_ppm"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val ub = uniBucketSql("w")
+      s"""
+      WITH occ AS (
+        SELECT source, $ub AS b FROM (
+          SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+          FROM documents)),
+      sb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS cs FROM occ GROUP BY source, b),
+      cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY b),
+      st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM sb GROUP BY source),
+      nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cb),
+      grid AS (
+        SELECT st.source, st.ns, cb.b, cb.c, coalesce(s2.cs, 0) AS cs, nn.n
+        FROM st CROSS JOIN cb CROSS JOIN nn
+        LEFT JOIN sb s2 ON s2.source = st.source AND s2.b = cb.b)
+      SELECT source, ns AS n_tokens,
+             (1000000 * CAST(sum(abs(cs * n - c * ns)) AS BIGINT)) // (2 * ns * n) AS tv_ppm
+      FROM grid GROUP BY source, ns, n ORDER BY source"""
+    })
+
+  override val all: Seq[Q] = Seq(lm1, lm2, lm3, lm4, lm5, lm6, lm7, lm8, lm9)
 }
