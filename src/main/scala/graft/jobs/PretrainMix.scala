@@ -92,4 +92,36 @@ object PretrainMix {
       .select(col("doc_id"), col("source"), col("src_rank"), col("quota"),
         col("n_tokens"))
   }
+
+  /** Runnable entry: `--demo <outDir>` mixes sf0.001, or
+    * `<docsDir> <outDir>` for an arbitrary corpus. Writes the admitted
+    * set atomically and prints a one-line summary; owns the pool
+    * unpersist the gate path leaves to the bench's clearCache. */
+  def main(args: Array[String]): Unit = {
+    val Array(mode, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.GraftSession.build(s"local[$cpus]", cpus.toInt)
+    val docsDir = if (mode == "--demo") "/root/testdata/sf0.001" else mode
+    import graft.operators.NgramLmQueries
+    val docs = graft.Tables.documents(spark, docsDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val target = NgramLmQueries.dsirTargetModelOf(spark, docsDir)
+    val raw = NgramLmQueries.dsirRawModelOf(spark, docsDir)
+    // the gate pins an sf0.01-tuned absolute threshold for oracle
+    // determinism; a production run self-calibrates — the DSIR score
+    // scale shifts with corpus-size-dependent raw counts, so an
+    // absolute cut does not transfer across corpora. Median = keep the
+    // target-like half (one bounded one-row aggregate to compute).
+    val threshold = NgramLm.scoreDsir(docs, "doc_id", "text", target, raw, 0L)
+      .agg(expr("CAST(percentile(dsir_score, 0.5) AS BIGINT)")).head().getLong(0)
+    val admitted = run(docs, budget = 60L, target, raw, threshold)
+    graft.core.TableIO.writeAtomicSwap(admitted, s"$outDir/mix.parquet")
+    val n = spark.read.parquet(s"$outDir/mix.parquet")
+    // an admissible-empty mix (tiny corpus, strict DSIR cut) must
+    // report 0, not die on a NULL sum
+    println(s"[pretrain-mix] admitted=${n.count()} tokens=" +
+      n.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.stop()
+  }
 }

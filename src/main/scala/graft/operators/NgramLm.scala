@@ -843,16 +843,16 @@ object NgramLmQueries extends QueryModule {
     * most of the target slice plus the target-like tail of the rest —
     * at sf0.01, 193/218 'en' docs and ~32 others. Production callers
     * set it from their token budget instead (sort by weight, cut). */
-  private[operators] val DsirThreshold = 455000L
+  val DsirThreshold = 455000L
 
   // DSIR models via the same disk-artifact tier as the LM models:
   // target = the 'en' slice (the "formal text" domain proxy of Xie et
   // al.'s Pile-CC setup), raw = the whole corpus. Both ≤ 2·B rows.
-  private[operators] def dsirTargetModelOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+  def dsirTargetModelOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     graft.core.TrainOnce.cachedOnDisk(s, s"ngramlm:dsir_t:$d", d, modelSchema)(
       train(Tables.documents(s, d), "text", col("lang") === "en"))
 
-  private[operators] def dsirRawModelOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+  def dsirRawModelOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     graft.core.TrainOnce.cachedOnDisk(s, s"ngramlm:dsir_r:$d", d, modelSchema)(
       train(Tables.documents(s, d), "text", lit(true)))
 
