@@ -66,6 +66,7 @@ class OracleSqlLintSpec extends AnyFunSuite {
     "q_bpe3_corpus_tokens" -> 6, // same round chain
     "q_bpe4_oov_coverage" -> 8, // round chain + vocab length tallies
     "q_bpe5_fertility" -> 6, // per-round pair counts (vocab-sized CTEs)
+    "q_bpe7_vocab_coverage" -> 6, // same round chain; output sums CAST-wrapped
     "q_d2_variant_caller" -> 4, // state tallies inside boolean/argmax exprs
     "q_dd3_simhash" -> 16 // per-bit votes, signs consumed into the hash
   )
