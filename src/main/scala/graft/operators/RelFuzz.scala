@@ -388,11 +388,12 @@ object RelFuzz {
       new java.util.concurrent.ForkJoinPool(8))
     val par = queries().par
     par.tasksupport = pool
-    val rows = par.map { q =>
-      val r = fingerprint(q, frames(q)).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }.toList.sortBy(_._1)
-    pool.environment.shutdown()
+    val rows =
+      try par.map { q =>
+        val r = fingerprint(q, frames(q)).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }.toList.sortBy(_._1)
+      finally pool.environment.shutdown() // no thread leak on a failing query
     import spark.implicits._
     rows.toDF("qid", "n_rows", "checksum")
   }
