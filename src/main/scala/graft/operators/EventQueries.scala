@@ -202,5 +202,66 @@ object EventQueries extends QueryModule {
              count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS nd_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  override val all: Seq[Q] = Seq(ev1, ev2, ev3, ev4, ev5, rj1)
+  // Daily spine + last-observation-carried-forward — the canonical
+  // time-series gap fill (G3's date spine composed with an
+  // ignore-nulls window): per user, one row per calendar day between
+  // first and last activity, carrying the value of the day's LAST
+  // event (ts desc, event_id desc pick — deterministic) forward across
+  // silent days. Scale shape: per-day pick is a keyed window with
+  // WindowGroupLimit; the spine explode is bounded by the date range;
+  // the fill is a per-user window ordered by day (day count per user
+  // is bounded by the calendar, not the event volume). Day stays
+  // TIMESTAMP on both engines (the fz2 lesson: DuckDB date_trunc
+  // materializes DATE at day grain — cast explicitly).
+  private val ev6 = Q(
+    "q_ev6_locf_gapfill",
+    "daily spine per user + last-observation-carried-forward gap fill",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).filter(col("user_id") < 20)
+      val wDay = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = e.withColumn("day", date_trunc("DAY", col("ts")))
+        .withColumn("__rn", row_number().over(wDay))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("day_value"))
+      val spine = e.groupBy(col("user_id"))
+        .agg(date_trunc("DAY", min(col("ts"))).as("d0"),
+          date_trunc("DAY", max(col("ts"))).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled_value",
+          last(col("day_value"), ignoreNulls = true).over(wFill))
+        .withColumn("had_event", col("day_value").isNotNull.cast(LongType))
+        .select(col("user_id"), col("day"), col("filled_value"), col("had_event"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""
+      WITH e AS (SELECT * FROM events WHERE user_id < 20),
+      daily AS (
+        SELECT user_id, day, value AS day_value FROM (
+          SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+                 row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e)
+        WHERE rn = 1),
+      spine AS (
+        SELECT user_id,
+               unnest(generate_series(CAST(date_trunc('day', mn) AS TIMESTAMP),
+                                      CAST(date_trunc('day', mx) AS TIMESTAMP),
+                                      INTERVAL 1 DAY)) AS day
+        FROM (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM e GROUP BY user_id))
+      SELECT s.user_id, s.day,
+             last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+             CAST(CASE WHEN d.day_value IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS had_event
+      FROM spine s
+      LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+      ORDER BY s.user_id, s.day"""))
+
+  override val all: Seq[Q] = Seq(ev1, ev2, ev3, ev4, ev5, ev6, rj1)
 }
