@@ -43,7 +43,9 @@ object ScalingProbe {
     "q_dd4_ngram_jaccard", "q_dd6_multitable_lsh", "q_llm2_training_export",
     "q_dd10_dup_clusters", "q_dd7_incremental_lsh", "q_dd9_substring_spans",
     "q_dd12_span_removal",
-    "q_tx13_novelty", "q_llm3_mix_pipeline", "q_lm7_dsir", "q_dd13_bag_dedup")
+    "q_tx13_novelty", "q_llm3_mix_pipeline", "q_lm7_dsir", "q_dd13_bag_dedup",
+    "q_dd14_minhash_audit", "q_dd15_best_keeper", "q_s8_curriculum",
+    "q_tx14_vocab_stats")
 
   val Shards = 10
   private val IdOffset = 10000000L
