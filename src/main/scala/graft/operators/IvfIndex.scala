@@ -326,6 +326,74 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  // ------------------------------------------------------------------
+  // Fused IVF + SQ8 (the FAISS "IVF,SQ8" factory string): coarse cells
+  // give partition pruning (only nprobe/nlist of the files are ever
+  // listed), SQ8 codes inside the cells give the 4× storage cut and a
+  // float-free shortlist — the two layouts above composed into the one
+  // production serving shape. Stored per cell: (vec_id, cv) only; the
+  // grid rides beside the codes; floats appear exclusively in the
+  // keyed top-R rerank join against the source embeddings.
+  // ------------------------------------------------------------------
+
+  /** Build: assign to cells under `centroids`, encode on the corpus
+    * grid, write codes partitioned by cell + the grid. */
+  def writeIndexIvfSq(embeddings: DataFrame, centroids: DataFrame,
+      path: String): Unit = {
+    val (mns, mxs) = sqGrid(embeddings)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    mns.indices.map(i => (i, mns(i), mxs(i))).toDF("i", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/grid")
+    assign(embeddings, centroids)
+      .select(col("vec_id"), sq8Code(col("embedding"), mns, mxs).as("cv"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Probe: nprobe nearest cells per query (literal IN pushdown →
+    * directory pruning), code-L2 shortlist WITHIN the probed cells,
+    * exact cosine rerank via a keyed join. */
+  def probeIvfSq(spark: SparkSession, indexPath: String, queries: DataFrame,
+      centroids: DataFrame, embeddings: DataFrame,
+      nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    graft.functions.VecExpressions.register(spark)
+    val g = spark.read.parquet(s"$indexPath/grid").orderBy(col("i")).collect()
+    val mns = g.toSeq.map(_.getDouble(1))
+    val mxs = g.toSeq.map(_.getDouble(2))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cd").asc, col("cent_id").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        intSqDist(col("qv"), col("cvec")).as("cd"))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+      .withColumn("qcv", sq8Code(col("qv"), mns, mxs))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].longValue()).toSeq.sorted
+    val raw = spark.read.parquet(s"$indexPath/codes")
+    val cellType = raw.schema("cell").dataType
+    val lits = if (cellType == org.apache.spark.sql.types.IntegerType)
+      cells.map(c => lit(c.toInt)) else cells.map(lit(_))
+    val index = raw.filter(col("cell").isin(lits: _*))
+    val wShort = Window.partitionBy(col("query_id")).orderBy(col("cd").asc, col("vec_id").asc)
+    val short = broadcast(probes.withColumn("cell", col("cell").cast(cellType)))
+      .join(index, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"),
+        longSqDist(col("qcv"), col("cv")).as("cd"))
+      .withColumn("__s", row_number().over(wShort))
+      .filter(col("__s") <= shortlist)
+      .select(col("query_id"), col("qv"), col("vec_id"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    short.join(embeddings, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
+
   /** Probe the SQ8 index: encode queries on the STORED grid (an index
     * must answer with the grid it was built with, even after the
     * corpus drifts), code-L2 shortlist over the codes table, exact

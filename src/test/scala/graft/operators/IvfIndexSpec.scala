@@ -243,4 +243,63 @@ class IvfIndexSpec extends SparkSpec {
     assert(res.collect().map(_.toSeq).toSeq == expected,
       "persisted SQ8 probe must equal the in-memory gate")
   }
+
+  test("fused IVF+SQ8: pruned code-only cells, probe ≡ in-memory reference") {
+    val e = Tables.embeddings(spark, sf0001)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq").toString + "/index"
+    IvfIndex.writeIndexIvfSq(e, cent, dir)
+
+    // layout: cell directories hold code-only rows
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length > 4)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.toSet == Set("vec_id", "cv", "cell"),
+      s"cells must store codes only, got ${codes.columns.mkString(",")}")
+
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val res = IvfIndex.probeIvfSq(spark, dir, queries, cent, e,
+      nprobe = 2, shortlist = 12, k = 3)
+      .orderBy(col("query_id"), col("rnk"))
+
+    // the codes scan must be partition-pruned to the probed cells
+    val pf = res.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cell#") && (l.contains("INSET") || l.contains("IN ("))),
+      s"the codes scan must be partition-pruned:\n${pf.mkString("\n")}")
+
+    // in-memory reference: same cells, same SQ8 shortlist, same rerank —
+    // computed without the persisted layout
+    val (mns, mxs) = IvfIndex.sqGrid(e)
+    val assigned = IvfIndex.assign(e, cent)
+      .select(col("vec_id"), col("cell"),
+        graft.functions.VectorFunctions.sq8Code(col("embedding"), mns, mxs).as("cv"))
+    import org.apache.spark.sql.expressions.Window
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cd").asc, col("cent_id").asc)
+    val probes = queries.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        graft.functions.VectorFunctions.intSqDist(col("qv"), col("cvec")).as("cd"))
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= 2)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"),
+        graft.functions.VectorFunctions.sq8Code(col("qv"), mns, mxs).as("qcv"))
+    val wShort = Window.partitionBy(col("query_id")).orderBy(col("cd").asc, col("vec_id").asc)
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val ref = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"),
+        graft.functions.VectorFunctions.longSqDist(col("qcv"), col("cv")).as("cd"))
+      .withColumn("s", row_number().over(wShort)).filter(col("s") <= 12)
+      .join(e, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(wRank).cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+    assert(res.collect().map(_.toSeq).toSeq == ref.collect().map(_.toSeq).toSeq,
+      "persisted fused probe must equal the in-memory reference")
+  }
 }
