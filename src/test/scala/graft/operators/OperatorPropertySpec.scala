@@ -58,4 +58,39 @@ class OperatorPropertySpec extends SparkSpec {
       assert(got == expected, s"case $i: lefts=$lefts rights=$rights")
     }
   }
+
+  test("KCore.peelUntil matches the brute-force model on random graphs") {
+    import spark.implicits._
+    // in-JVM reference: iterative set-peel until fixpoint
+    def brute(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+      edges.foreach { case (a, b) =>
+        if (a != b) { adj(a) += b; adj(b) += a }
+      }
+      var alive = adj.keySet.toSet
+      var changed = true
+      while (changed) {
+        val next = alive.filter(v => (adj(v) & alive).size >= k)
+        changed = next != alive
+        alive = next
+      }
+      alive.map(v => v -> (adj(v) & alive).size.toLong).toMap
+    }
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      k <- Gen.choose(1, 4)
+      edges <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+    } yield (edges.filter(e => e._1 != e._2), k)
+    // a handful of random instances through the full Spark plan
+    val cases = Gen.listOfN(8, gen).sample.get
+    cases.foreach { case (edges, k) =>
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b")
+        val (core, _) = KCore.peelUntil(df, "a", "b", k)
+        val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = brute(edges, k)
+        assert(got == want, s"k=$k edges=$edges: got $got want $want")
+      }
+    }
+  }
 }
