@@ -551,6 +551,51 @@ object TextQueries extends QueryModule {
         ORDER BY race_key, doc_id LIMIT $k"""))
   }
 
+  // Language-ID audit — lm8's confusion discipline applied to the
+  // heuristic classifier: the full pred × label matrix with row
+  // counts, plus per-cell recall share in ppm (cell count over the
+  // label's total). One two-phase agg over tx1's codegen prediction;
+  // at 100 TB this is the language-routing QA table every multilingual
+  // pipeline dashboards.
+  private val tx15 = Q(
+    "q_tx15_langid_confusion",
+    "language-ID audit: pred x label confusion matrix with per-label recall shares (ppm)",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pred = Tables.documents(s, d)
+        .withColumn("__toks", split(col("text"), " "))
+        .select(langIdFromTokens(col("__toks")).as("pred_lang"),
+          col("lang").as("labeled_lang"))
+      pred.groupBy(col("pred_lang"), col("labeled_lang"))
+        .agg(cnt.as("n"))
+        .withColumn("__lt", sum(col("n")).over(
+          Window.partitionBy(col("labeled_lang"))))
+        .select(col("pred_lang"), col("labeled_lang"), col("n"),
+          expr("(1000000 * n) div __lt").as("label_share_ppm"))
+        .orderBy(col("labeled_lang"), col("pred_lang"))
+    },
+    Some {
+      val sorted = langMarkers.toSeq.sortBy(_._1)
+      val scoreCols = sorted.map { case (l, m) =>
+        s"len(list_filter(string_split(text, ' '), t -> t IN (${markerSql(m)}))) AS s_$l"
+      }.mkString(", ")
+      val top = s"greatest(${sorted.map(x => "s_" + x._1).mkString(", ")})"
+      val caseArms = sorted.map { case (l, _) =>
+        s"WHEN s_$l = $top THEN '$l'"
+      }.mkString(" ")
+      s"""
+      WITH p AS (
+        SELECT CASE WHEN $top = 0 THEN 'und' $caseArms ELSE 'und' END AS pred_lang,
+               lang AS labeled_lang
+        FROM (SELECT text, lang, $scoreCols FROM documents)),
+      cm AS (
+        SELECT pred_lang, labeled_lang, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY pred_lang, labeled_lang)
+      SELECT pred_lang, labeled_lang, n,
+             (1000000 * n) // CAST(sum(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS label_share_ppm
+      FROM cm ORDER BY labeled_lang, pred_lang"""
+    })
+
   // Per-source vocabulary health — the corpus-diagnostics pair to
   // bpe5's tokenizer fertility: type-token ratio (lexical diversity;
   // boilerplate sources score low) and hapax fraction (singleton
@@ -971,6 +1016,6 @@ object TextQueries extends QueryModule {
 
   override val all: Seq[Q] =
     Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13,
-      tx14, s1,
+      tx14, tx15, s1,
       s2, s3, s4, s5, s7, s8, llm1, llm2, llm3)
 }
