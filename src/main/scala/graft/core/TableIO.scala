@@ -40,14 +40,77 @@ object TableIO {
     * (cheap rollback, mirroring the reference keeping the old table
     * until vacuum). */
   def writeAtomicSwap(df: DataFrame, path: String): Unit = {
+    deleteRecursively(Paths.get(path + ".staging"))
+    df.write.mode("overwrite").parquet(path + ".staging")
+    swapStaged(path)
+  }
+
+  /** Move a fully-written `<path>.staging` over the live dir (previous
+    * kept at `<path>.prev`). The non-Spark half of a swap: two renames,
+    * no plan execution — which is what makes the multi-table commit
+    * loop below tight. */
+  private[core] def swapStaged(path: String): Unit = {
     val live = Paths.get(path)
     val staging = Paths.get(path + ".staging")
     val prev = Paths.get(path + ".prev")
-    deleteRecursively(staging)
-    df.write.mode("overwrite").parquet(staging.toString)
     deleteRecursively(prev)
     if (Files.exists(live)) Files.move(live, prev, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, live, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Multi-table atomic commit — the file-based analog of the
+    * reference writing sequence + mutation + identifier tables in ONE
+    * JDBC transaction (`BatchProcessingWorker.java:443-665`). Two
+    * phases:
+    *
+    *  1. **Stage**: every table's parquet write runs first, to
+    *     `<path>.staging`. All live dirs are untouched during this
+    *     phase, so the plans may freely read the CURRENT live tables
+    *     (the mutation merge reads the live mutation table) — and the
+    *     heavy, failure-prone distributed work all happens while the
+    *     serving set is still the old consistent version. No
+    *     `localCheckpoint`: nothing is pinned on executors, an executor
+    *     loss during staging just recomputes lineage.
+    *  2. **Swap**: record a swap-intent file (atomic temp+rename
+    *     write), then swap every staged dir over its live dir in a
+    *     tight rename-only loop, then drop the intent.
+    *
+    * A crash during staging leaves the live set untouched (stale
+    * `.staging` dirs are overwritten next run). A crash between swaps
+    * leaves the intent on disk; [[recoverSwapAll]] — called here
+    * defensively and by job mains at startup — rolls the commit
+    * FORWARD (each staged dir is a complete table), so readers never
+    * see a mixed-version serving set longer than the crash window. */
+  def writeAtomicSwapAll(tables: Seq[(DataFrame, String)], intentFile: String): Unit = {
+    recoverSwapAll(intentFile)
+    tables.foreach { case (df, path) =>
+      deleteRecursively(Paths.get(path + ".staging"))
+      df.write.mode("overwrite").parquet(path + ".staging")
+    }
+    val intent = Paths.get(intentFile)
+    val tmp = Paths.get(intentFile + ".tmp")
+    Files.writeString(tmp, tables.map(_._2).mkString("\n"))
+    if (Files.exists(intent)) Files.delete(intent)
+    Files.move(tmp, intent, StandardCopyOption.ATOMIC_MOVE)
+    tables.foreach { case (_, path) => swapStaged(path) }
+    Files.delete(intent)
+  }
+
+  /** Complete an interrupted [[writeAtomicSwapAll]]: for every path in
+    * the recorded intent whose staging dir still exists, finish the
+    * swap; already-swapped paths are skipped. Idempotent; returns true
+    * when a recovery actually ran. */
+  def recoverSwapAll(intentFile: String): Boolean = {
+    val intent = Paths.get(intentFile)
+    if (!Files.exists(intent)) false
+    else {
+      Files.readString(intent).split("\n").iterator.filter(_.nonEmpty)
+        .foreach { path =>
+          if (Files.exists(Paths.get(path + ".staging"))) swapStaged(path)
+        }
+      Files.delete(intent)
+      true
+    }
   }
 
   /** Roll back to the previous table version if one exists. */

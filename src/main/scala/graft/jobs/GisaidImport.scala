@@ -64,6 +64,20 @@ object GisaidImport {
         Annotations.parseEthid(col("strain")).as("ethid"))
   }
 
+  /** The reference importer's merged `FinalReport`
+    * (`GisaidApiImporter.java:389-410`): per-run entry accounting with
+    * the one quantified operational correctness gate the reference
+    * has — the run is a success only when failed entries stay under 5%
+    * of processed (`GisaidApiImporter.java:392-393`). [[run]] enforces
+    * it BEFORE the commit point, so a bad feed aborts with nothing
+    * swapped and the chained refresh is Blocked rather than serving
+    * from a bad import. */
+  final case class ImportReport(processed: Long, failed: Long, deleted: Long) {
+    def success: Boolean = failed.toDouble < 0.05 * processed.max(1L)
+    override def toString =
+      s"processed=$processed failed=$failed deleted=$deleted success=$success"
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(mode, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -77,9 +91,35 @@ object GisaidImport {
   /** The import pipeline proper (steps 1–7), callable from the main
     * above or from an ordered job chain ([[ImportAndRefresh]] — the
     * reference's importer chains the matview refresh as its stage 8,
-    * `gisaid/GisaidApiImporter.java:384-387`). */
+    * `gisaid/GisaidApiImporter.java:384-387`). Composes the output
+    * plans ([[plan]]), enforces the success criterion, then commits all
+    * three tables through the staged multi-table swap
+    * ([[TableIO.writeAtomicSwapAll]] — the reference's one-transaction
+    * write discipline, `BatchProcessingWorker.java:443-665`). */
   def run(spark: SparkSession, feedPath: String, existing: DataFrame,
-      identifiers: DataFrame, outDir: String): Unit = {
+      identifiers: DataFrame, outDir: String): ImportReport = {
+    TableIO.recoverSwapAll(s"$outDir/$SwapIntent") // finish any interrupted commit first
+    val (outputs, report) = plan(spark, feedPath, existing, identifiers, outDir)
+    println(s"[gisaid] final report: $report")
+    require(report.success,
+      s"import failed: ${report.failed} of ${report.processed} entries failed (>= 5%) — aborting before commit")
+    TableIO.writeAtomicSwapAll(outputs.map { case (n, df) => (df, s"$outDir/$n") },
+      s"$outDir/$SwapIntent")
+    outputs.foreach { case (name, _) =>
+      println(s"[gisaid] $name rows=${TableIO.read(spark, s"$outDir/$name").count()}")
+    }
+    report
+  }
+
+  private[jobs] val SwapIntent = "_swap_intent"
+
+  /** Steps 1–6 as pure plan composition + the report counts (three
+    * scalar aggregations — no O(table) driver materialization). The
+    * returned frames are LAZY and may read the live output tables;
+    * [[run]]'s staged commit executes them while those dirs are still
+    * untouched. */
+  private[graft] def plan(spark: SparkSession, feedPath: String, existing: DataFrame,
+      identifiers: DataFrame, outDir: String): (Seq[(String, DataFrame)], ImportReport) = {
     // 1. extract + drift check; an .xz feed (what GISAID actually
     // ships) routes through the chunker so the read is multi-task
     // instead of one unsplittable stream
@@ -92,8 +132,20 @@ object GisaidImport {
     if (drift.missingExpected.nonEmpty || drift.unexpected.nonEmpty)
       println(s"[gisaid] drift report: missingExpected=${drift.missingExpected} unexpected=${drift.unexpected}")
 
-    // 2. normalize
-    val parsed = normalizeFeed(spark, feed)
+    // 2. normalize, then row-level validation: the reference's worker
+    // counts an entry as failed when its processing throws
+    // (`BatchProcessingWorker.java` try/catch per entry); the frame
+    // analog is a record whose REQUIRED values are null/empty after
+    // normalization. One pass computes both report counts.
+    val normalized = normalizeFeed(spark, feed).withColumn("_invalid",
+      col("gisaid_epi_isl").isNull || length(trim(col("gisaid_epi_isl"))) === 0 ||
+        col("strain").isNull || length(trim(col("strain"))) === 0 ||
+        col("seq_aligned").isNull || length(col("seq_aligned")) === 0)
+    val countsRow = normalized
+      .agg(count(lit(1)).as("processed"),
+        count(when(col("_invalid"), 1)).as("failed")).head()
+    val (processedCnt, failedCnt) = (countsRow.getLong(0), countsRow.getLong(1))
+    val parsed = normalized.filter(!col("_invalid")).drop("_invalid")
 
     // 3. change detection (M3) — sequences compared by content hash so
     // the 30kb strings stay out of the comparison shuffle
@@ -111,9 +163,13 @@ object GisaidImport {
     val mutations = MutationCaller.callTable(spark, toProcess, "gisaid_epi_isl",
       "seq_aligned", demoReference, maskedSites = Set(5))
 
-    // 5. merged table: upsert processed records, then drop deleted ids (M4)
+    // 5. merged table: upsert processed records, then drop deleted ids
+    // (M4); the deletion count joins the report (reference FinalReport
+    // carries deleted-entry counts too)
     val merged = Upsert.upsert(existing, toProcess.drop("change_kind"), Seq("gisaid_epi_isl"))
     val finalTable = Upsert.deleteMissing(merged, parsed.select("gisaid_epi_isl"), Seq("gisaid_epi_isl"))
+    val deletedCnt = existing.select("gisaid_epi_isl")
+      .join(parsed.select("gisaid_epi_isl"), Seq("gisaid_epi_isl"), "left_anti").count()
 
     // 6. identifier update (M8): set gisaid_id where ours and not yet
     // set — null-guarded, an already-recorded id is never overwritten
@@ -136,20 +192,17 @@ object GisaidImport {
           .join(finalTable.select(col("gisaid_epi_isl")), Seq("gisaid_epi_isl"), "left_semi")
       } else mutations
 
-    // 7. atomic writes — every output is MATERIALIZED (localCheckpoint)
-    // before the first swap: mergedMutations lazily reads the live
+    // 7. the three serving outputs, committed by the caller through the
+    // staged multi-table swap: mergedMutations lazily reads the live
     // mutation table and finalTable may read $outDir inputs in non-demo
-    // modes, so executing them after their source path was already
-    // swapped would list stale files (FileNotFound or wrong rows)
-    Seq(
+    // modes — the stage-everything-then-swap protocol executes these
+    // plans while every live dir is still the old version, so no
+    // materialization (and no executor-pinned blocks) is needed here
+    (Seq(
       ("gisaid_api_sequence", finalTable.drop("seq_aligned")),
       ("gisaid_api_sequence_mutation", mergedMutations),
-      ("sequence_identifier", mergedIds))
-      .map { case (name, df) => (name, df.localCheckpoint()) }
-      .foreach { case (name, df) =>
-        TableIO.writeAtomicSwap(df, s"$outDir/$name")
-        println(s"[gisaid] $name rows=${TableIO.read(spark, s"$outDir/$name").count()}")
-      }
+      ("sequence_identifier", mergedIds)),
+      ImportReport(processedCnt, failedCnt, deletedCnt))
   }
 
   /** Demo inputs: a JSON-lines feed (new + changed + unchanged +
@@ -168,7 +221,7 @@ object GisaidImport {
     * so a job chain's skip-if-unchanged fingerprint holds across
     * invocations. Identifiers are the caller's (the chain feeds the
     * serving-schema identifier table the views read). */
-  private[jobs] def demoFeedAndExisting(spark: SparkSession,
+  private[graft] def demoFeedAndExisting(spark: SparkSession,
       dir: java.nio.file.Path): (String, DataFrame) = {
     import spark.implicits._
     def rec(id: Int, strain: String, date: String, seq: String, lineage: String) =

@@ -486,6 +486,27 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected materialized leaves (corpus-sized checkpoint?):\n${offenders.mkString("\n")}")
   }
 
+  test("the import commit path materializes nothing: no LogicalRDD leaf in any output plan") {
+    // the r7 weak item: GisaidImport localCheckpointed all three outputs
+    // at the commit point (O(table) executor-pinned blocks, double
+    // write). The staged multi-table swap makes that unnecessary — the
+    // output plans must now be pure lazy compositions over the inputs.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("import-plan-")
+    val (feedPath, existing) = graft.jobs.GisaidImport.demoFeedAndExisting(spark, dir)
+    val ids = Seq((16160L, "EPI_ISL_OLD", "existing")).toDF("ethid", "gisaid_id", "note")
+    val (outputs, report) =
+      graft.jobs.GisaidImport.plan(spark, feedPath, existing, ids, s"$dir/tables")
+    assert(report.processed > 0)
+    outputs.foreach { case (name, df) =>
+      val leaves = df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.schema.fieldNames.toSeq.sorted
+      }
+      assert(leaves.isEmpty,
+        s"import output $name carries materialized leaves: ${leaves.mkString("; ")}")
+    }
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     // AQE prints codegen spans only in the finalized plan — collect()
     // executes this exact queryExecution (write/count would clone it)

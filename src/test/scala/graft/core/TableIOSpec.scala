@@ -37,6 +37,52 @@ class TableIOSpec extends SparkSpec {
     assert(!graft.operators.IncrementalDedup.stateExists(spark, s"file://$dir/other"))
   }
 
+  test("multi-table commit: staging reads OLD live dirs, then all tables swap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("swapall").toString
+    val (a, b) = (s"$dir/a", s"$dir/b")
+    val intent = s"$dir/_swap_intent"
+    TableIO.writeAtomicSwapAll(Seq(
+      (Seq((1, "a-v1")).toDF("k", "v"), a),
+      (Seq((1, "b-v1")).toDF("k", "v"), b)), intent)
+    // v2 commit where table b's PLAN reads table a's live dir — the
+    // one-transaction contract: even though a.staging already holds
+    // a-v2 when b stages, b must see the OLD live a (a-v1), exactly as
+    // the import's mutation merge reads the live mutation table
+    TableIO.writeAtomicSwapAll(Seq(
+      (Seq((1, "a-v2")).toDF("k", "v"), a),
+      (TableIO.read(spark, a).withColumn("v", concat(col("v"), lit("+seen-by-b"))), b)),
+      intent)
+    assert(TableIO.read(spark, a).collect()(0).getString(1) == "a-v2")
+    assert(TableIO.read(spark, b).collect()(0).getString(1) == "a-v1+seen-by-b")
+    // previous versions kept for rollback; intent consumed
+    assert(TableIO.read(spark, s"$a.prev").collect()(0).getString(1) == "a-v1")
+    assert(TableIO.read(spark, s"$b.prev").collect()(0).getString(1) == "b-v1")
+    assert(!Files.exists(java.nio.file.Paths.get(intent)))
+  }
+
+  test("crash between swaps: recoverSwapAll rolls the commit forward to a consistent set") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("swapcrash").toString
+    val (a, b) = (s"$dir/a", s"$dir/b")
+    val intent = s"$dir/_swap_intent"
+    Seq((1, "a-v1")).toDF("k", "v").write.parquet(a)
+    Seq((1, "b-v1")).toDF("k", "v").write.parquet(b)
+    // simulate a crash mid-commit: both tables fully staged, intent
+    // recorded, but only table a swapped before the JVM died
+    Seq((1, "a-v2")).toDF("k", "v").write.parquet(s"$a.staging")
+    Seq((1, "b-v2")).toDF("k", "v").write.parquet(s"$b.staging")
+    Files.writeString(java.nio.file.Paths.get(intent), s"$a\n$b")
+    TableIO.swapStaged(a)
+    // serving set is mixed-version right now (a=v2, b=v1) — recovery
+    // completes the remaining swaps forward
+    assert(TableIO.recoverSwapAll(intent))
+    assert(TableIO.read(spark, a).collect()(0).getString(1) == "a-v2")
+    assert(TableIO.read(spark, b).collect()(0).getString(1) == "b-v2")
+    assert(!Files.exists(java.nio.file.Paths.get(intent)))
+    assert(!TableIO.recoverSwapAll(intent), "recovery is idempotent / no-op without intent")
+  }
+
   test("bucketed tables join with zero shuffle (the SCALING.md co-location contract)") {
     import spark.implicits._
     val left = (0 until 10000).map(i => (160000L + i % 500, s"seq$i", i % 97))

@@ -47,6 +47,49 @@ class ImportAndRefreshSpec extends SparkSpec {
     assert(outcomes(dir) == Seq("gisaid_import" -> "ran", "spectrum_refresh" -> "ran"))
   }
 
+  test("import report: demo run counts processed/failed/deleted with the reference's success flag") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("import-report-")
+    val (feedPath, existing) = GisaidImport.demoFeedAndExisting(spark, dir)
+    val ids = Seq((16160L, "EPI_ISL_OLD", "existing"), (16200L, null, "pending"))
+      .toDF("ethid", "gisaid_id", "note")
+    val report = GisaidImport.run(spark, feedPath, existing, ids, s"$dir/tables")
+    // demo feed: 200 records all valid; existing ids 150..250 of which
+    // 201..250 are absent from the feed → 50 deletions
+    assert(report == GisaidImport.ImportReport(processed = 200, failed = 0, deleted = 50))
+    assert(report.success)
+  }
+
+  test("injected-failure feed: >=5% failed entries abort before commit; refresh is Blocked") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("import-fail-")
+    val tablesDir = s"$dir/tables"
+    // 20 records, 2 with an empty sequence (10% — over the reference's
+    // 5% FinalReport threshold, GisaidApiImporter.java:392-393). The
+    // SCHEMA is intact (field present, value empty) so the S5 drift
+    // check passes and the row-level accounting is what must catch it.
+    val lines = (1 to 20).map { i =>
+      val seq = if (i <= 2) "" else GisaidImport.demoReference
+      s"""{"covv_accession_id":"EPI_ISL_$i","covv_virus_name":"Germany/BY-$i/2021","covv_collection_date":"2021-03-15","covv_location":"Europe / Germany","covv_patient_age":"30","covv_gender":"Male","covv_lineage":"BA.1","covv_subm_date":"2021-04-01","sequence":"$seq"}"""
+    }
+    val feed = dir.resolve("bad_feed.json")
+    java.nio.file.Files.writeString(feed, lines.mkString("\n"))
+    java.nio.file.Files.createDirectories(dir.resolve("unused-feed"))
+    val (_, existing) = GisaidImport.demoFeedAndExisting(spark, dir.resolve("unused-feed"))
+    val ids = Seq((16160L, "EPI_ISL_OLD", "existing")).toDF("ethid", "gisaid_id", "note")
+    val state = new StateStore(s"$dir/state")
+    val outcomes = JobRunner.runOrdered(state, Seq(
+      JobSpec("gisaid_import", () => "fp-import",
+        () => GisaidImport.run(spark, feed.toString, existing, ids, tablesDir)),
+      JobSpec("spectrum_refresh", () => "fp-refresh",
+        () => fail("refresh must not run after a failed import"))))
+      .map { case (n, o) => n -> o.tag }
+    assert(outcomes == Seq("gisaid_import" -> "failed", "spectrum_refresh" -> "blocked"))
+    // the abort happened BEFORE the commit point: nothing was swapped
+    assert(!graft.core.TableIO.exists(spark, s"$tablesDir/gisaid_api_sequence"),
+      "a failed import must not publish any table")
+  }
+
   test("JobRunner: a failed job records nothing, blocks downstream, and retries next run") {
     val state = new StateStore(
       java.nio.file.Files.createTempDirectory("jobrunner-spec-").toString)
