@@ -41,32 +41,104 @@ object Bench {
     // because the driver's log capture truncates the tail and carried
     // no loadavg/fork evidence — now every record is self-describing
     val loadPre = loadavg()
-    val forkStats = scala.collection.mutable.ArrayBuffer[String]()
+    val forkStats = scala.collection.mutable.ArrayBuffer[(Int, Int, Boolean)]()
     val results: Seq[(String, Double)] =
       if (!isChild && forkEvery > 0 && names.size > forkEvery)
         names.grouped(forkEvery).toSeq.flatMap { g =>
           val (r, attempts, fellBack) = forkGroup(g, sfDir, passes)
-          forkStats += s"""{"n":${g.size},"attempts":$attempts,"in_process_fallback":$fellBack}"""
+          forkStats += ((g.size, attempts, fellBack))
           r
         }
       else runInProcess(names, sfDir, passes)
     val loadPost = loadavg()
 
+    // FULL record (complete query names, float seconds, verbose
+    // contention) goes to the on-disk self-record: it is what the fork
+    // parser reads back and what bench_guarded commits as BENCH_SELF
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val forksVerbose = forkStats.map { case (n, a, f) =>
+      s"""{"n":$n,"attempts":$a,"in_process_fallback":$f}""" }
+      .mkString("[", ",", "]")
     val contention = s"""{"loadavg_pre":$loadPre,"loadavg_post":$loadPost,""" +
-      s""""passes":$passes,"fork_every":$forkEvery,""" +
-      s""""forks":${forkStats.mkString("[", ",", "]")}}"""
+      s""""passes":$passes,"fork_every":$forkEvery,"forks":$forksVerbose}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""contention":$contention,"sf":"$sfDir"}"""
-    println(json)
-    // self-record: the driver's log capture truncates long tails, which
-    // lost round 2's totals — keep the round record complete on disk
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_self.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] self-record failed: $e") }
+    // the driver-facing STDOUT line is the COMPACT form: its log
+    // capture keeps only ~2000 tail chars, which truncated the
+    // 160-query full-name line at 44 queries (BENCH_r07 parsed:null).
+    // A fork child's stdout goes to a log file, so it prints the full
+    // record for debuggability; only the parent emits the compact line.
+    println(if (isChild) json
+      else compactLine(results, loadPre, loadPost, passes, forkEvery,
+        forkStats.toSeq, sfDir))
+  }
+
+  /** The driver's log capture keeps ~2000 tail chars of the line —
+    * the budget the compact form must fit with every gate present. */
+  private val CaptureBudget = 1900
+
+  /** The driver-facing single line, sized to survive the ~2000-char
+    * tail capture at 160+ queries: per-query times as INTEGERS
+    * (`q_unit` says the scale — ms normally; the line self-downgrades
+    * to cs/ds if a pathological run's digits would overflow the
+    * budget; -1 = failed) keyed by the gate's short family code
+    * (`dd10` for q_dd10_dup_clusters — the id the round docs cite
+    * anyway). Contention compressed to `[pre,post]` load + either a
+    * clean-fork count or `[n,attempts,fallback]` triples. Total stays
+    * float seconds in `value` (the driver's headline metric,
+    * unchanged). */
+  private[graft] def compactLine(results: Seq[(String, Double)],
+      loadPre: Double, loadPost: Double, passes: Int, forkEvery: Int,
+      forkStats: Seq[(Int, Int, Boolean)], sfDir: String): String = {
+    val short = shortNames(results.map(_._1))
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // forks are noise when every group forked cleanly on attempt 1 —
+    // collapse to a count; keep the triples only when something retried
+    val forks =
+      if (forkStats.forall { case (_, a, f) => a == 1 && !f }) forkStats.size.toString
+      else forkStats.map { case (n, a, f) => s"[$n,$a,${if (f) 1 else 0}]" }
+        .mkString("[", ",", "]")
+    val sfShort = sfDir.split("/").last
+    def render(unit: String, mult: Double): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + short(k) + "\":" + (if (v < 0) "-1" else math.round(v * mult).toString)
+      }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","q_unit":"$unit%s","queries":$qs,""" +
+        f""""contention":{"load":[$loadPre%.2f,$loadPost%.2f],"passes":$passes,""" +
+        s""""forks":$forks},"sf":"$sfShort"}"""
+    }
+    val units = Seq("ms" -> 1000.0, "cs" -> 100.0, "ds" -> 10.0)
+    units.iterator.map { case (u, m) => render(u, m) }
+      .find(_.length <= CaptureBudget)
+      .getOrElse(render("ds", 10.0))
+  }
+
+  /** Map each gate name to its unique short code: the first token
+    * after `q_` (`q_a1_agg_pricing` → `a1`), extended with initials of
+    * the following tokens only where two gates share a code
+    * (`q_j6_anti_join`/`q_j6_best_per_group` → `j6a`/`j6b`); falls
+    * back to the full stripped name if initials can't disambiguate. */
+  private[graft] def shortNames(names: Seq[String]): Map[String, String] = {
+    def code(n: String, extra: Int): String = {
+      val toks = n.stripPrefix("q_").split("_")
+      if (extra > toks.length) toks.mkString("_")
+      else toks.head + toks.tail.take(extra).map(_.take(1)).mkString
+    }
+    var ext = names.map(n => n -> 0).toMap
+    var changed = true
+    while (changed) {
+      val dups = names.groupBy(n => code(n, ext(n))).filter(_._2.size > 1)
+        .values.flatten.toSeq
+      changed = dups.nonEmpty && dups.exists(n => ext(n) <= n.split("_").length)
+      if (changed) dups.foreach(n => ext = ext.updated(n, ext(n) + 1))
+    }
+    names.map(n => n -> code(n, ext(n))).toMap
   }
 
   /** Warmup + timed medians for `names` in THIS JVM. */

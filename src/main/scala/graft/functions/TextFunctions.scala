@@ -101,10 +101,25 @@ object TextFunctions {
   /** BPE-ish token count: letter runs, digit runs, single punctuation. */
   val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** Canonical form of a document — lowercase, punctuation stripped,
+    * whitespace collapsed. The single normalization every dedup
+    * fingerprint derives from (exact dd1, bag dd13/dd15): one
+    * definition, so the fingerprints cannot drift apart. */
+  def canonicalForm(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Canonical-form md5 fingerprint (lowercase, punctuation stripped,
     * whitespace collapsed) — document identity for exact dedup. */
-  def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+  def fingerprint(text: Column): Column = md5(canonicalForm(text))
+
+  /** Order-insensitive bag fingerprint: md5 over the SORTED DISTINCT
+    * token set of the canonical form — one rung looser than
+    * [[fingerprint]], identifying shuffled and repeated-word copies
+    * that share a vocabulary (the dd13/dd15 dedup key). Pure map-side
+    * column math: split → filter empties → distinct → sort → md5. */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(
+      filter(split(canonicalForm(text), " "), t => t =!= "")))))
 
   /** Long-form deterministic content hash for a column (engine-portable). */
   def contentHash(c: Column): Column = md5(c.cast("string"))

@@ -48,12 +48,8 @@ object DedupQueries extends QueryModule {
     "q_dd13_bag_dedup",
     "order-insensitive dedup: sorted distinct-token-set md5 fingerprint groupBy",
     (s, d) => {
-      val canon = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-      val bagFp = md5(concat_ws(" ",
-        array_sort(array_distinct(filter(split(canon, " "), t => t =!= "")))))
       Tables.documents(s, d)
-        .select(col("doc_id"), bagFp.as("fp"))
+        .select(col("doc_id"), bagFingerprint(col("text")).as("fp"))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keep_id"), cnt.as("n_docs"))
         .select(col("keep_id"), col("n_docs"))
@@ -81,13 +77,10 @@ object DedupQueries extends QueryModule {
       "q_dd15_best_keeper",
       "bag-group dedup keeping the BEST (longest) member, not the first",
       (s, d) => {
-        val canon = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
         val keyed = Tables.documents(s, d)
           .select(col("doc_id"),
-            md5(concat_ws(" ", array_sort(array_distinct(
-              filter(split(canon, " "), t => t =!= ""))))).as("fp"),
-            length(canon).cast(LongType).as("canon_len"))
+            bagFingerprint(col("text")).as("fp"),
+            length(canonicalForm(col("text"))).cast(LongType).as("canon_len"))
         val w = Window.partitionBy(col("fp"))
           .orderBy(col("canon_len").desc, col("doc_id").asc)
         keyed.withColumn("__rn", row_number().over(w))

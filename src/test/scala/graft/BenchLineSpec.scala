@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's log capture keeps only the last ~2000 chars of the
+  * bench output; BENCH_r07 truncated the full-name line at 44 of 160
+  * queries (`parsed: null`). These tests pin the compact driver-facing
+  * line's contract: unique short keys, integer-ms values, and a total
+  * length that fits the capture window with growth headroom.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val gateNames = SparkEntry.queries.keys.toSeq.sorted
+
+  test("short codes are unique across every registered gate") {
+    val short = Bench.shortNames(gateNames)
+    assert(short.size == gateNames.size)
+    assert(short.values.toSet.size == gateNames.size,
+      s"colliding short codes: ${short.groupBy(_._2).filter(_._2.size > 1)}")
+    // the family code is the round-doc citation id: q_dd10_… → dd10
+    assert(short("q_a1_agg_pricing") == "a1")
+  }
+
+  test("known collision family disambiguates by initials, not dropped") {
+    val short = Bench.shortNames(Seq("q_j6_anti_join", "q_j6_best_per_group"))
+    assert(short.values.toSet.size == 2)
+    assert(short.values.forall(_.startsWith("j6")))
+  }
+
+  test("compact line fits the ~2000-char capture window for a realistic full-suite run") {
+    // realistic shape of a real sf0.1 driver run: sub-second to
+    // few-second queries (3–4 digit ms), 7 clean fork groups
+    val results = gateNames.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 4 == 0) 4.321 else 0.543)
+    }
+    val forks = Seq.fill(7)((24, 1, false))
+    val line = Bench.compactLine(results, 6.15, 1.97, 5, 24, forks, "/root/testdata/sf0.1")
+    assert(line.length < 2000, s"driver line too long: ${line.length} chars")
+    assert(line.contains("\"q_unit\":\"ms\""))
+    assert(line.contains("\"queries\":{"))
+    assert(line.contains(":4321"), s"expected ms ints in: ${line.take(200)}")
+    // it is one valid JSON object (cheap structural check: balanced
+    // braces, single line)
+    assert(!line.contains("\n"))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("pathological digit inflation self-downgrades the unit rather than overflow the window") {
+    // every gate at 99 s would add a digit per entry; the line keeps
+    // all gates present by switching q_unit (ms -> cs/ds), never by
+    // dropping entries
+    val results = gateNames.map(n => n -> 99.123)
+    val line = Bench.compactLine(results, 0, 0, 5, 24, Seq.fill(7)((24, 1, false)), "sf0.1")
+    assert(line.length < 2000, s"driver line too long: ${line.length} chars")
+    assert("\"q_unit\":\"(cs|ds)\"".r.findFirstIn(line).nonEmpty, line.take(120))
+    assert(line.sliding(5).count(_ == "\":-1,") == 0)
+    assert(gateNames.forall(n => line.contains("\"" + Bench.shortNames(gateNames)(n) + "\":")),
+      "every gate key present")
+  }
+
+  test("failed queries record -1 ms; total excludes them") {
+    val line = Bench.compactLine(
+      Seq("q_a1_agg_pricing" -> 1.0, "q_a2_conditional_agg" -> -1.0),
+      0, 0, 5, 24, Nil, "sf")
+    assert(line.contains("\"a1\":1000"))
+    assert(line.contains("\"a2\":-1"))
+    assert(line.contains("\"value\":1.0"))
+  }
+}
