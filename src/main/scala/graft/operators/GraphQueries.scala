@@ -168,5 +168,40 @@ object GraphQueries extends QueryModule {
         GROUP BY s.src ORDER BY vertex"""))
   }
 
-  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4, cc5)
+  // Full coreness decomposition — the per-vertex core number the
+  // single-k cc5 gate only samples (the standard graph-curation
+  // density signal: keep/weight documents by the coreness of their
+  // link neighborhood). Montresor h-index rounds: estimates start at
+  // degrees, each round caps by the h-index of neighbor estimates;
+  // monotone fixpoint = coreness, so the FIXED 10 rounds (2× the
+  // measured 5-round convergence at sf0.01; extra rounds are no-ops)
+  // replay exactly in DuckDB as a materialized CTE chain. Graph: the
+  // order–part bipartite slice densified by folding parts mod 100
+  // (coreness 1..6 at sf0.01 — a real decomposition, where the raw
+  // bipartite slice is a shallow {1,2}).
+  private val cc6 = {
+    val rounds = 10
+    Q(
+      "q_cc6_coreness",
+      s"core-number labeling for every vertex, $rounds unrolled h-index rounds",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 1000)
+          .select(col("l_orderkey").as("a"),
+            (col("l_partkey") % 100 + 1000000L).as("b"))
+          .distinct()
+        KCore.coreness(edges, "a", "b", rounds)
+          .orderBy(col("vertex"))
+      },
+      Some(s"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS a, (l_partkey % 100) + 1000000 AS b
+          FROM lineitem WHERE l_orderkey < 1000),
+        sym AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+        ${KCore.corenessSqlCtes(rounds)}
+        SELECT v AS vertex, c AS coreness FROM c$rounds ORDER BY vertex"""))
+  }
+
+  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4, cc5, cc6)
 }

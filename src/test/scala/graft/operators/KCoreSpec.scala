@@ -52,4 +52,57 @@ class KCoreSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  // ---------------- coreness decomposition ----------------
+
+  test("coreness hand-trace: K4 + pendant chain labels 3/1, tailed cycle labels 2/1") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = KCore.coreness(k4, "a", "b", 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L),
+      s"got $got")
+    val cyc = KCore.coreness(tailedCycle, "a", "b", 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cyc == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("randomized property: h-index coreness == brute-force max-k peel membership") {
+    import spark.implicits._
+    // seeded G(n, p): every pair once, deterministic membership
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val edges = (for {
+      i <- 1 to n; j <- (i + 1) to n
+      if rnd.nextDouble() < 0.12
+    } yield (i.toLong, j.toLong)).toDF("a", "b")
+    val (viaH, _) = KCore.corenessUntil(edges, "a", "b")
+    val got = viaH.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: coreness(v) = max k such that v survives the k-peel
+    // fixpoint (Seidman's definition, computed by the independently
+    // implemented peel path)
+    val maxDeg = got.values.max.toInt
+    val brute = scala.collection.mutable.Map[Long, Long]()
+    for (k <- 1 to maxDeg + 1) {
+      val (core, _) = KCore.peelUntil(edges, "a", "b", k)
+      core.collect().foreach(r => brute(r.getLong(0)) = k.toLong)
+    }
+    assert(got == brute.toMap, {
+      val diff = (got.keySet ++ brute.keySet)
+        .filter(v => got.get(v) != brute.get(v)).take(10)
+      s"mismatch at vertices $diff: h=${diff.map(got.get)}, brute=${diff.map(brute.get)}"
+    })
+  }
+
+  test("corenessUntil matches the fixed-round gate form and reports its rounds") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 5L)).toDF("a", "b")
+    val (conv, rounds) = KCore.corenessUntil(edges, "a", "b")
+    val viaFixed = KCore.coreness(edges, "a", "b", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == viaFixed)
+    assert(rounds >= 1)
+  }
 }
