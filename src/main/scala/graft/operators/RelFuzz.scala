@@ -18,11 +18,14 @@ import scala.util.Random
   *
   *  1. a DataFrame plan (what the engine under test runs),
   *  2. a COMMON-DIALECT SQL string — the generator's grammar is
-  *     restricted to the Spark∩DuckDB surface (equi-joins, %, <>,
+  *     restricted to the Spark∩DuckDB surface (inner/LEFT/FULL
+  *     equi-joins with coalesced-key projections, %, <>,
   *     length/upper/substring/CASE expression projections,
-  *     CAST AS BIGINT, count/sum/min/max, DISTINCT, HAVING on the
-  *     count family, ORDER-BY-all-columns LIMIT), so the SAME string
-  *     parses in both engines,
+  *     row_number over deterministic keys (NULLS FIRST pinned),
+  *     CAST AS BIGINT, count(*)-vs-count(col)-vs-count(DISTINCT)/
+  *     sum/min/max, DISTINCT, HAVING on the count family,
+  *     ORDER-BY-all-columns LIMIT), so the SAME string parses in
+  *     both engines,
   *  3. a DuckDB checksum wrapper for the driver gate.
   *
   * The in-JVM property suite (`RelFuzzSpec`) proves rendering 1 ≡
@@ -44,7 +47,7 @@ object RelFuzz {
 
   /** Population size: the property suite and the gate both run the
     * full population. */
-  val NQueries = 100
+  val NQueries = 150
 
   /** Gate seed — changing it rotates the whole population. */
   val GateSeed = 20260814L
@@ -120,6 +123,14 @@ object RelFuzz {
     def df = count(lit(1)).cast(LongType).as(alias)
     override def countLike = true
   }
+  /** count(col) — skips NULLs, unlike count(*): the divergence class
+    * outer-join null padding exposes (an engine that counted padded
+    * rows would differ exactly here). */
+  private final case class CountCol(c: String, alias: String) extends Agg {
+    def bareSql = s"CAST(count($c) AS BIGINT)"
+    def df = count(col(c)).cast(LongType).as(alias)
+    override def countLike = true
+  }
   private final case class CountDist(c: String, alias: String) extends Agg {
     def bareSql = s"CAST(count(DISTINCT $c) AS BIGINT)"
     def df = countDistinct(col(c)).cast(LongType).as(alias)
@@ -189,11 +200,7 @@ object RelFuzz {
     }
 
     private def edgesUsed: Seq[(String, String, String, String)] =
-      tables.tail.foldLeft((tables.head, Seq.empty[(String, String, String, String)])) {
-        case ((prev, acc), t) =>
-          val e = joinEdges.find(e => e._1 == prev && e._2 == t).get
-          (t, acc :+ e)
-      }._2
+      joinEdgesFor(tables)
 
     /** Rendering 1: the DataFrame plan over parquet at `dir`. */
     def df(spark: SparkSession, dir: String): DataFrame = {
@@ -229,6 +236,14 @@ object RelFuzz {
     }
   }
 
+  /** The FK edges a table chain traverses, in order. */
+  private def joinEdgesFor(chain: Seq[String]): Seq[(String, String, String, String)] =
+    chain.tail.foldLeft((chain.head, Seq.empty[(String, String, String, String)])) {
+      case ((prev, acc), t) =>
+        val e = joinEdges.find(e => e._1 == prev && e._2 == t).get
+        (t, acc :+ e)
+    }._2
+
   // ---- generator --------------------------------------------------------
 
   /** The seeded population: a pure function of `seed`. */
@@ -254,8 +269,14 @@ object RelFuzz {
   }
 
   private def genOne2(id: Int, rnd: Random, chain: Seq[String]): FuzzQuery = {
-    val joinKinds = chain.tail.map(_ =>
-      if (rnd.nextInt(100) < 25) "LEFT JOIN" else "JOIN")
+    // 20% LEFT, 12% FULL, rest inner — outer joins are where the
+    // null-padding semantics (coalesced keys, count(col) vs count(*),
+    // NULLS FIRST ordering) get exercised
+    val joinKinds = chain.tail.map(_ => rnd.nextInt(100) match {
+      case x if x < 20 => "LEFT JOIN"
+      case x if x < 32 => "FULL JOIN"
+      case _ => "JOIN"
+    })
     val cols = chain.flatMap(catalog)
     val numCols = cols.filter(_.num).map(_.name)
     val strCols = cols.filterNot(_.num).map(_.name)
@@ -290,7 +311,35 @@ object RelFuzz {
 
     def oneExpr(i: Int): ExprCol = {
       val alias = s"expr_$i"
-      rnd.nextInt(6) match {
+      rnd.nextInt(8) match {
+        case 6 =>
+          // row_number with a DETERMINISTIC output multiset: partition
+          // by a low-cardinality derived bucket, order by EVERY column
+          // of the chained tables (NULLS FIRST pinned — the engines'
+          // ASC defaults differ). The synthetic data has no reliable
+          // unique keys (lineitem carries duplicate (orderkey,
+          // linenumber) pairs — the first fuzz run with key-only
+          // ordering caught exactly that), but an all-columns sort can
+          // only tie between FULLY identical rows, and identical rows
+          // are interchangeable: whatever tie order an engine picks,
+          // the multiset of output rows is the same.
+          val p = numCols(rnd.nextInt(numCols.size))
+          val pk = Seq(2, 3, 5)(rnd.nextInt(3))
+          val keys = chain.flatMap(catalog).map(_.name)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(p) % pk)
+            .orderBy(keys.map(k => col(k).asc_nulls_first): _*)
+          ExprCol(alias,
+            s"CAST(row_number() OVER (PARTITION BY ($p % $pk) ORDER BY " +
+              keys.map(k => s"$k ASC NULLS FIRST").mkString(", ") + ") AS BIGINT)",
+            row_number().over(w).cast(LongType))
+        case 7 if chain.size >= 2 =>
+          // coalesced join keys — the canonical way outer-join output
+          // re-derives a usable key column; exercises engine agreement
+          // on which side is null-padded
+          val (_, _, lk, rk) = joinEdgesFor(chain).last
+          ExprCol(alias, s"coalesce($lk, $rk, -1)",
+            coalesce(col(lk), col(rk), lit(-1L)))
         case 0 if numCols.size >= 2 =>
           val a = numCols(rnd.nextInt(numCols.size))
           val b = numCols(rnd.nextInt(numCols.size))
@@ -324,10 +373,11 @@ object RelFuzz {
       val nAggs = 1 + rnd.nextInt(3)
       val aggs = (0 until nAggs).map { i =>
         val alias = s"agg_$i"
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 => CountStar(alias)
-          case 1 => CountDist(cols(rnd.nextInt(cols.size)).name, alias)
-          case 2 => SumCol(numCols(rnd.nextInt(numCols.size)), alias)
+          case 1 => CountCol(cols(rnd.nextInt(cols.size)).name, alias)
+          case 2 => CountDist(cols(rnd.nextInt(cols.size)).name, alias)
+          case 3 => SumCol(numCols(rnd.nextInt(numCols.size)), alias)
           case _ =>
             val c = cols(rnd.nextInt(cols.size)).name
             MinMax(c, rnd.nextBoolean(), alias)
