@@ -15,7 +15,7 @@ object SparkEntry {
     GenomicsQueries, SimilarityQueries, MultimodalQueries, GraphQueries,
     BpeQueries, SkewQueries, SketchQueries, QualityClassifierQueries,
     NgramLmQueries, LengthBatchingQueries, ZOrderQueries, MaxMatchQueries,
-    RelFuzzQueries, TemporalFuzzQueries)
+    RelFuzzQueries, TemporalFuzzQueries, UnigramLmQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Unigram-LM (SentencePiece-style) subword tokenizer, as the
+  * INTEGER-EXACT Viterbi hard-EM variant (Kudo 2018 trains with soft
+  * EM over float piece probabilities; the hard-EM/Viterbi variant is
+  * the standard decoding-time form and the strongest formulation that
+  * can be gate-exact — floats are never hash-compared in this repo).
+  *
+  * The true Viterbi objective maximizes Σ log P(piece); the integer
+  * surrogate used here scores a segmentation by the tuple
+  *
+  *   (piece count ASC,  Σ bitlength(freq(piece)) DESC,  seg-string ASC)
+  *
+  * — fewest pieces first (the dominant term of Σ log p − n·log total
+  * when the corpus total is large), log-frequency tie-break at
+  * floor-log2 granularity via `length(bin(freq))` (exact in both
+  * engines — no ln/exp anywhere), and a final lexicographic tie-break
+  * that makes the WINNING SEGMENTATION unique, not just its score.
+  * The tuple order is preserved under suffix addition (piece count
+  * and score are additive; the seg comparison only arbitrates between
+  * equal-count prefixes at the same position, which have equal string
+  * lengths), so keeping one best state per position is a correct DP.
+  *
+  * Segmentation units are adjacent word PAIRS with the space removed
+  * — the no-whitespace-script case unigram LM exists for; on this
+  * corpus it forces real multi-piece splits (whole words are seeds,
+  * pairs are not).
+  *
+  * Hard-EM round: E-step = Viterbi-segment every unit; M-step =
+  * piece usage counts (weighted by unit frequency); prune multi-char
+  * pieces below the usage threshold (chars always survive —
+  * feasibility), re-score by bitlength(usage), re-segment. All counts
+  * stay integers, so the whole EM loop is oracle-replayable.
+  *
+  * Scale shape: the unit table is top-N (model-sized, like the BPE
+  * word table); substring seeding and both DP rounds run over O(N)
+  * rows; the vocab joins are broadcast; corpus-wide application of
+  * the trained tokenizer is one broadcast unit→seg map (the Bpe
+  * discipline). DP rounds localCheckpoint model-sized state (the Bpe
+  * round pattern).
+  */
+object UnigramLm {
+
+  /** Max piece length — bounds each DP round's lookback. */
+  val MaxPiece = 5
+
+  /** Units longer than this are excluded on BOTH sides (bounds the DP
+    * round count; a contract, not an assumption about the data). */
+  val MaxUnitLen = 16
+
+  val TopUnits = 800
+  val TopPieces = 120
+
+  /** M-step prune: multi-char pieces used fewer times than this are
+    * dropped from the round-2 vocabulary. */
+  val PruneThreshold = 50L
+
+  /** (unit, ucount, ulen): adjacent lowercase word pairs, space
+    * removed, top-N by (count desc, unit asc). */
+  def units(docs: DataFrame, textCol: String, topN: Int = TopUnits): DataFrame = {
+    val toks = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z ]", " "), " "),
+      t => t =!= "")
+    val pairs = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, b))
+    docs.select(explode(pairs).as("unit"))
+      .filter(length(col("unit")) <= MaxUnitLen)
+      .groupBy(col("unit"))
+      .agg(count(lit(1)).cast(LongType).as("ucount"))
+      .withColumn("ulen", length(col("unit")))
+      .orderBy(col("ucount").desc, col("unit").asc)
+      .limit(topN)
+  }
+
+  /** Seed vocabulary: every single char, plus the top-M multi-char
+    * substrings (length ≤ MaxPiece) by unit-count-weighted frequency.
+    * (piece, freq, bl) where bl = bitlength(freq) — the integer
+    * log2-granularity score. */
+  def seedVocab(unitsDf: DataFrame, topM: Int = TopPieces): DataFrame = {
+    val pieces = flatten(transform(sequence(lit(1), col("ulen")), i =>
+      transform(sequence(lit(1), least(lit(MaxPiece), col("ulen") - i + lit(1))),
+        l => col("unit").substr(i, l))))
+    val subs = unitsDf.select(col("ucount"), explode(pieces).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("ucount")).as("freq"))
+    val singles = subs.filter(length(col("piece")) === 1)
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("freq").desc, col("piece").asc).limit(topM)
+    withBitScore(singles.unionByName(multi))
+  }
+
+  private def withBitScore(v: DataFrame): DataFrame =
+    v.withColumn("bl", length(bin(col("freq"))).cast(LongType))
+
+  /** Viterbi-segment every unit against `vocab`: one DP round per
+    * position; round j joins the last MaxPiece rounds' states with the
+    * BROADCAST vocab on the (pos, j] substring, then keeps the best
+    * state per unit via a struct-min (pieces asc, score desc, seg asc
+    * — the documented total order). Returns (unit, pieces, score,
+    * seg). */
+  def viterbiSegment(unitsDf: DataFrame, vocab: DataFrame): DataFrame = {
+    val vb = broadcast(vocab.select(col("piece"), col("bl")))
+    val d0 = unitsDf
+      .select(col("unit"), col("ulen"), lit(0).as("pos"), lit(0L).as("pieces"),
+        lit(0L).as("score"), lit("").as("seg"))
+      .localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer(d0)
+    for (j <- 1 to MaxUnitLen) {
+      val prev = rounds.slice(math.max(0, j - MaxPiece), j)
+        .reduce(_ unionByName _)
+      val cand = prev
+        .filter(col("ulen") >= j)
+        .join(vb, vb("piece") ===
+          col("unit").substr(col("pos") + 1, lit(j) - col("pos")))
+        .select(col("unit"), col("ulen"),
+          (col("pieces") + 1).as("pieces"),
+          (col("score") + col("bl")).as("score"),
+          when(col("seg") === "", col("piece"))
+            .otherwise(concat(col("seg"), lit("|"), col("piece"))).as("seg"))
+      val best = cand.groupBy(col("unit"), col("ulen"))
+        .agg(min(struct(col("pieces"), (-col("score")).as("negs"), col("seg"))).as("b"))
+        .select(col("unit"), col("ulen"), lit(j).as("pos"),
+          col("b.pieces").as("pieces"), (-col("b.negs")).as("score"),
+          col("b.seg").as("seg"))
+        .localCheckpoint()
+      rounds += best
+    }
+    rounds.tail
+      .reduce(_ unionByName _)
+      .filter(col("pos") === col("ulen"))
+      .select(col("unit"), col("pieces"), col("score"), col("seg"))
+  }
+
+  /** M-step: usage count per piece over the segmentations, weighted
+    * by unit frequency. */
+  def pieceUsage(segs: DataFrame, unitsDf: DataFrame): DataFrame =
+    segs.join(unitsDf.select(col("unit"), col("ucount")), Seq("unit"))
+      .select(explode(split(col("seg"), "\\|")).as("piece"), col("ucount"))
+      .groupBy(col("piece")).agg(sum(col("ucount")).as("used"))
+
+  /** Prune + re-score: multi-char pieces below the usage threshold
+    * drop out; chars always survive (segmentation feasibility, as in
+    * SentencePiece); surviving pieces are re-scored by
+    * bitlength(max(used, 1)). */
+  def pruneVocab(vocab: DataFrame, usage: DataFrame,
+      threshold: Long = PruneThreshold): DataFrame =
+    withBitScore(vocab.select(col("piece"))
+      .join(usage, Seq("piece"), "left")
+      .withColumn("used", coalesce(col("used"), lit(0L)))
+      .filter(length(col("piece")) === 1 || col("used") >= threshold)
+      .select(col("piece"), greatest(col("used"), lit(1L)).as("freq")))
+
+  // ---------------- DuckDB oracle ----------------
+
+  /** CTEs `units`, `subs`, `vocab` — the seed phase. */
+  def seedSqlCtes: String = s"""
+    units AS MATERIALIZED (
+      SELECT unit, CAST(count(*) AS BIGINT) AS ucount, length(unit) AS ulen
+      FROM (
+        SELECT w[i] || w[i+1] AS unit
+        FROM (SELECT list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' '), x -> x <> '') AS w
+              FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w))) AS i) pos)
+      WHERE length(unit) <= $MaxUnitLen
+      GROUP BY unit ORDER BY ucount DESC, unit ASC LIMIT $TopUnits),
+    subs AS MATERIALIZED (
+      SELECT piece, CAST(sum(ucount) AS BIGINT) AS freq
+      FROM (
+        SELECT u.ucount, substring(u.unit, i, l) AS piece
+        FROM units u,
+             LATERAL (SELECT unnest(range(1, u.ulen + 1)) AS i) pos,
+             LATERAL (SELECT unnest(range(1, ${MaxPiece + 1})) AS l) ln
+        WHERE i + l - 1 <= u.ulen)
+      GROUP BY piece),
+    vocab AS MATERIALIZED (
+      SELECT piece, freq, CAST(length(bin(freq)) AS BIGINT) AS bl FROM (
+        SELECT piece, freq FROM subs WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, freq FROM (
+          SELECT piece, freq FROM subs WHERE length(piece) > 1
+          ORDER BY freq DESC, piece ASC LIMIT $TopPieces)))"""
+
+  /** The unrolled DP over `vocabCte`, with round CTEs named
+    * `<p>0..<p>$MaxUnitLen` and a final `<p>fin` (unit, pieces, score,
+    * seg). Mirrors [[viterbiSegment]] exactly (row_number rn=1 ==
+    * struct-min under the same total order). */
+  def viterbiSqlCtes(p: String, vocabCte: String): String = {
+    val rounds = (1 to MaxUnitLen).map { j =>
+      val prev = (math.max(0, j - MaxPiece) until j)
+        .map(i => s"SELECT *, $i AS pos FROM $p$i").mkString(" UNION ALL ")
+      s"""$p$j AS MATERIALIZED (
+         |  SELECT unit, ulen, pieces, score, seg FROM (
+         |    SELECT s.unit, s.ulen, s.pieces + 1 AS pieces, s.score + v.bl AS score,
+         |           CASE WHEN s.seg = '' THEN v.piece ELSE s.seg || '|' || v.piece END AS seg,
+         |           row_number() OVER (PARTITION BY s.unit
+         |             ORDER BY s.pieces + 1 ASC, s.score + v.bl DESC,
+         |                      CASE WHEN s.seg = '' THEN v.piece ELSE s.seg || '|' || v.piece END ASC) AS rn
+         |    FROM ($prev) s
+         |    JOIN $vocabCte v ON v.piece = substring(s.unit, s.pos + 1, $j - s.pos)
+         |    WHERE s.ulen >= $j)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val init = s"""${p}0 AS MATERIALIZED (
+                  |  SELECT unit, ulen, CAST(0 AS BIGINT) AS pieces,
+                  |         CAST(0 AS BIGINT) AS score, '' AS seg FROM units)""".stripMargin
+    val fin = s"""${p}fin AS MATERIALIZED (
+                 |  SELECT unit, pieces, score, seg FROM (
+                 |    ${(1 to MaxUnitLen).map(j => s"SELECT * FROM $p$j WHERE ulen = $j").mkString(" UNION ALL ")}))""".stripMargin
+    (init +: rounds :+ fin).mkString(",\n")
+  }
+
+  /** CTEs for the hard-EM round: usage, pruned vocab. Expects `dfin`
+    * + `units` + `vocab` in scope. */
+  def emSqlCtes: String = s"""
+    usage AS MATERIALIZED (
+      SELECT piece, CAST(sum(ucount) AS BIGINT) AS used
+      FROM (
+        SELECT unnest(string_split(f.seg, '|')) AS piece, u.ucount
+        FROM dfin f JOIN units u ON u.unit = f.unit)
+      GROUP BY piece),
+    vocab2 AS MATERIALIZED (
+      SELECT v.piece,
+             CAST(length(bin(greatest(coalesce(g.used, 0), 1))) AS BIGINT) AS bl
+      FROM vocab v LEFT JOIN usage g ON g.piece = v.piece
+      WHERE length(v.piece) = 1 OR coalesce(g.used, 0) >= $PruneThreshold)"""
+}
+
+/** Gates: round-1 Viterbi segmentation and the full hard-EM round,
+  * both replayed exactly by DuckDB from the same integer objective. */
+object UnigramLmQueries extends graft.QueryModule {
+  import graft.{Q, Tables}
+
+  private val ul1 = Q(
+    "q_ul1_unigram_viterbi",
+    "unigram-LM (SentencePiece-style) Viterbi segmentation, integer surrogate objective",
+    (s, d) => {
+      val u = UnigramLm.units(Tables.documents(s, d), "text")
+      UnigramLm.viterbiSegment(u, UnigramLm.seedVocab(u))
+        .orderBy(col("unit"))
+    },
+    Some(s"""
+      WITH ${UnigramLm.seedSqlCtes},
+      ${UnigramLm.viterbiSqlCtes("d", "vocab")}
+      SELECT unit, pieces, score, seg FROM dfin ORDER BY unit"""))
+
+  private val ul2 = Q(
+    "q_ul2_unigram_em_round",
+    "unigram-LM hard-EM round: usage M-step, prune, re-scored Viterbi re-segmentation",
+    (s, d) => {
+      val u = UnigramLm.units(Tables.documents(s, d), "text")
+      val v = UnigramLm.seedVocab(u)
+      val seg1 = UnigramLm.viterbiSegment(u, v)
+      val v2 = UnigramLm.pruneVocab(v, UnigramLm.pieceUsage(seg1, u))
+      UnigramLm.viterbiSegment(u, v2).orderBy(col("unit"))
+    },
+    Some(s"""
+      WITH ${UnigramLm.seedSqlCtes},
+      ${UnigramLm.viterbiSqlCtes("d", "vocab")},
+      ${UnigramLm.emSqlCtes},
+      ${UnigramLm.viterbiSqlCtes("e", "vocab2")}
+      SELECT unit, pieces, score, seg FROM efin ORDER BY unit"""))
+
+  override val all: Seq[Q] = Seq(ul1, ul2)
+}
