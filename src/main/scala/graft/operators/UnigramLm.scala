@@ -37,11 +37,11 @@ import org.apache.spark.sql.types.LongType
   * stay integers, so the whole EM loop is oracle-replayable.
   *
   * Scale shape: the unit table is top-N (model-sized, like the BPE
-  * word table); substring seeding and both DP rounds run over O(N)
-  * rows; the vocab joins are broadcast; corpus-wide application of
-  * the trained tokenizer is one broadcast unit→seg map (the Bpe
-  * discipline). DP rounds localCheckpoint model-sized state (the Bpe
-  * round pattern).
+  * word table) and the vocab re-enters as a LITERAL map (bounded
+  * model, ≤ alphabet + TopPieces entries); the whole Viterbi DP is a
+  * single map-side `aggregate` higher-order expression — no joins, no
+  * shuffles, no iterative rounds — so the same operator tokenizes a
+  * 100 TB corpus at O(len·MaxPiece) column math per row.
   */
 object UnigramLm {
 
@@ -97,43 +97,51 @@ object UnigramLm {
   private def withBitScore(v: DataFrame): DataFrame =
     v.withColumn("bl", length(bin(col("freq"))).cast(LongType))
 
-  /** Viterbi-segment every unit against `vocab`: one DP round per
-    * position; round j joins the last MaxPiece rounds' states with the
-    * BROADCAST vocab on the (pos, j] substring, then keeps the best
-    * state per unit via a struct-min (pieces asc, score desc, seg asc
-    * — the documented total order). Returns (unit, pieces, score,
-    * seg). */
+  /** Sentinel piece count for an unreachable DP state (propagates and
+    * never beats a real candidate under the struct-min order). */
+  private val Inf = 1000000L
+
+  /** Viterbi-segment every unit against `vocab` as ONE map-side
+    * projection: the vocab (model-sized by construction — alphabet +
+    * top-M pieces) collects into a literal map (the bounded-model
+    * re-entry contract), and the whole per-unit DP runs inside an
+    * `aggregate` higher-order function over positions 1..ulen, each
+    * step taking the struct-min over the last MaxPiece states
+    * (pieces asc, −score asc, seg asc — the documented total order).
+    * No joins, no shuffles, no per-round jobs: segmentation cost is
+    * O(ulen·MaxPiece) column math per row, embarrassingly parallel —
+    * the shape that lets the SAME operator tokenize a 100 TB corpus
+    * (apply to raw units directly; nothing here is bounded by the
+    * top-N training cap except the vocab itself). Returns (unit,
+    * pieces, score, seg). */
   def viterbiSegment(unitsDf: DataFrame, vocab: DataFrame): DataFrame = {
-    val vb = broadcast(vocab.select(col("piece"), col("bl")))
-    val d0 = unitsDf
-      .select(col("unit"), col("ulen"), lit(0).as("pos"), lit(0L).as("pieces"),
-        lit(0L).as("score"), lit("").as("seg"))
-      .localCheckpoint()
-    val rounds = scala.collection.mutable.ArrayBuffer(d0)
-    for (j <- 1 to MaxUnitLen) {
-      val prev = rounds.slice(math.max(0, j - MaxPiece), j)
-        .reduce(_ unionByName _)
-      val cand = prev
-        .filter(col("ulen") >= j)
-        .join(vb, vb("piece") ===
-          col("unit").substr(col("pos") + 1, lit(j) - col("pos")))
-        .select(col("unit"), col("ulen"),
-          (col("pieces") + 1).as("pieces"),
-          (col("score") + col("bl")).as("score"),
-          when(col("seg") === "", col("piece"))
-            .otherwise(concat(col("seg"), lit("|"), col("piece"))).as("seg"))
-      val best = cand.groupBy(col("unit"), col("ulen"))
-        .agg(min(struct(col("pieces"), (-col("score")).as("negs"), col("seg"))).as("b"))
-        .select(col("unit"), col("ulen"), lit(j).as("pos"),
-          col("b.pieces").as("pieces"), (-col("b.negs")).as("score"),
-          col("b.seg").as("seg"))
-        .localCheckpoint()
-      rounds += best
-    }
-    rounds.tail
-      .reduce(_ unionByName _)
-      .filter(col("pos") === col("ulen"))
-      .select(col("unit"), col("pieces"), col("score"), col("seg"))
+    val entries = vocab.select(col("piece"), col("bl")).collect()
+    val blMap = map(entries.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(r.getLong(1)))).toIndexedSeq: _*)
+    val unreachable = struct(lit(Inf).as("pieces"), lit(0L).as("negs"),
+      lit("").as("seg"))
+    val dp = aggregate(
+      sequence(lit(1), col("ulen")),
+      array(struct(lit(0L).as("pieces"), lit(0L).as("negs"), lit("").as("seg"))),
+      (acc, j) => concat(acc, array(array_min(transform(
+        sequence(greatest(j - lit(MaxPiece), lit(0)), j - lit(1)),
+        i => {
+          val st = element_at(acc, (i + lit(1)).cast("int"))
+          val piece = col("unit").substr(i + lit(1), j - i)
+          val b = element_at(blMap, piece)
+          when(b.isNull || st.getField("pieces") >= Inf, unreachable)
+            .otherwise(struct(
+              (st.getField("pieces") + lit(1L)).as("pieces"),
+              (st.getField("negs") - b).as("negs"),
+              when(st.getField("seg") === "", piece)
+                .otherwise(concat(st.getField("seg"), lit("|"), piece)).as("seg")))
+        })))),
+      acc => element_at(acc, lit(-1)))
+    unitsDf
+      .select(col("unit"), dp.as("d"))
+      .filter(col("d.pieces") < Inf)
+      .select(col("unit"), col("d.pieces").as("pieces"),
+        (-col("d.negs")).as("score"), col("d.seg").as("seg"))
   }
 
   /** M-step: usage count per piece over the segmentations, weighted
