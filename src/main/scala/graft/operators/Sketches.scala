@@ -297,6 +297,56 @@ object Sketches {
     }.select(col(keyCol),
       least((0 until d).map(j => coalesce(col(s"__c$j"), lit(0L))): _*).as("est"))
   }
+
+  // ---------------- HyperLogLog registers (integer-exact) ----------------
+
+  /** m = 2^6 register buckets; the 56-bit hash leaves a 50-bit
+    * substream per bucket. */
+  val HllBuckets = 64
+  private val HllW = 50
+
+  /** (bucket, rho) columns for a key expression: bucket = h mod m,
+    * rho = leading-zero count of the 50-bit substream + 1, computed as
+    * 51 − bitlength(h >> 6) via `length(bin(...))` — integer-exact in
+    * both engines (Flajolet 2007's ρ with no float anywhere). */
+  def hllBucketRho(keyExpr: Column): (Column, Column) = {
+    val h = md5Long56(keyExpr)
+    val w = shiftright(h, 6)
+    (pmod(h, lit(HllBuckets.toLong)),
+      when(w === 0L, lit((HllW + 1).toLong))
+        .otherwise(lit((HllW + 1).toLong) - length(bin(w)).cast(LongType)))
+  }
+
+  /** HLL register table over `keyExpr`: (bucket, r) for EVERY bucket
+    * 0..m−1 (empty = 0). This is the sketch STATE — what a 100 TB job
+    * stores, merges across shards (per-bucket max — idempotent, so no
+    * pre-distinct is needed) and gates on; the cardinality estimate
+    * (α·m²·2^Rmax ⁄ Σ 2^(Rmax−r), whose harmonic sum is an exact
+    * integer — see SketchesSpec) is downstream arithmetic over these
+    * 64 rows. Plan: map-side (bucket, ρ) projection → two-phase max
+    * agg → broadcast-spine left join for empty buckets. */
+  def hllRegisters(df: DataFrame, keyExpr: Column): DataFrame = {
+    val (bucket, rho) = hllBucketRho(keyExpr)
+    val regs = df.select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+    hllSpineJoin(df, regs)
+  }
+
+  /** Left-join partial registers onto the full 0..m−1 bucket spine. */
+  def hllSpineJoin(df: DataFrame, regs: DataFrame): DataFrame =
+    df.sparkSession.range(0, HllBuckets.toLong)
+      .select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("r"), lit(0L)).as("r"))
+
+  /** DuckDB bucket/rho for a key SQL expression (h >> 6 keeps the
+    * substream integer-exact — float division would round above
+    * 2^53). */
+  def hllBucketRhoSql(keySqlExpr: String): (String, String) = {
+    val h = md5Long56Sql(keySqlExpr)
+    (s"($h % $HllBuckets)",
+      s"(CASE WHEN ($h >> 6) = 0 THEN ${HllW + 1} ELSE ${HllW + 1} - length(bin($h >> 6)) END)")
+  }
 }
 
 /** Sketch gates. Naming: q_sp* (sketch processing). */
@@ -722,5 +772,56 @@ object SketchQueries extends QueryModule {
           (SELECT count(*) FROM probe WHERE k IN (SELECT k FROM urgent)) AS n_false_pos"""
     })
 
-  override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5, sp6, sp7, sp8, sp9)
+  // HLL register table over the part-key multiset. The registers ARE
+  // the gate (integer-exact); the float estimate is downstream math
+  // over 64 rows (SketchesSpec pins its accuracy).
+  private val sp10 = {
+    val (bSql, rSql) = hllBucketRhoSql("'p:' || CAST(l_partkey AS VARCHAR)")
+    Q(
+      "q_sp10_hll_registers",
+      s"HyperLogLog register table (m=$HllBuckets) over lineitem part keys, integer-exact rho",
+      (s, d) => hllRegisters(Tables.lineitem(s, d),
+          concat(lit("p:"), col("l_partkey").cast("string")))
+        .orderBy(col("bucket")),
+      Some(s"""
+        SELECT s.bucket, CAST(coalesce(max(x.rho), 0) AS BIGINT) AS r
+        FROM (SELECT unnest(range(0, $HllBuckets)) AS bucket) s
+        LEFT JOIN (SELECT $bSql AS bucket, $rSql AS rho FROM lineitem) x
+          ON x.bucket = s.bucket
+        GROUP BY s.bucket ORDER BY s.bucket"""))
+  }
+
+  // HLL shard-merge law, cross-engine: registers built independently
+  // per shard (supplier mod 4 — how a 1000-executor job actually
+  // sketches: one register set per partition, merged by per-bucket
+  // max), then max-merged. Output must equal sp10's single-pass
+  // registers; BOTH engines compute the two-level path, so the gate
+  // proves the distributed combine associativity, not just equality.
+  private val sp11 = {
+    val (bSql, rSql) = hllBucketRhoSql("'p:' || CAST(l_partkey AS VARCHAR)")
+    Q(
+      "q_sp11_hll_merge",
+      "HLL shard-merge: per-shard registers max-merged == single-pass registers",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val (bucket, rho) = hllBucketRho(concat(lit("p:"), col("l_partkey").cast("string")))
+        val shardRegs = li.select((col("l_suppkey") % 4).as("shard"),
+            bucket.as("bucket"), rho.as("rho"))
+          .groupBy(col("shard"), col("bucket")).agg(max(col("rho")).as("r"))
+        val merged = shardRegs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+        hllSpineJoin(li, merged).orderBy(col("bucket"))
+      },
+      Some(s"""
+        WITH shard AS (
+          SELECT l_suppkey % 4 AS shard, $bSql AS bucket, max($rSql) AS r
+          FROM lineitem GROUP BY 1, 2),
+        merged AS (SELECT bucket, max(r) AS r FROM shard GROUP BY bucket)
+        SELECT s.bucket, CAST(coalesce(m.r, 0) AS BIGINT) AS r
+        FROM (SELECT unnest(range(0, $HllBuckets)) AS bucket) s
+        LEFT JOIN merged m ON m.bucket = s.bucket
+        ORDER BY s.bucket"""))
+  }
+
+  override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5, sp6, sp7, sp8, sp9,
+    sp10, sp11)
 }

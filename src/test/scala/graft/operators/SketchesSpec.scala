@@ -198,4 +198,52 @@ class SketchesSpec extends SparkSpec {
     assert(saturated == 0, s"test premise: sf0.001 windows must stay under K, got $saturated at/over")
     assert(out == exact, "unsaturated sliding KMV must equal exact sliding distinct")
   }
+
+  // ---------------- HyperLogLog ----------------
+
+  /** JVM reference for (bucket, rho): independent md5 + bit math. */
+  private def refBucketRho(key: String): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 14), 16)
+    val w = h >> 6
+    val rho = if (w == 0L) 51L else 51L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    (h % 64, rho)
+  }
+
+  test("HLL registers: frame computation == JVM bit-math reference") {
+    val keys = (1 to 500).map(i => s"p:$i")
+    val df = keys.toDF("k")
+    val got = hllRegisters(df, col("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = keys.map(refBucketRho)
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val full = (0L until 64L).map(b => b -> ref.getOrElse(b, 0L)).toMap
+    assert(got == full)
+  }
+
+  test("HLL merge law: registers(A ++ B) == per-bucket max of shard registers") {
+    val a = (1 to 300).map(i => s"x:$i").toDF("k")
+    val b = (200 to 600).map(i => s"x:$i").toDF("k") // overlapping shards
+    val whole = hllRegisters(a.unionAll(b), col("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ra = hllRegisters(a, col("k")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rb = hllRegisters(b, col("k")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = (0L until 64L).map(bk => bk -> math.max(ra(bk), rb(bk))).toMap
+    assert(whole == merged)
+  }
+
+  test("HLL estimate from the integer registers lands near the true cardinality") {
+    // downstream float math over the 64 exact registers: the harmonic
+    // sum Σ 2^(Rmax−r) is an exact BIGINT; only α and the division are
+    // float. m=64 → σ ≈ 1.04/√64 = 13%; the data and hash are fixed, so
+    // this is a deterministic number, asserted within 2σ of truth.
+    val n = 5000
+    val df = (1 to n).map(i => s"c:$i").toDF("k")
+    val regs = hllRegisters(df, col("k")).collect().map(r => r.getLong(1))
+    val rmax = regs.max
+    val harmonic = regs.map(r => 1L << (rmax - r)).sum // exact integer
+    val est = 0.709 * 64.0 * 64.0 * math.pow(2.0, rmax.toDouble) / harmonic.toDouble
+    assert(math.abs(est - n) / n < 0.26, s"estimate $est vs true $n")
+  }
 }
