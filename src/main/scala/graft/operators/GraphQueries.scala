@@ -203,5 +203,38 @@ object GraphQueries extends QueryModule {
         SELECT v AS vertex, c AS coreness FROM c$rounds ORDER BY vertex"""))
   }
 
-  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4, cc5, cc6)
+  // Multi-source BFS hop distances over the order-part graph: sources
+  // = the first ten orders; 8 unrolled min-label rounds (the output is
+  // deterministic for ANY fixed round count — vertices beyond 8 hops
+  // are simply not yet reached — and 8 covers the slice's eccentricity
+  // at sf0.01). The distance-to-seed-set signal is the standard
+  // crawl-frontier / link-neighborhood curation feature.
+  private val cc7 = {
+    val rounds = 8
+    Q(
+      "q_cc7_bfs_hops",
+      s"multi-source BFS hop distances, $rounds unrolled min-label rounds",
+      (s, d) => {
+        import s.implicits._
+        val edges = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 500)
+          .select(col("l_orderkey").as("a"),
+            (col("l_partkey") + 1000000L).as("b"))
+          .distinct()
+        val sources = (0L until 10L).toDF("v")
+        Bfs.hopDistances(edges, "a", "b", sources, rounds)
+          .orderBy(col("vertex"))
+      },
+      Some(s"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000 AS b
+          FROM lineitem WHERE l_orderkey < 500),
+        sym AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+        srcs AS (SELECT unnest(range(0, 10)) AS v),
+        ${Bfs.sqlCtes(rounds)}
+        SELECT v AS vertex, d AS hops FROM b$rounds ORDER BY vertex"""))
+  }
+
+  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4, cc5, cc6, cc7)
 }
