@@ -236,5 +236,34 @@ object GraphQueries extends QueryModule {
         SELECT v AS vertex, d AS hops FROM b$rounds ORDER BY vertex"""))
   }
 
-  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4, cc5, cc6, cc7)
+  // TrustRank / personalized PageRank: rank mass enters only at the
+  // ten seed orders and decays along links — the propagate-quality-
+  // from-trusted-seeds curation signal (seed-proximity complement of
+  // cc7's hop distances). Same scaled-integer discipline as cc4.
+  private val cc8 = {
+    val iters = 5
+    Q(
+      "q_cc8_trustrank",
+      s"personalized PageRank (TrustRank) from 10 seed orders, $iters unrolled rounds",
+      (s, d) => {
+        import s.implicits._
+        val edges = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 500)
+          .select(col("l_orderkey").as("src"),
+            (col("l_partkey") + 1000000L).as("dst"))
+          .distinct()
+        PageRank.trustRanks(edges, "src", "dst", (0L until 10L).toDF("v"), iters)
+          .select(col("v").as("vertex"), col("rank"))
+          .orderBy(col("vertex"))
+      },
+      Some(s"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS src, l_partkey + 1000000 AS dst
+          FROM lineitem WHERE l_orderkey < 500),
+        seeds AS (SELECT unnest(range(0, 10)) AS v),
+        ${PageRank.trustRanksSqlCtes(iters)}
+        SELECT v AS vertex, rank FROM t$iters ORDER BY vertex"""))
+  }
+
+  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4, cc5, cc6, cc7, cc8)
 }

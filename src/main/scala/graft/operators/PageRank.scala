@@ -98,6 +98,77 @@ object PageRank {
       s"PageRank did not converge to delta ≤ $delta in $maxIters rounds")
   }
 
+  // ---------------- personalized PageRank (TrustRank) ----------------
+
+  /** Seed-restart base: floor(0.15·Scale) on seed vertices, 0
+    * elsewhere — the personalization vector in the same scaled-integer
+    * discipline as [[ranks]]. */
+  private def seedBase(g: Graph, seeds: DataFrame): DataFrame =
+    g.verts.join(seeds.toDF("v").withColumn("__seed", lit(1)), Seq("v"), "left")
+      .select(col("v"),
+        when(col("__seed").isNotNull, lit(15L * Scale / 100L))
+          .otherwise(lit(0L)).as("base"))
+      .localCheckpoint()
+
+  private def trustRound(g: Graph, r: DataFrame, base: DataFrame): DataFrame =
+    g.verts
+      .join(r.join(g.outDeg, r("v") === g.outDeg("src"))
+          .select(col("src"), expr("rank div out").as("c"))
+          .join(g.e, "src")
+          .groupBy(col("dst")).agg(sum(col("c")).as("s")),
+        g.verts("v") === col("dst"), "left")
+      .join(base, Seq("v"))
+      .select(col("v"),
+        (col("base") + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+      .localCheckpoint()
+
+  /** Personalized PageRank with restart onto a seed set — TrustRank
+    * (Gyöngyi et al. 2004), the standard propagate-quality-from-
+    * trusted-seeds curation signal: rank mass enters ONLY at seeds
+    * (r₀ = Scale there, 0 elsewhere; restart base likewise) and decays
+    * along links, so a vertex's rank measures its link proximity to
+    * the trusted set; vertices unreachable from seeds stay exactly 0.
+    * Same scaled-integer floor arithmetic, round kernel and per-round
+    * truncation as [[ranks]] — one more keyed broadcast-size join per
+    * round for the base vector. */
+  def trustRanks(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, "unrolled-oracle range")
+    val g = graphOf(edges, srcCol, dstCol)
+    val base = seedBase(g, seeds)
+    var r = base.select(col("v"),
+        when(col("base") > 0L, lit(Scale)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) r = trustRound(g, r, base)
+    r
+  }
+
+  /** Oracle twin of [[trustRanks]]: expects `e(src, dst)` and
+    * `seeds(v)` CTEs; exposes `t<iters>` with (v, rank). */
+  def trustRanksSqlCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""t$k AS MATERIALIZED (
+        SELECT v.v,
+               CAST(b.base + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank
+        FROM verts v
+        JOIN base b ON b.v = v.v
+        LEFT JOIN (
+          SELECT e.dst, CAST(sum(r.rank // d.out) AS BIGINT) AS s
+          FROM t${k - 1} r
+          JOIN deg d ON d.src = r.v
+          JOIN e ON e.src = r.v
+          GROUP BY e.dst) s ON s.dst = v.v)"""
+    }
+    s"""verts AS MATERIALIZED (
+        SELECT DISTINCT src AS v FROM e UNION SELECT DISTINCT dst FROM e),
+      deg AS MATERIALIZED (SELECT src, count(*) AS out FROM e GROUP BY src),
+      base AS MATERIALIZED (
+        SELECT v.v, CAST(CASE WHEN s.v IS NOT NULL THEN ${15L * Scale / 100L} ELSE 0 END AS BIGINT) AS base
+        FROM verts v LEFT JOIN seeds s ON s.v = v.v),
+      t0 AS (SELECT v, CAST(CASE WHEN base > 0 THEN $Scale ELSE 0 END AS BIGINT) AS rank FROM base),
+      ${rounds.mkString(",\n      ")}"""
+  }
+
   /** Oracle twin: deg/r0 plus one CTE per round (MATERIALIZED — the
     * multiply-referenced chain re-evaluates exponentially otherwise,
     * the q_bpe1 lesson). `edgesCte` must define e(src, dst). Sums and

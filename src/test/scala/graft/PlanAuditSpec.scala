@@ -461,7 +461,8 @@ class PlanAuditSpec extends SparkSpec {
     // rounds) and their state is the derived edge set, not the corpus.
     val exempt = Set("q_cc1_components", "q_cc2_components_star",
       "q_cc3_triangles", "q_cc4_pagerank", "q_cc5_kcore",
-      "q_cc6_coreness", "q_cc7_bfs_hops", "q_dd10_dup_clusters")
+      "q_cc6_coreness", "q_cc7_bfs_hops", "q_cc8_trustrank",
+      "q_dd10_dup_clusters")
     val bounded: Set[Set[String]] = Set(
       Set("bucket", "kind", "cnt"),               // hashed LM models, ≤ 4·B+1 rows
       Set("bucket", "cnt_t", "cnt_b"),            // quality-classifier model, ≤ B rows
