@@ -263,5 +263,54 @@ object EventQueries extends QueryModule {
       LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
       ORDER BY s.user_id, s.day"""))
 
-  override val all: Seq[Q] = Seq(ev1, ev2, ev3, ev4, ev5, ev6, rj1)
+  // Gaps-and-islands: per-user runs of CONSECUTIVE activity days (the
+  // streak/continuity feature retention models consume; the calendar
+  // sibling of ev2's time-gap sessionization). Days are integer epoch
+  // day numbers on BOTH sides — `div 86400000000` of the truncated
+  // microsecond epoch — so no DATE value ever reaches the gate (the
+  // pandas-vs-DuckDB DATE materialization trap) and the gap compare
+  // is exact integer arithmetic. Plan: one distinct, one user-keyed
+  // window pair (lag + running sum), one two-phase agg — all
+  // co-partitioned on user_id.
+  private val ev7 = Q(
+    "q_ev7_islands",
+    "gaps-and-islands: per-user consecutive-day activity runs via lag + running sum",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days
+        .withColumn("prev", lag(col("day"), 1).over(w))
+        .withColumn("new_island",
+          when(col("prev").isNull || col("day") - col("prev") > 1L, 1L).otherwise(0L))
+        .withColumn("island_id", sum(col("new_island")).over(cum))
+        .groupBy(col("user_id"), col("island_id"))
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          cnt.as("n_days"))
+        .orderBy(col("user_id"), col("island_id"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) // 86400000000 AS day
+        FROM events WHERE user_id IS NOT NULL),
+      flagged AS (
+        SELECT user_id, day,
+               CASE WHEN lag(day) OVER w IS NULL OR day - lag(day) OVER w > 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM days WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      islands AS (
+        SELECT user_id, day,
+               CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_id
+        FROM flagged)
+      SELECT user_id, island_id, min(day) AS start_day, max(day) AS end_day,
+             count(*) AS n_days
+      FROM islands GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  override val all: Seq[Q] = Seq(ev1, ev2, ev3, ev4, ev5, ev6, ev7, rj1)
 }

@@ -283,6 +283,44 @@ object JoinQueries extends QueryModule {
       FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
       ORDER BY 1"""))
 
+  // Blocked fuzzy self-join (entity resolution): edit-distance-1 name
+  // pairs found WITHOUT the O(N²) all-pairs compare. Blocking =
+  // wildcard variants (each name emits L copies with one tail
+  // position replaced by '_'; two names share a variant iff they
+  // differ in at most that position — the SymSpell/spell-correction
+  // neighborhood trick; on fixed-length ids, levenshtein 1 ≡ Hamming
+  // 1, so the blocking is EXACT, not just a candidate filter).
+  // Candidates come from one equi-join on the variant key — O(N·L)
+  // rows shuffled by variant — and the levenshtein verify touches
+  // candidates only: the dd2/dd4 discipline applied to string ER.
+  private val j13 = Q(
+    "q_j13_fuzzy_blocked",
+    "edit-distance-1 name pairs via wildcard-variant blocking + levenshtein verify",
+    (s, d) => {
+      val names = Tables.customer(s, d).select(col("c_name").as("name"))
+      val variants = names.select(col("name"),
+          explode(transform(
+            sequence(length(col("name")) - 5, length(col("name"))),
+            i => concat(col("name").substr(lit(1), i - 1), lit("_"),
+              col("name").substr(i + 1, length(col("name")))))).as("blk"))
+      val a = variants.select(col("name").as("name_a"), col("blk"))
+      val b = variants.select(col("name").as("name_b"), col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+        .select(col("name_a"), col("name_b"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT name, substring(name, 1, i - 1) || '_' || substring(name, i + 1, length(name)) AS blk
+        FROM (SELECT c_name AS name FROM customer),
+             LATERAL (SELECT unnest(range(length(name) - 5, length(name) + 1)) AS i) p)
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM v a JOIN v b ON a.blk = b.blk AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) = 1
+      ORDER BY 1, 2"""))
+
   override val all: Seq[Q] =
-    Seq(j1, j2, j3, j4, j5, j6, j6b, j7, j9, j11, j12)
+    Seq(j1, j2, j3, j4, j5, j6, j6b, j7, j9, j11, j12, j13)
 }

@@ -448,6 +448,22 @@ class PlanAuditSpec extends SparkSpec {
       s"a 100 TB corpus must never shuffle for the model lookup:\n$p")
   }
 
+  test("q_j13: fuzzy blocking is an equi-join on the variant key, never a cartesian") {
+    val p = plan("q_j13_fuzzy_blocked")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wildcard blocking must candidate via equi-join:\n$p")
+  }
+
+  test("q_ev7: every islands window is user-partitioned, never a corpus-wide single task") {
+    val df = SparkEntry.queries("q_ev7_islands")(spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "lag/running-sum must co-partition on user_id")
+  }
+
   test("no gate materializes an O(corpus) frame: every LogicalRDD leaf is a bounded artifact") {
     // localCheckpoint / collected-and-reparallelized frames appear as
     // LogicalRDD leaves: pinned executor blocks with TRUNCATED lineage
