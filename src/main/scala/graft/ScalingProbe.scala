@@ -45,7 +45,16 @@ object ScalingProbe {
     "q_dd12_span_removal",
     "q_tx13_novelty", "q_llm3_mix_pipeline", "q_lm7_dsir", "q_dd13_bag_dedup",
     "q_dd14_minhash_audit", "q_dd15_best_keeper", "q_s8_curriculum",
-    "q_tx14_vocab_stats")
+    "q_tx14_vocab_stats",
+    "q_ul1_unigram_viterbi", "q_ul2_unigram_em_round")
+
+  /** Gates whose scaled input is the REAL sf0.01 → sf0.1 step: their
+    * tables (lineitem / customer / events) pass through the
+    * synthesizer at 1×, but grow 10× between the two driver datasets
+    * — an equally honest 10× measurement. */
+  val RealStepGates: Seq[String] = Seq(
+    "q_sp10_hll_registers", "q_sp11_hll_merge", "q_ev7_islands",
+    "q_j13_fuzzy_blocked")
 
   val Shards = 10
   private val IdOffset = 10000000L
@@ -98,7 +107,55 @@ object ScalingProbe {
       Seq(row("q_dd8 with k∝N (8→80)", tSf, tBig))
     } else Seq.empty
 
-    writeMd(outMd, sfDir, bigDir, rows ++ kRow)
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_SMALL", "/root/testdata/sf0.01")
+    val realRows = RealStepGates.filter(g => only.forall(_.contains(g))).map { g =>
+      val tS = timed(g, smallDir)
+      val tB = timed(g, sfDir)
+      row(s"$g (sf0.01→sf0.1)", tS, tB)
+    }
+
+    // graph-family rows: the gates pin a fixed orderkey slice (their
+    // input is bounded by the slice, not the table), so the honest 10×
+    // knob is the SLICE — same sf0.1 table, 10× the subgraph
+    def timedF(build: () => DataFrame): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        build().write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      once(); math.min(once(), once())
+    }
+    def graphEdges(slice: Long, foldParts: Option[Long]): DataFrame = {
+      val part = foldParts match {
+        case Some(m) => col("l_partkey") % m + 1000000L
+        case None => col("l_partkey") + 1000000L
+      }
+      Tables.lineitem(spark, sfDir).filter(col("l_orderkey") < slice)
+        .select(col("l_orderkey").as("a"), part.as("b")).distinct()
+    }
+    import spark.implicits._
+    val graphDefs: Seq[(String, Long => () => DataFrame)] = Seq(
+      ("q_cc6 coreness (slice 1k→10k)",
+        (s: Long) => () => operators.KCore.coreness(graphEdges(s * 2, Some(100)), "a", "b", 10)),
+      ("q_cc7 bfs (slice 500→5k)",
+        (s: Long) => () => operators.Bfs.hopDistances(graphEdges(s, None),
+          "a", "b", (0L until 10L).toDF("v"), 8)),
+      ("q_cc8 trustrank (slice 500→5k)",
+        (s: Long) => () => operators.PageRank.trustRanks(
+          graphEdges(s, None).withColumnRenamed("a", "src").withColumnRenamed("b", "dst"),
+          "src", "dst", (0L until 10L).toDF("v"), 5)))
+    val graphRows =
+      if (only.isEmpty)
+        graphDefs.map { case (label, mk) =>
+          val tS = timedF(mk(500L))
+          val tB = timedF(mk(5000L))
+          row(label, tS, tB)
+        }
+      else Seq.empty
+
+    writeMd(outMd, sfDir, bigDir, rows ++ kRow ++ realRows ++ graphRows)
     spark.stop()
   }
 
@@ -165,7 +222,7 @@ object ScalingProbe {
     val sb = new StringBuilder
     // a SECTION fragment — appended to SCALING.md by hand with the
     // per-gate explanations, never overwriting the living document
-    sb.append("## Measured 10x self-scaled probe (round 7)\n\n")
+    sb.append("## Measured 10x self-scaled probe (round 8)\n\n")
     sb.append(s"Source: `$sfDir` -> synthesized `$bigDir` ")
     sb.append(s"($Shards near-duplicate-free shards of documents+embeddings; ")
     sb.append("all other tables 1x passthrough). Timing: warmup + min of 2, ")
