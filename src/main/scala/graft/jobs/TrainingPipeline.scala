@@ -12,9 +12,11 @@ import graft.sources.StateStore
   *
   *   1. **curate** — [[CorpusCuration]]'s stats → gate → dedup funnel
   *      over the raw documents;
-  *   2. **mix** — [[PretrainMix]] over the CURATED survivors
+  *   2. **tokenizer** — the unigram-LM hard-EM vocabulary trained on
+  *      the curated corpus (TrainOnce artifact + published table);
+  *   3. **mix** — [[PretrainMix]] over the CURATED survivors
   *      (self-calibrating median DSIR cut, temperature quotas);
-  *   3. **export** — [[TrainingExport]]'s split → pack → shard over
+  *   4. **export** — [[TrainingExport]]'s split → pack → shard over
   *      the admitted mix.
   *
   * Each stage fingerprints its INPUT directory (evaluated lazily, so
@@ -22,7 +24,8 @@ import graft.sources.StateStore
   * nightly-cron shape: re-invoking the pipeline against an unchanged
   * crawl costs three fingerprint stats and zero Spark jobs.
   *
-  * Layout under the root dir: `curated/`, `mix/`, `shards/`, `state/`.
+  * Layout under the root dir: `curated/`, `tokenizer/`, `mix/`,
+  * `shards/`, `state/`.
   *
   * Usage: TrainingPipeline --demo <dir> | <docsDir> <dir>
   */
@@ -39,10 +42,11 @@ object TrainingPipeline {
       sys.exit(1)
   }
 
-  /** Build and run the three-job chain; returns per-job outcomes. */
+  /** Build and run the four-job chain; returns per-job outcomes. */
   def chain(spark: SparkSession, docsDir: String,
       dir: String): Seq[(String, JobRunner.Outcome)] = {
     val curatedDir = s"$dir/curated"
+    val tokenizerDir = s"$dir/tokenizer"
     val mixDir = s"$dir/mix"
     val shardsDir = s"$dir/shards"
     val state = new StateStore(s"$dir/state")
@@ -51,6 +55,18 @@ object TrainingPipeline {
       val (curated, _) = CorpusCuration.run(graft.Tables.documents(spark, docsDir))
       TableIO.writeAtomicSwap(
         curated.select(col("doc_id"), col("source"), col("text")), curatedDir)
+    }
+
+    // tokenizer training on the curated corpus: the unigram-LM hard-EM
+    // vocab lands in the TrainOnce artifact tier (keyed by curatedDir's
+    // content fingerprint) AND is published as a serving table — the
+    // per-run skip is the JobRunner fingerprint, the per-JVM skip is
+    // the artifact cache; both key on the same source state
+    def tokenizer(): Unit = {
+      val docs = TableIO.read(spark, curatedDir)
+      TableIO.writeAtomicSwap(
+        graft.operators.UnigramLm.trainedVocab(spark, docs, curatedDir),
+        tokenizerDir)
     }
 
     def mix(): Unit = {
@@ -77,6 +93,9 @@ object TrainingPipeline {
       JobSpec("curate",
         fingerprint = () => TrainOnce.sourceFingerprint(spark, docsDir),
         run = () => curate()),
+      JobSpec("tokenizer",
+        fingerprint = () => TrainOnce.sourceFingerprint(spark, curatedDir),
+        run = () => tokenizer()),
       JobSpec("mix",
         fingerprint = () => TrainOnce.sourceFingerprint(spark, curatedDir),
         run = () => mix()),

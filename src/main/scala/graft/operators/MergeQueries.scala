@@ -108,5 +108,81 @@ object MergeQueries extends QueryModule {
                     WHERE k.c_custkey = c.c_custkey)
       ORDER BY c_custkey"""))
 
-  override val all: Seq[Q] = Seq(m1, m2, m3, m4)
+  // SCD Type-2 versioned merge over two batches: batch 1 moves every
+  // 7th customer's segment, batch 2 then moves every 5th — keys in
+  // both (every 35th) accumulate THREE versions, proving closed
+  // history passes through untouched while only open rows merge.
+  // Integer version stamps, no timestamps (deterministic, no DATE in
+  // the gate).
+  private val m5 = Q(
+    "q_m5_scd2",
+    "SCD Type-2 versioned merge: two batches of segment changes with full history",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val v0 = c.select(col("c_custkey"), col("c_mktsegment"),
+        lit(0L).as("vfrom"), lit(null).cast("bigint").as("vto"))
+      val b1 = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"))
+        .unionByName(c.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_mktsegment")))
+      val v1 = Upsert.scd2Apply(v0, b1, Seq("c_custkey"), Seq("c_mktsegment"), 1L)
+      val b2 = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), lit("MOVED2").as("c_mktsegment"))
+      val v2 = Upsert.scd2Apply(v1, b2, Seq("c_custkey"), Seq("c_mktsegment"), 2L)
+      v2.orderBy(col("c_custkey"), col("vfrom"))
+    },
+    Some("""
+      WITH v0 AS MATERIALIZED (
+        SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS vfrom,
+               CAST(NULL AS BIGINT) AS vto
+        FROM customer),
+      b1 AS MATERIALIZED (
+        SELECT c_custkey, 'MOVED' AS c_mktsegment FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_mktsegment FROM customer WHERE c_custkey % 13 = 0),
+      k1 AS MATERIALIZED (
+        SELECT b.c_custkey, b.c_mktsegment,
+               CASE WHEN o.c_custkey IS NULL THEN 'new'
+                    WHEN o.c_mktsegment IS DISTINCT FROM b.c_mktsegment THEN 'changed'
+                    ELSE 'unchanged' END AS kind
+        FROM b1 b LEFT JOIN (SELECT * FROM v0 WHERE vto IS NULL) o
+          ON o.c_custkey = b.c_custkey),
+      ck1 AS (SELECT c_custkey FROM k1 WHERE kind = 'changed'),
+      v1 AS MATERIALIZED (
+        SELECT * FROM v0 WHERE vto IS NOT NULL
+        UNION ALL
+        SELECT o.c_custkey, o.c_mktsegment, o.vfrom, CAST(1 AS BIGINT) AS vto
+        FROM (SELECT * FROM v0 WHERE vto IS NULL) o JOIN ck1 c ON c.c_custkey = o.c_custkey
+        UNION ALL
+        SELECT o.* FROM (SELECT * FROM v0 WHERE vto IS NULL) o
+        LEFT JOIN ck1 c ON c.c_custkey = o.c_custkey WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+        FROM k1 WHERE kind <> 'unchanged'),
+      b2 AS MATERIALIZED (
+        SELECT c_custkey, 'MOVED2' AS c_mktsegment FROM customer WHERE c_custkey % 5 = 0),
+      k2 AS MATERIALIZED (
+        SELECT b.c_custkey, b.c_mktsegment,
+               CASE WHEN o.c_custkey IS NULL THEN 'new'
+                    WHEN o.c_mktsegment IS DISTINCT FROM b.c_mktsegment THEN 'changed'
+                    ELSE 'unchanged' END AS kind
+        FROM b2 b LEFT JOIN (SELECT * FROM v1 WHERE vto IS NULL) o
+          ON o.c_custkey = b.c_custkey),
+      ck2 AS (SELECT c_custkey FROM k2 WHERE kind = 'changed'),
+      v2 AS (
+        SELECT * FROM v1 WHERE vto IS NOT NULL
+        UNION ALL
+        SELECT o.c_custkey, o.c_mktsegment, o.vfrom, CAST(2 AS BIGINT) AS vto
+        FROM (SELECT * FROM v1 WHERE vto IS NULL) o JOIN ck2 c ON c.c_custkey = o.c_custkey
+        UNION ALL
+        SELECT o.* FROM (SELECT * FROM v1 WHERE vto IS NULL) o
+        LEFT JOIN ck2 c ON c.c_custkey = o.c_custkey WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+        FROM k2 WHERE kind <> 'unchanged')
+      SELECT c_custkey, c_mktsegment, vfrom, vto FROM v2
+      ORDER BY c_custkey, vfrom"""))
+
+  override val all: Seq[Q] = Seq(m1, m2, m3, m4, m5)
 }

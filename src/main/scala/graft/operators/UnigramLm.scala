@@ -163,6 +163,25 @@ object UnigramLm {
       .filter(length(col("piece")) === 1 || col("used") >= threshold)
       .select(col("piece"), greatest(col("used"), lit(1L)).as("freq")))
 
+  /** The trained (post-EM-prune) vocabulary as a persisted TrainOnce
+    * artifact keyed by the source dir's content fingerprint — fresh
+    * JVMs, bench forks and downstream pipeline stages READ the KB-size
+    * table instead of retraining (the artifact-tier discipline the LM
+    * / k-means / quality models follow). */
+  def trainedVocab(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      srcDir: String): DataFrame =
+    graft.core.TrainOnce.cachedOnDisk(spark,
+      s"unigram-vocab|$MaxPiece|$MaxUnitLen|$TopUnits|$TopPieces|$PruneThreshold",
+      srcDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("piece", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("freq", LongType),
+        org.apache.spark.sql.types.StructField("bl", LongType)))) {
+      val u = units(docs, "text")
+      val v = seedVocab(u)
+      pruneVocab(v, pieceUsage(viterbiSegment(u, v), u))
+    }
+
   // ---------------- DuckDB oracle ----------------
 
   /** CTEs `units`, `subs`, `vocab` — the seed phase. */

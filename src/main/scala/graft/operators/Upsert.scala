@@ -74,6 +74,44 @@ object Upsert {
     * `change_kind` column: 'new' (key absent), 'changed' (any compared
     * column differs, null-safe), 'unchanged'
     * (`BatchProcessingWorker.java:214-297`). */
+  /** SCD Type-2 versioned merge: apply `batch` to the versioned table
+    * `versioned` (rows carry `vfrom`/`vto`; `vto` NULL = open/current
+    * version), producing the new full history. Integer batch ids, no
+    * timestamps — deterministic and engine-portable.
+    *
+    *  - a key whose OPEN row's compare-cols differ from the batch row:
+    *    the open row closes (`vto = batchId`) and a new open version
+    *    is appended (`vfrom = batchId`);
+    *  - a key new to the table: appended open at `batchId`;
+    *  - unchanged and absent-from-batch keys pass through untouched;
+    *    CLOSED history rows always pass through.
+    *
+    * The Kimball dimension-history pattern the reference's
+    * overwrite-style upserts (M1) deliberately lose; one full-outer
+    * join of the OPEN slice against the batch keyed on the merge keys
+    * (co-locate by bucketing at scale), history rows union through
+    * untouched. */
+  def scd2Apply(versioned: DataFrame, batch: DataFrame, keys: Seq[String],
+      compareCols: Seq[String], batchId: Long): DataFrame = {
+    val history = versioned.filter(col("vto").isNotNull)
+    val open = versioned.filter(col("vto").isNull)
+    val kinds = changeKinds(
+      open.select((keys ++ compareCols).map(col): _*),
+      batch.select((keys ++ compareCols).map(col): _*),
+      keys, compareCols)
+    val changedOrNew = kinds.filter(col("change_kind") =!= "unchanged")
+    // close the open rows of CHANGED keys (new keys have nothing open)
+    val changedKeys = kinds.filter(col("change_kind") === "changed")
+      .select(keys.map(col): _*)
+    val closed = open.join(changedKeys, keys, "left_semi")
+      .withColumn("vto", lit(batchId))
+    val untouchedOpen = open.join(changedKeys, keys, "left_anti")
+    val fresh = changedOrNew.drop("change_kind")
+      .withColumn("vfrom", lit(batchId))
+      .withColumn("vto", lit(null).cast("bigint"))
+    history.unionByName(closed).unionByName(untouchedOpen).unionByName(fresh)
+  }
+
   def changeKinds(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     val e = tag(existing.select((keys ++ compareCols).map(col): _*), "e_")

@@ -50,4 +50,38 @@ class UpsertSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getInt(0), r.getString(2)))
     assert(out.toSeq == Seq((1, "unchanged"), (2, "changed"), (3, "new"), (4, "unchanged")))
   }
+
+  test("SCD2: changed keys close+reopen, new keys open, history and unchanged pass through") {
+    import spark.implicits._
+    def row(k: Long, s: String, f: Long, t: java.lang.Long) = (k, s, f, t)
+    val versioned = Seq(
+      row(1L, "a0", 0L, 1L), row(1L, "a1", 1L, null), // key 1: one closed + one open
+      row(2L, "b0", 0L, null),                         // key 2: open, will change
+      row(3L, "c0", 0L, null))                         // key 3: open, unchanged
+      .toDF("k", "s", "vfrom", "vto")
+    val batch = Seq((2L, "b1"), (3L, "c0"), (9L, "fresh")).toDF("k", "s")
+    val out = Upsert.scd2Apply(versioned, batch, Seq("k"), Seq("s"), batchId = 2L)
+      .orderBy("k", "vfrom")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3))))
+    assert(out.toSeq == Seq(
+      row(1L, "a0", 0L, 1L),   // closed history untouched
+      row(1L, "a1", 1L, null), // open, absent from batch → untouched
+      row(2L, "b0", 0L, 2L),   // changed → closed at batch 2
+      row(2L, "b1", 2L, null), // …and reopened with the new value
+      row(3L, "c0", 0L, null), // in batch but unchanged → single open row
+      row(9L, "fresh", 2L, null))) // brand new key
+  }
+
+  test("SCD2: current-view query (vto IS NULL) returns exactly one row per live key") {
+    import spark.implicits._
+    val v0 = Seq((1L, "x", 0L, null.asInstanceOf[java.lang.Long]),
+      (2L, "y", 0L, null.asInstanceOf[java.lang.Long])).toDF("k", "s", "vfrom", "vto")
+    val v1 = Upsert.scd2Apply(v0, Seq((1L, "x2")).toDF("k", "s"), Seq("k"), Seq("s"), 1L)
+    val v2 = Upsert.scd2Apply(v1, Seq((1L, "x3"), (2L, "y")).toDF("k", "s"), Seq("k"), Seq("s"), 2L)
+    val current = v2.filter(col("vto").isNull).orderBy("k")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(current.toSeq == Seq(1L -> "x3", 2L -> "y"))
+    assert(v2.count() == 4, "full history: x, x2, x3, y")
+  }
 }
