@@ -980,7 +980,111 @@ object AnnQueries extends QueryModule {
         WHERE rnk <= $topk ORDER BY query_id, rnk"""))
   }
 
+  // Recall audit — the dd14 estimator-audit pattern applied to ANN:
+  // per query, how much of the EXACT cosine top-k does the IVF 2-probe
+  // shortlist recover? Both engines replay both paths (ann1's brute
+  // ranking and ann3's assign/probe/rank) and join on (query,
+  // neighbor), so the recall number itself is gate-exact — the
+  // quantity every ANN deployment reports before trusting an index.
+  // Integer recall in ppm (matched·10⁶ div k); no new plan shapes.
+  private val ann15 = {
+    val k = 3
+    Q(
+      "q_ann15_recall_audit",
+      s"ANN recall audit: IVF 2-probe top-$k vs exact top-$k, per-query recall (ppm)",
+      (s, d) => {
+        graft.functions.VecExpressions.register(s)
+        val e = Tables.embeddings(s, d)
+        // exact top-k (ann1's plan at k=3)
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val wB = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val brute = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(wB))
+          .filter(col("rnk") <= k)
+          .select(col("query_id"), col("vec_id"))
+        // IVF top-k (ann3's plan)
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cd").asc, col("cent_id").asc)
+        val assigned = e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            intSqDist(col("embedding"), col("cvec")).as("cd"))
+          .withColumn("__rn", row_number().over(wAssign))
+          .filter(col("__rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        val qProbe = e.filter(col("vec_id") < 8).crossJoin(broadcast(cent))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"),
+            intSqDist(col("embedding"), col("cvec")).as("cd"))
+          .withColumn("__pr", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("cd").asc, col("cent_id").asc)))
+          .filter(col("__pr") <= 2)
+          .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+        val wI = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val ivf = broadcast(qProbe).join(assigned, Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(wI))
+          .filter(col("rnk") <= k)
+          .select(col("query_id"), col("vec_id"))
+        brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast(LongType).as("matched"))
+          .join(brute.select(col("query_id")).distinct(), Seq("query_id"), "right")
+          .select(col("query_id"), coalesce(col("matched"), lit(0L)).as("matched"))
+          .withColumn("recall_ppm", expr(s"(1000000 * matched) div $k"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        brute AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id ASC) AS rnk
+            FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+          WHERE rnk <= $k),
+        cent AS (
+          SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        dists AS (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+                 list_sum(list_transform(e.embedding, (x, j) ->
+                   (CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) - CAST(floor(CAST(c.cvec[j] AS DOUBLE)*1000) AS BIGINT))
+                   * (CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) - CAST(floor(CAST(c.cvec[j] AS DOUBLE)*1000) AS BIGINT)))) AS cd
+          FROM embeddings e CROSS JOIN cent c),
+        assigned AS (
+          SELECT vec_id, embedding, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd ASC, cent_id ASC) AS rn
+            FROM dists) WHERE rn = 1),
+        qprobe AS (
+          SELECT vec_id AS query_id, embedding AS qv, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd ASC, cent_id ASC) AS pr
+            FROM dists WHERE vec_id < 8) WHERE pr <= 2),
+        ivf AS (
+          SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY list_cosine_similarity(p.qv, a.embedding) DESC, a.vec_id ASC) AS rnk
+            FROM qprobe p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+          WHERE rnk <= $k)
+        SELECT q2.query_id,
+               CAST(coalesce(m.matched, 0) AS BIGINT) AS matched,
+               (1000000 * CAST(coalesce(m.matched, 0) AS BIGINT)) // $k AS recall_ppm
+        FROM (SELECT DISTINCT query_id FROM brute) q2
+        LEFT JOIN (
+          SELECT b.query_id, CAST(count(*) AS BIGINT) AS matched
+          FROM brute b JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+          GROUP BY b.query_id) m ON m.query_id = q2.query_id
+        ORDER BY q2.query_id"""))
+  }
+
   override val all: Seq[Q] =
     Seq(ann1, ann2, ann3, ann4, ann5, ann6, ann7, ann8, ann9, ann10,
-      ann11, ann12, ann13, ann14)
+      ann11, ann12, ann13, ann14, ann15)
 }

@@ -1014,8 +1014,64 @@ object TextQueries extends QueryModule {
         FROM r ORDER BY split, bin_id"""))
   }
 
+  // Heaps'-law vocabulary growth curve: cumulative token and distinct-
+  // type counts at fixed doc-id range checkpoints — the corpus-health
+  // audit that says whether new data still brings new vocabulary
+  // (plateau = saturated/duplicated crawl; tx14's TTR is one point of
+  // this curve). Scale shape: one corpus token scan feeding two
+  // two-phase aggs (per-bucket totals; per-type min-first-doc, then
+  // per-bucket new-type counts); the cumulative sums run as an
+  // unpartitioned window over the BUCKET table only — a bounded group
+  // seam (≤ #buckets rows), the s2/llm2 discipline, never a corpus
+  // window.
+  private val tx16 = {
+    val bucketWidth = 50L
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      "q_tx16_heaps_curve",
+      s"Heaps'-law vocabulary growth: cumulative tokens/types at doc-id buckets of $bucketWidth",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select((col("doc_id") / bucketWidth).cast(LongType).as("bucket"),
+            col("doc_id"), explode(tokens(col("text"))).as("w"))
+        val perBucket = toks.groupBy(col("bucket")).agg(cnt.as("n_toks"))
+        val newTypes = toks.groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+          .select((col("first_doc") / bucketWidth).cast(LongType).as("bucket"))
+          .groupBy(col("bucket")).agg(cnt.as("n_new_types"))
+        val cum = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perBucket.join(newTypes, Seq("bucket"), "left")
+          .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+          .withColumn("toks_cum", sum(col("n_toks")).over(cum))
+          .withColumn("types_cum", sum(col("n_new_types")).over(cum))
+          .select(col("bucket"), col("n_toks"), col("n_new_types"),
+            col("toks_cum"), col("types_cum"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id // $bucketWidth AS bucket, doc_id,
+                 unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+          FROM documents),
+        per_bucket AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_toks
+          FROM toks GROUP BY bucket),
+        new_types AS (
+          SELECT first_doc // $bucketWidth AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_new_types
+          FROM (SELECT w, min(doc_id) AS first_doc FROM toks GROUP BY w)
+          GROUP BY 1)
+        SELECT p.bucket, p.n_toks,
+               coalesce(n.n_new_types, 0) AS n_new_types,
+               CAST(sum(p.n_toks) OVER cum AS BIGINT) AS toks_cum,
+               CAST(sum(coalesce(n.n_new_types, 0)) OVER cum AS BIGINT) AS types_cum
+        FROM per_bucket p LEFT JOIN new_types n ON n.bucket = p.bucket
+        WINDOW cum AS (ORDER BY p.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY p.bucket"""))
+  }
+
   override val all: Seq[Q] =
     Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, tx8, tx9, tx10, tx11, tx12, tx13,
-      tx14, tx15, s1,
+      tx14, tx15, tx16, s1,
       s2, s3, s4, s5, s7, s8, llm1, llm2, llm3)
 }
