@@ -77,6 +77,53 @@ object EventStreams {
       }
   }
 
+  final case class Island(user_id: Long, start_day: Long, end_day: Long,
+      n_days: Long)
+
+  /** Consecutive-day activity streaks with custom keyed state — the
+    * streaming twin of q_ev7_islands: per-user state is the ONE open
+    * island (start_day, end_day, n_days); a day extending the streak
+    * updates it, a gap emits the closed island and reopens, repeats
+    * within the island are idempotent. Event-time timeout (watermark
+    * past end_day + 1) closes an island whose streak can no longer be
+    * extended — so emitted islands are FINAL, the append-mode
+    * contract. State per user is three longs forever; days older than
+    * the open island are dropped (the watermark lateness contract,
+    * same simplification as [[sessionize]]). */
+  def islands(events: Dataset[Event]): Dataset[Island] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), Island](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
+          val out = Seq.newBuilder[Island]
+          var cur = state.getOption
+          batch.toSeq.map(e => Math.floorDiv(e.ts.getTime, 86400000L))
+            .distinct.sorted.foreach { day =>
+              cur match {
+                case Some((_, e0, _)) if day <= e0 => () // inside the open island
+                case Some((s0, e0, n)) if day == e0 + 1 => cur = Some((s0, day, n + 1))
+                case Some((s0, e0, n)) =>
+                  out += Island(userId, s0, e0, n)
+                  cur = Some((day, day, 1L))
+                case None => cur = Some((day, day, 1L))
+              }
+            }
+          if (state.hasTimedOut) {
+            cur.foreach { case (s0, e0, n) => out += Island(userId, s0, e0, n) }
+            state.remove()
+          } else {
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp((c._2 + 2) * 86400000L)
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   /** Distinct-users-per-event-type via the KMV sketch — the
     * bounded-state streaming form of q_sp1. An exact streaming
     * `approx`-free distinct grows state with every user ever seen; the

@@ -103,4 +103,22 @@ class EventStreamsSpec extends SparkSpec {
       sessions("n_events") === batchSessions("n_events"))
     assert(joined.count() == sessions.count())
   }
+
+  test("flatMapGroupsWithState islands: every closed streak matches the batch gate exactly") {
+    import spark.implicits._
+    val ds = eventStream().as[EventStreams.Event]
+    val streamed = EventStreams.runAvailableNow(
+      spark, EventStreams.islands(ds).toDF(), "islands_test")
+    val batch = graft.SparkEntry.queries("q_ev7_islands")(spark, sf0001)
+    // closed-island stream count ≤ total; every emitted island must
+    // exist in the batch result with identical bounds and day count
+    assert(streamed.count() > 0 && streamed.count() <= batch.count())
+    val joined = streamed.join(batch,
+      streamed("user_id") === batch("user_id") &&
+      streamed("start_day") === batch("start_day") &&
+      streamed("end_day") === batch("end_day") &&
+      streamed("n_days") === batch("n_days"))
+    assert(joined.count() == streamed.count(),
+      "streamed islands must be a subset of batch islands, bound-for-bound")
+  }
 }
