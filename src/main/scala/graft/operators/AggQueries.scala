@@ -406,6 +406,34 @@ object AggQueries extends QueryModule {
       WHERE ch <> '' AND ch <> ' '
       GROUP BY ch ORDER BY ch"""))
 
+  // A12: CUBE — all 2^n grouping-set combinations (rollup's superset;
+  // the cross-tab totals report shape). grouping_id disambiguates a
+  // REAL null key from a cube subtotal row (same bitmask contract in
+  // both engines: Spark grouping_id() == DuckDB GROUPING(a, b)).
+  private val a12 = Q(
+    "q_a12_cube",
+    "A12 cube over (returnflag, linestatus) with grouping_id-tagged subtotal rows",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast(LongType).as("gid"),
+          cnt.as("n"), sum(col("l_quantity")).cast(LongType).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             count(*) AS n,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, returnflag, linestatus"""))
+
   override val all: Seq[Q] =
-    Seq(a1, a2, p2, p4, p5, p6, p7, a4, a5, a6, a7, a8, a9, a10, a11)
+    Seq(a1, a2, p2, p4, p5, p6, p7, a4, a5, a6, a7, a8, a9, a10, a11, a12)
 }

@@ -236,6 +236,38 @@ object WindowSetQueries extends QueryModule {
         SELECT event_type, unnest(regexp_extract_all(props, '[0-9]+')) AS num FROM events)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // W5+: VALUE-range frame (RANGE BETWEEN N PRECEDING) — the frame
+  // spec ROWS can't express: the frame is defined by the ORDER-BY
+  // VALUE distance, so peers (equal keys) always share a frame and
+  // gaps shrink it. Integer order key + count/sum aggregates keep it
+  // gate-exact; the window stays supplier-partitioned (co-partitioned
+  // shuffle, never global).
+  private val w6 = {
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      "q_w6_range_frame",
+      "value-range window frame: per-supplier trailing-100-orderkey count and quantity",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"))
+          .rangeBetween(-100L, Window.currentRow)
+        Tables.lineitem(s, d)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+          .withColumn("n_in_range", count(lit(1)).over(w))
+          .withColumn("qty_in_range", sum(col("l_quantity")).over(w).cast(LongType))
+          .select(col("l_suppkey"), col("l_orderkey"), col("n_in_range"),
+            col("qty_in_range"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"))
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey,
+               count(*) OVER w AS n_in_range,
+               CAST(sum(l_quantity) OVER w AS BIGINT) AS qty_in_range
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey
+                     RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        ORDER BY l_suppkey, l_orderkey"""))
+  }
+
   override val all: Seq[Q] =
-    Seq(w1, w2, w4, o2, o3, u1, u2, g1, g3, g4)
+    Seq(w1, w2, w4, w6, o2, o3, u1, u2, g1, g3, g4)
 }
