@@ -19,10 +19,17 @@ class TemporalFuzzSpec extends SparkSpec {
     assert(a != TemporalFuzz.queries(seed = 8L, n = 20).map(_.commonSql))
   }
 
-  test("population covers every truncation unit, including week") {
+  test("population covers every truncation unit (incl. week) and every EXTRACT field") {
     val units = TemporalFuzz.queries().map(_.unit).toSet
-    assert(units == Set("hour", "day", "week", "month", "quarter", "year"),
-      s"got $units")
+    val truncs = units.filterNot(_.startsWith("extract:"))
+    assert(truncs == Set("hour", "day", "week", "month", "quarter", "year"),
+      s"got $truncs")
+    assert(units.filter(_.startsWith("extract:")) ==
+      Set("extract:day", "extract:hour", "extract:minute"), s"got $units")
+    // the new predicate/having constructs are exercised too
+    val qs = TemporalFuzz.queries()
+    assert(qs.exists(_.predSql.exists(_.contains("TIMESTAMP '"))), "ts-literal predicates present")
+    assert(qs.exists(_.havingGt.nonEmpty), "HAVING present")
   }
 
   test(s"property: all ${TemporalFuzz.NQueries} temporal queries — DataFrame ≡ Spark-SQL") {
