@@ -434,6 +434,56 @@ object AggQueries extends QueryModule {
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY gid, returnflag, linestatus"""))
 
+  // A13: true RelationalGroupedDataset.pivot — the wide cross-tab a2
+  // hand-writes as CASE counters, expressed through the dedicated API
+  // with EXPLICIT pivot values (the scale-safe form: no
+  // distinct-values collect, fixed output schema, still one two-phase
+  // aggregate). The oracle is the conditional-aggregation definition
+  // of pivot, so the gate pins the API to its semantics.
+  private val a13 = Q(
+    "q_a13_pivot",
+    "A13 pivot: per-returnflag cross-tab of linestatus quantities (explicit values)",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")).cast(LongType))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("qty_f"),
+          coalesce(col("O"), lit(0L)).as("qty_o"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             coalesce(CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS BIGINT), 0) AS qty_f,
+             coalesce(CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS BIGINT), 0) AS qty_o
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // G7: unpivot/melt — wide columns to (key, attr, value) long form,
+  // the inverse of a13 and the standard feature-table normalization.
+  // Map-side only (each row emits one row per measure, no shuffle
+  // before the ORDER BY); the oracle is the UNION-ALL-per-column
+  // semantic definition.
+  private val g7 = Q(
+    "q_g7_unpivot",
+    "G7 unpivot: customer measures melted to (key, attr, value) long form",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          col("c_nationkey").cast(LongType).as("nationkey"),
+          length(col("c_name")).cast(LongType).as("name_len"))
+      c.unpivot(Array(col("c_custkey")),
+          Array(col("nationkey"), col("name_len")), "attr", "val")
+        .orderBy(col("c_custkey"), col("attr"))
+    },
+    Some("""
+      SELECT c_custkey, attr, val FROM (
+        SELECT c_custkey, 'nationkey' AS attr, CAST(c_nationkey AS BIGINT) AS val FROM customer
+        UNION ALL
+        SELECT c_custkey, 'name_len', CAST(length(c_name) AS BIGINT) FROM customer)
+      ORDER BY c_custkey, attr"""))
+
   override val all: Seq[Q] =
-    Seq(a1, a2, p2, p4, p5, p6, p7, a4, a5, a6, a7, a8, a9, a10, a11, a12)
+    Seq(a1, a2, p2, p4, p5, p6, p7, a4, a5, a6, a7, a8, a9, a10, a11, a12,
+      a13, g7)
 }
