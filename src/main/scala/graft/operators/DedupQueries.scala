@@ -660,6 +660,59 @@ object DedupQueries extends QueryModule {
         ORDER BY 1, 2"""))
   }
 
+  // SEMANTIC decontamination — dc1's n-gram benchmark check misses
+  // paraphrased eval leakage; this flags training vectors whose
+  // embedding sits within cosine 7/20 of ANY eval-set embedding (the
+  // vec_id % 10 == 3 slice plays the benchmark). Same plan bones as
+  // dd11: the eval set is SMALL BY DEFINITION, so its bucket tables
+  // broadcast into the corpus scan (zero corpus shuffle at candidate
+  // time) and only candidates pay the BIGINT-exact quantized-cosine
+  // verify. Output = per contaminated training vector, how many eval
+  // items it matches (the removal list with evidence counts).
+  private val dc4 = {
+    val planes = 4; val tables = 2; val dim = 64
+    val planeSets = (0 until tables).map(t => planeFamily(t, planes, dim))
+    Q(
+      "q_dc4_semantic_decontamination",
+      "semantic decontamination: corpus vectors within cosine 7/20 of any eval embedding",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        EmbeddingDedup.nearDupAgainstCorpusExact(
+            e.filter(col("vec_id") % 10 === 3), e.filter(col("vec_id") % 10 =!= 3),
+            tNum = 7, tDen = 20, planes = planes, tables = tables, dim = dim)
+          .groupBy(col("corpus_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_eval_hits"))
+          .orderBy(col("corpus_id"))
+      },
+      Some(s"""
+        WITH q AS (
+          SELECT vec_id,
+                 ${intHyperplaneBucketSql("embedding", planeSets(0))} AS b0,
+                 ${intHyperplaneBucketSql("embedding", planeSets(1))} AS b1,
+                 list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        qq AS (
+          SELECT vec_id, b0, b1, qv,
+                 list_sum(list_transform(qv, x -> x * x)) AS qn
+          FROM q),
+        cand AS (
+          SELECT DISTINCT b.vec_id AS batch_id, c.vec_id AS corpus_id
+          FROM qq b JOIN qq c
+            ON (b.b0 = c.b0 OR b.b1 = c.b1)
+          WHERE b.vec_id % 10 = 3 AND c.vec_id % 10 <> 3),
+        v AS (
+          SELECT cand.batch_id, cand.corpus_id,
+                 list_sum(list_transform(b.qv, (x, j) -> x * c.qv[j])) AS qdot,
+                 b.qn AS qna, c.qn AS qnb
+          FROM cand
+          JOIN qq b ON b.vec_id = cand.batch_id
+          JOIN qq c ON c.vec_id = cand.corpus_id)
+        SELECT corpus_id, CAST(count(*) AS BIGINT) AS n_eval_hits FROM v
+        WHERE qdot > 0 AND 400 * qdot * qdot >= 49 * qna * qnb
+        GROUP BY corpus_id
+        ORDER BY corpus_id"""))
+  }
+
   // Semantic dedup (SemDeDup): trained k-means cells bound the pair
   // search — near-dup pairs are only sought within a cell, never across
   // the corpus. 8 cells keep the planted near-dup pairs mostly
@@ -791,6 +844,6 @@ object DedupQueries extends QueryModule {
   }
 
   override val all: Seq[Q] =
-    Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dc3, dd7, dd8, dd9, dd10, dd11,
+    Seq(dd1, dd2, dd3, dd4, dd5, dd6, dc1, dc2, dc3, dc4, dd7, dd8, dd9, dd10, dd11,
       dd12, dd13, dd14, dd15)
 }

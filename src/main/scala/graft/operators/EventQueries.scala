@@ -312,5 +312,42 @@ object EventQueries extends QueryModule {
              count(*) AS n_days
       FROM islands GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  override val all: Seq[Q] = Seq(ev1, ev2, ev3, ev4, ev5, ev6, ev7, rj1)
+  // Native session_window aggregation — Spark's built-in gap-session
+  // operator (the one-expression form of ev2's lag + running-sum
+  // construction; also the idiomatic streaming session shape). The
+  // oracle replays the SEMANTIC definition (ev2's window chain), so
+  // the gate pins Spark's native operator to the textbook gap rule
+  // cross-engine. Same microsecond-exact 30-min gap; session bounds
+  // compare as whole timestamps.
+  private val ev8 = Q(
+    "q_ev8_session_window",
+    "native session_window(30 min) aggregation == the lag/cumsum session definition",
+    (s, d) => {
+      val e = Tables.events(s, d).filter(col("user_id").isNotNull)
+      e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(cnt.as("n_events"), min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM sessions GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
+  override val all: Seq[Q] = Seq(ev1, ev2, ev3, ev4, ev5, ev6, ev7, ev8, rj1)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Graph-shaped operators. The connected-components kernel
   * (dedup clustering) gates against a DuckDB RECURSIVE CTE computing
@@ -265,5 +266,50 @@ object GraphQueries extends QueryModule {
         SELECT v AS vertex, rank FROM t$iters ORDER BY vertex"""))
   }
 
-  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4, cc5, cc6, cc7, cc8)
+  // Weighted co-occurrence graph CONSTRUCTION — how the link graphs
+  // the cc-family consumes get built from transactional data
+  // (market-basket / co-citation): part pairs sharing an order, edge
+  // weight = number of shared orders, thresholded. Scale shape: the
+  // self-join is keyed by orderkey so pair fan-out is bounded by the
+  // per-order item count squared (a per-GROUP quadratic, never a
+  // corpus one — the same containment argument as dd4's per-shingle
+  // pairs), and the weight agg is two-phase on the (a, b) pair key.
+  // The df cap (orders with > 8 distinct parts are excluded on both
+  // sides) bounds the worst group, exactly dd4's hot-shingle
+  // discipline.
+  private val cc9 = {
+    val minShared = 2
+    val maxBasket = 8
+    Q(
+      "q_cc9_cooccurrence",
+      s"co-occurrence graph build: part pairs sharing ≥ $minShared orders (baskets ≤ $maxBasket)",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val small = items.groupBy(col("ok")).agg(count(lit(1)).cast(LongType).as("__n"))
+          .filter(col("__n") <= maxBasket).select(col("ok"))
+        val bounded = items.join(small, Seq("ok"), "left_semi")
+        val a = bounded.select(col("ok"), col("pk").as("part_a"))
+        val b = bounded.select(col("ok"), col("pk").as("part_b"))
+        a.join(b, Seq("ok"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).cast(LongType).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+          .orderBy(col("part_a"), col("part_b"))
+      },
+      Some(s"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        small AS (
+          SELECT ok FROM items GROUP BY ok HAVING count(*) <= $maxBasket),
+        bounded AS (
+          SELECT i.ok, i.pk FROM items i JOIN small s ON s.ok = i.ok)
+        SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_shared
+        FROM bounded a JOIN bounded b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= $minShared
+        ORDER BY 1, 2"""))
+  }
+
+  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4, cc5, cc6, cc7, cc8, cc9)
 }
