@@ -464,6 +464,19 @@ class PlanAuditSpec extends SparkSpec {
       "lag/running-sum must co-partition on user_id")
   }
 
+  test("q_cc9: co-occurrence build is order-keyed, never a cartesian") {
+    val p = plan("q_cc9_cooccurrence")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"basket pairs must come from the orderkey equi-join:\n$p")
+  }
+
+  test("q_dc4: eval-set candidate generation broadcasts; no corpus-corpus join") {
+    val p = plan("q_dc4_semantic_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (small) eval bucket tables must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs compare:\n$p")
+  }
+
   test("no gate materializes an O(corpus) frame: every LogicalRDD leaf is a bounded artifact") {
     // localCheckpoint / collected-and-reparallelized frames appear as
     // LogicalRDD leaves: pinned executor blocks with TRUNCATED lineage

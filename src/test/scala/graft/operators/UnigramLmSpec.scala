@@ -82,6 +82,15 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("round-trip: concatenating a segmentation's pieces reproduces the unit exactly") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val u = UnigramLm.units(docs, "text")
+    val seg = UnigramLm.viterbiSegment(u, UnigramLm.seedVocab(u))
+    val broken = seg.filter(
+      regexp_replace(col("seg"), "\\|", "") =!= col("unit")).count()
+    assert(broken == 0, "every segmentation must be a partition of its unit")
+  }
+
   test("hard-EM round: prune shrinks the vocab, chars survive, all units stay segmentable") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val u = UnigramLm.units(docs, "text")
