@@ -56,9 +56,38 @@ object ImportAndRefresh {
         fingerprint = () => TrainOnce.sourceFingerprint(spark, feedDir.toString),
         run = () => GisaidImport.run(spark, feedPath, existing,
           TableIO.read(spark, s"$tablesDir/sequence_identifier"), tablesDir)),
+      JobSpec("quality_gate",
+        fingerprint = () => TrainOnce.sourceFingerprint(spark, tablesDir),
+        run = () => qualityGate(spark, tablesDir)),
       JobSpec("spectrum_refresh",
         fingerprint = () => TrainOnce.sourceFingerprint(spark, tablesDir),
         run = () => SpectrumRefresh.run(spark, tablesDir, viewsDir))))
+  }
+
+  /** Expectation suite over the freshly imported serving tables —
+    * the structural complement of the import's own failed<5% report:
+    * the report gates the FEED's health, this gates the OUTPUT's
+    * invariants (key completeness/uniqueness, mutation→sequence
+    * referential integrity). A breach fails the stage, so the refresh
+    * is Blocked rather than serving from structurally broken tables.
+    * The report is O(#checks) rows; the FK parent is the sequence
+    * table itself (fact-sized), so the anti-join shuffles instead of
+    * broadcasting. */
+  private[jobs] def qualityGate(spark: SparkSession, tablesDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val seq = TableIO.read(spark, s"$tablesDir/gisaid_api_sequence")
+    val mut = TableIO.read(spark, s"$tablesDir/gisaid_api_sequence_mutation")
+    val report = graft.operators.Expectations.suite(Seq(
+      graft.operators.Expectations.columnChecks(seq, Seq(
+        ("sequence_not_null_id", col("gisaid_epi_isl").isNull),
+        ("sequence_not_null_strain", col("strain").isNull))),
+      graft.operators.Expectations.uniqueCheck(seq, "sequence_unique_id",
+        Seq("gisaid_epi_isl")),
+      graft.operators.Expectations.foreignKeyCheck(mut, "gisaid_epi_isl",
+        "mutation_fk_sequence", seq, "gisaid_epi_isl", broadcastParent = false)))
+    val breached = report.filter(col("violations") > 0).collect() // ≤ #checks rows
+    require(breached.isEmpty, "quality gate breached: " +
+      breached.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
   }
 
   /** Stage the demo domain tables the import does NOT produce, once

@@ -50,13 +50,16 @@ object Expectations {
   }
 
   /** Referential integrity: child keys absent from the parent key
-    * set. The parent side is its distinct key column — dimension-sized
-    * in every FK this engine checks, so the anti-join broadcasts. */
+    * set. `broadcastParent = true` (default) suits dimension-sized
+    * parents; pass false when the parent is itself a fact table (the
+    * anti-join then shuffles on the key — co-locate by bucketing at
+    * scale). */
   def foreignKeyCheck(child: DataFrame, childKey: String, name: String,
-      parent: DataFrame, parentKey: String): DataFrame = {
+      parent: DataFrame, parentKey: String,
+      broadcastParent: Boolean = true): DataFrame = {
+    val pk = parent.select(col(parentKey).as(childKey)).distinct()
     val orphans = child.select(col(childKey))
-      .join(broadcast(parent.select(col(parentKey).as(childKey)).distinct()),
-        Seq(childKey), "left_anti")
+      .join(if (broadcastParent) broadcast(pk) else pk, Seq(childKey), "left_anti")
       .agg(count(lit(1)).cast(LongType).as("violations"))
     val total = child.agg(count(lit(1)).cast(LongType).as("total"))
     orphans.crossJoin(total)

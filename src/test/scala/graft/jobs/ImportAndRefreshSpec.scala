@@ -17,8 +17,9 @@ class ImportAndRefreshSpec extends SparkSpec {
   test("import → refresh chain: runs in order, refresh reads the imported table, reruns skip") {
     val dir = java.nio.file.Files.createTempDirectory("chain-spec-").toString
 
-    // first invocation: both run, in order
-    assert(outcomes(dir) == Seq("gisaid_import" -> "ran", "spectrum_refresh" -> "ran"))
+    // first invocation: all run, in order (import → quality gate → refresh)
+    assert(outcomes(dir) == Seq("gisaid_import" -> "ran",
+      "quality_gate" -> "ran", "spectrum_refresh" -> "ran"))
 
     // the refresh consumed the IMPORTED gisaid table (not a fixture):
     // the public view's foreign branch must carry exactly the non-ETHZ
@@ -35,16 +36,35 @@ class ImportAndRefreshSpec extends SparkSpec {
     assert(ids.filter(col("sample_name").isNotNull).count() > 0, "staged rows survive")
     assert(ids.filter(col("sample_name").isNull).count() > 0, "imported ethids appended")
 
-    // second invocation: nothing changed → both skip
-    assert(outcomes(dir) == Seq("gisaid_import" -> "skipped", "spectrum_refresh" -> "skipped"))
+    // second invocation: nothing changed → everything skips
+    assert(outcomes(dir) == Seq("gisaid_import" -> "skipped",
+      "quality_gate" -> "skipped", "spectrum_refresh" -> "skipped"))
 
     // feed changes → the import runs, and because it rewrites the
-    // tables dir the refresh's (lazily evaluated) fingerprint changes
+    // tables dir the downstream (lazily evaluated) fingerprints change
     // too: the whole chain reruns
     val feed = java.nio.file.Paths.get(dir, "feed", "provision.json")
     java.nio.file.Files.writeString(feed,
       java.nio.file.Files.readString(feed) + "\n")
-    assert(outcomes(dir) == Seq("gisaid_import" -> "ran", "spectrum_refresh" -> "ran"))
+    assert(outcomes(dir) == Seq("gisaid_import" -> "ran",
+      "quality_gate" -> "ran", "spectrum_refresh" -> "ran"))
+  }
+
+  test("quality gate: structurally broken serving tables fail the stage loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qgate-").toString
+    // duplicate-id sequence table + an orphaned mutation row
+    Seq(("EPI_1", "s1"), ("EPI_1", "s1dup"), ("EPI_2", "s2"))
+      .toDF("gisaid_epi_isl", "strain")
+      .write.parquet(s"$dir/gisaid_api_sequence")
+    Seq(("EPI_2", "C10T"), ("EPI_MISSING", "A5G"))
+      .toDF("gisaid_epi_isl", "mutation")
+      .write.parquet(s"$dir/gisaid_api_sequence_mutation")
+    val e = intercept[IllegalArgumentException] {
+      ImportAndRefresh.qualityGate(spark, dir)
+    }
+    assert(e.getMessage.contains("sequence_unique_id=2"), e.getMessage)
+    assert(e.getMessage.contains("mutation_fk_sequence=1"), e.getMessage)
   }
 
   test("import report: demo run counts processed/failed/deleted with the reference's success flag") {
