@@ -341,8 +341,8 @@ object EventQueries extends QueryModule {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sessions AS (
         SELECT user_id, ts,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
         FROM flagged)
       SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
              count(*) AS n_events
