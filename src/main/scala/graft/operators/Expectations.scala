@@ -69,6 +69,38 @@ object Expectations {
   /** A suite is just the union of check rows. */
   def suite(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_ unionByName _)
+
+  /** Per-column slice statistics off ONE scan: (column_name, n_rows,
+    * n_null, n_distinct). Exact distincts are affordable at gate
+    * scale; at 100 TB substitute the KMV sketch column (sp5's profile
+    * form) — the drift math below is unchanged. */
+  def sliceStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(lit(1)).cast(LongType).as(s"${c}__n"),
+      count(when(col(c).isNull, 1)).cast(LongType).as(s"${c}__nulls"),
+      countDistinct(col(c)).cast(LongType).as(s"${c}__nd")))
+    val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    cols.map(c => one.select(lit(c).as("column_name"),
+        col(s"${c}__n").as("n_rows"), col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__nd").as("n_distinct")))
+      .reduce(_ unionByName _)
+  }
+
+  /** Profile drift between a baseline and a current slice: one long
+    * row per (column, metric) with the integer relative drift in ppm —
+    * the data-drift monitor that catches a feed going quiet, a column
+    * going null, or cardinality collapsing, BEFORE a model trains on
+    * it. Pure column math over O(#cols) rows. */
+  def drift(baseline: DataFrame, current: DataFrame): DataFrame = {
+    val b = baseline.select(col("column_name"), col("n_rows").as("b_n_rows"),
+      col("n_null").as("b_n_null"), col("n_distinct").as("b_n_distinct"))
+    val joined = b.join(current, Seq("column_name"))
+    Seq("n_rows", "n_null", "n_distinct").map { m =>
+      joined.select(col("column_name"), lit(m).as("metric"),
+        col(s"b_$m").as("baseline"), col(m).as("current"),
+        expr(s"(1000000 * abs($m - b_$m)) div greatest(b_$m, 1)").as("drift_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }
 
 /** The expectations gate: a mixed suite over lineitem/part/events
@@ -128,5 +160,52 @@ object ExpectationsQueries extends graft.QueryModule {
         FROM events)
       ORDER BY check_name"""))
 
-  override val all: Seq[graft.Q] = Seq(qa1)
+  // Profile drift across the events table's two time halves — the
+  // temporal data-drift monitor (does the second half of the month
+  // still look like the first?). Integer relative drift in ppm over
+  // exact per-slice stats; both engines replay the same split and the
+  // same metric math.
+  private val qa2 = {
+    val splitTs = "2024-01-16 00:00:00"
+    val cols = Seq("user_id", "event_type", "value")
+    Q(
+      "q_qa2_profile_drift",
+      "profile drift monitor: per-column n_rows/n_null/n_distinct drift (ppm) across time halves",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val base = Expectations.sliceStats(
+          ev.filter(col("ts") < lit(splitTs).cast("timestamp")), cols)
+        val cur = Expectations.sliceStats(
+          ev.filter(col("ts") >= lit(splitTs).cast("timestamp")), cols)
+        Expectations.drift(base, cur)
+          .orderBy(col("column_name"), col("metric"))
+      },
+      Some {
+        def stats(alias: String, pred: String) = s"""
+          $alias AS (
+            ${cols.map(c => s"""SELECT '$c' AS column_name,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_null,
+                 CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+               FROM events WHERE $pred""").mkString("\n            UNION ALL\n            ")})"""
+        s"""
+        WITH ${stats("b", s"ts < TIMESTAMP '$splitTs'")},
+        ${stats("c", s"ts >= TIMESTAMP '$splitTs'")},
+        j AS (SELECT b.column_name, b.n_rows AS b_n_rows, b.n_null AS b_n_null,
+                     b.n_distinct AS b_n_distinct, c.n_rows, c.n_null, c.n_distinct
+              FROM b JOIN c ON c.column_name = b.column_name)
+        SELECT column_name, metric, baseline, current, drift_ppm FROM (
+          SELECT column_name, 'n_rows' AS metric, b_n_rows AS baseline, n_rows AS current,
+                 (1000000 * abs(n_rows - b_n_rows)) // greatest(b_n_rows, 1) AS drift_ppm FROM j
+          UNION ALL
+          SELECT column_name, 'n_null', b_n_null, n_null,
+                 (1000000 * abs(n_null - b_n_null)) // greatest(b_n_null, 1) FROM j
+          UNION ALL
+          SELECT column_name, 'n_distinct', b_n_distinct, n_distinct,
+                 (1000000 * abs(n_distinct - b_n_distinct)) // greatest(b_n_distinct, 1) FROM j)
+        ORDER BY column_name, metric"""
+      })
+  }
+
+  override val all: Seq[graft.Q] = Seq(qa1, qa2)
 }
