@@ -15,8 +15,8 @@ object SparkEntry {
     GenomicsQueries, SimilarityQueries, MultimodalQueries, GraphQueries,
     BpeQueries, SkewQueries, SketchQueries, QualityClassifierQueries,
     NgramLmQueries, LengthBatchingQueries, ZOrderQueries, MaxMatchQueries,
-    RelFuzzQueries, TemporalFuzzQueries, UnigramLmQueries,
-    ExpectationsQueries)
+    RelFuzzQueries, TemporalFuzzQueries, StringFuzzQueries,
+    UnigramLmQueries, ExpectationsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
