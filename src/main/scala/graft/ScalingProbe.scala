@@ -46,7 +46,8 @@ object ScalingProbe {
     "q_tx13_novelty", "q_llm3_mix_pipeline", "q_lm7_dsir", "q_dd13_bag_dedup",
     "q_dd14_minhash_audit", "q_dd15_best_keeper", "q_s8_curriculum",
     "q_tx14_vocab_stats",
-    "q_ul1_unigram_viterbi", "q_ul2_unigram_em_round")
+    "q_ul1_unigram_viterbi", "q_ul2_unigram_em_round",
+    "q_dc4_semantic_decontamination")
 
   /** Gates whose scaled input is the REAL sf0.01 → sf0.1 step: their
     * tables (lineitem / customer / events) pass through the
@@ -54,7 +55,9 @@ object ScalingProbe {
     * — an equally honest 10× measurement. */
   val RealStepGates: Seq[String] = Seq(
     "q_sp10_hll_registers", "q_sp11_hll_merge", "q_ev7_islands",
-    "q_j13_fuzzy_blocked")
+    "q_j13_fuzzy_blocked",
+    "q_ev8_session_window", "q_cc9_cooccurrence", "q_m5_scd2",
+    "q_qa1_expectations", "q_qa2_profile_drift", "q_w6_range_frame")
 
   val Shards = 10
   private val IdOffset = 10000000L
@@ -155,7 +158,24 @@ object ScalingProbe {
         }
       else Seq.empty
 
-    writeMd(outMd, sfDir, bigDir, rows ++ kRow ++ realRows ++ graphRows)
+    // dc4 with the PRODUCTION eval contract: benchmarks are fixed-size
+    // — the gate config scales the eval slice 10× with the corpus
+    // (both sides grow ⇒ candidate pairs grow quadratically, the dd8
+    // pinned-k artifact class); this row holds the eval set at shard
+    // 0's slice and scales only the corpus
+    val dc4Row = if (only.forall(_.contains("q_dc4_semantic_decontamination"))) {
+      def dc4Build(dir: String): () => DataFrame = () => {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        graft.operators.EmbeddingDedup.nearDupAgainstCorpusExact(
+            e.filter(col("vec_id") % 10 === 3 && col("vec_id") < IdOffset),
+            e.filter(col("vec_id") % 10 =!= 3), 7, 20, 4, 2, 64)
+          .groupBy(col("corpus_id")).agg(count(lit(1)).as("n_eval_hits"))
+      }
+      Seq(row("q_dc4 with fixed eval set (production)",
+        timedF(dc4Build(sfDir)), timedF(dc4Build(bigDir))))
+    } else Seq.empty
+
+    writeMd(outMd, sfDir, bigDir, rows ++ kRow ++ realRows ++ graphRows ++ dc4Row)
     spark.stop()
   }
 
