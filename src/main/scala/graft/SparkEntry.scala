@@ -16,7 +16,7 @@ object SparkEntry {
     BpeQueries, SkewQueries, SketchQueries, QualityClassifierQueries,
     NgramLmQueries, LengthBatchingQueries, ZOrderQueries, MaxMatchQueries,
     RelFuzzQueries, TemporalFuzzQueries, StringFuzzQueries,
-    UnigramLmQueries, ExpectationsQueries)
+    UnigramLmQueries, ExpectationsQueries, KCenterQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

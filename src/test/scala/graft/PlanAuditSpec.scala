@@ -499,7 +499,8 @@ class PlanAuditSpec extends SparkSpec {
       Set("query_id", "vec_id"),                  // ANN re-rank shortlist, O(queries·R)
       Set("word", "rem", "pos", "bl"),            // MaxMatch vocab table, O(|vocab|)
       Set("source", "n_docs", "n_tokens", "__s", "mean_score", "__w"), // lm5 domains, O(#sources)
-      Set("mg", "__n"))                           // Misra–Gries summary, ≤ k rows
+      Set("mg", "__n"),                           // Misra–Gries summary, ≤ k rows
+      Set("vec_id", "embedding", "sel_rank"))     // k-center chosen set, ≤ k rows
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exempt)
       .flatMap { n =>
