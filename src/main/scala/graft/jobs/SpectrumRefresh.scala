@@ -28,6 +28,7 @@ object SpectrumRefresh {
     * after an import ([[ImportAndRefresh]] — the reference's
     * `refresh_all_mv()` runs as the importer's last stage). */
   def run(spark: SparkSession, inDir: String, outDir: String): Unit = {
+    TableIO.recoverSwapAll(s"$outDir/_swap_intent") // finish any interrupted commit
     val t = tables(spark, inDir)
     val views = SpectrumViews.buildAll(
       t("consensus_sequence"), t("sequence_identifier"), t("viollier_test"),
@@ -64,8 +65,17 @@ object SpectrumRefresh {
           .withColumnRenamed("fall_dt", "date").withColumnRenamed("ktn", "canton")
           .withColumnRenamed("altersjahr", "age"),
         t("bag_test_numbers")))
-    (views ++ usageViews ++ privateViews ++ reports).foreach { case (name, df) =>
-      TableIO.writeAtomicSwap(df, s"$outDir/$name")
+    // ONE commit for the whole view set (the reference refreshes all
+    // matviews in a single cycle, refreshes.sql:14-36): stage every
+    // view first — plans read inDir, untouched during staging — then
+    // swap in a tight rename loop with forward recovery, so readers
+    // never keep a mixed-version set of views (the GisaidImport commit
+    // discipline applied to the serving side)
+    val allViews = (views ++ usageViews ++ privateViews ++ reports).toSeq.sortBy(_._1)
+    TableIO.writeAtomicSwapAll(
+      allViews.map { case (name, df) => (df, s"$outDir/$name") },
+      s"$outDir/_swap_intent")
+    allViews.foreach { case (name, _) =>
       println(s"[spectrum] $name rows=${TableIO.read(spark, s"$outDir/$name").count()}")
     }
   }
