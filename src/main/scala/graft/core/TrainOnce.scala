@@ -116,11 +116,42 @@ object TrainOnce {
               case _: java.nio.file.FileAlreadyExistsException => deleteRecursively(tmp)
               case _: java.nio.file.DirectoryNotEmptyException => deleteRecursively(tmp)
             }
+          } else {
+            // touch on first use per JVM: the dir mtime becomes a
+            // last-USED stamp, so vacuum's TTL means "unused for T",
+            // not "trained T ago" — a hot artifact never expires
+            try Files.setLastModifiedTime(live,
+              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+            catch { case _: Exception => () }
           }
           live.toString
         })
       }
     }
+
+  /** Garbage-collect the artifact tier: delete artifact dirs UNUSED
+    * (by mtime — kept fresh by the touch-on-use above) for longer
+    * than `ttlMillis`, skipping in-flight temp dirs and anything this
+    * JVM resolved (in use by definition). Content-fingerprint keys
+    * mean every testdata regeneration strands the previous artifacts
+    * — without a vacuum the tier grows monotonically. A deleted
+    * artifact is not an error: the next request retrains it (the
+    * cachedOnDisk contract). Returns the number of dirs removed. */
+  def vacuum(ttlMillis: Long): Int = {
+    val root = Paths.get(artifactRoot)
+    if (!Files.exists(root)) return 0
+    val inUse = dirCache.values.toSet
+    val cutoff = System.currentTimeMillis() - ttlMillis
+    var removed = 0
+    Files.list(root).forEach { p =>
+      val name = p.getFileName.toString
+      val stale = !name.startsWith(".") &&
+        !inUse.contains(p.toString) &&
+        Files.getLastModifiedTime(p).toMillis < cutoff
+      if (stale) { deleteRecursively(p); removed += 1 }
+    }
+    removed
+  }
 
   /** Disk tier for row-shaped artifacts: parquet under
     * [[artifactRoot]], keyed by (`key`, fingerprint of `srcDir`).

@@ -102,4 +102,55 @@ class TrainOnceSpec extends SparkSpec {
     assert(p1 == p2 && p2 == p3)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p1, "part.txt")))
   }
+
+  test("vacuum: unused artifacts past the TTL go; in-use and fresh ones survive; retrain works") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    def write(dir: String): Unit = {
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(Paths.get(dir, "part.txt"), "x")
+    }
+    val t = System.nanoTime()
+    val oldKey = s"spec:vac-old:$t"
+    val freshKey = s"spec:vac-fresh:$t"
+    val inUseKey = s"spec:vac-inuse:$t"
+    val oldPath = TrainOnce.artifactDir(oldKey)(write)
+    val freshPath = TrainOnce.artifactDir(freshKey)(write)
+    val inUsePath = TrainOnce.artifactDir(inUseKey)(write)
+    // simulate age: backdate old + in-use; then forget the memory tier
+    // EXCEPT re-resolve inUse so the dirCache marks it live
+    Files.setLastModifiedTime(Paths.get(oldPath), FileTime.fromMillis(1000L))
+    Files.setLastModifiedTime(Paths.get(inUsePath), FileTime.fromMillis(1000L))
+    TrainOnce.clearMemoryForTest()
+    TrainOnce.artifactDir(inUseKey)(write) // back in dirCache…
+    Files.setLastModifiedTime(Paths.get(inUsePath), FileTime.fromMillis(1000L)) // …but old on disk
+    val removed = TrainOnce.vacuum(ttlMillis = 60L * 60 * 1000)
+    assert(removed >= 1)
+    assert(!Files.exists(Paths.get(oldPath)), "stale unused artifact must be deleted")
+    assert(Files.exists(Paths.get(freshPath)), "fresh artifact survives")
+    assert(Files.exists(Paths.get(inUsePath)), "in-use artifact survives even when old")
+    // a deleted artifact is not an error: the next request retrains
+    TrainOnce.clearMemoryForTest()
+    var rewrites = 0
+    val back = TrainOnce.artifactDir(oldKey) { dir =>
+      rewrites += 1; write(dir)
+    }
+    assert(rewrites == 1 && Files.exists(Paths.get(back, "part.txt")))
+  }
+
+  test("touch-on-use: re-resolving an artifact in a fresh JVM refreshes its mtime") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    def write(dir: String): Unit = {
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(Paths.get(dir, "part.txt"), "x")
+    }
+    val key = s"spec:vac-touch:${System.nanoTime()}"
+    val p = TrainOnce.artifactDir(key)(write)
+    Files.setLastModifiedTime(Paths.get(p), FileTime.fromMillis(1000L))
+    TrainOnce.clearMemoryForTest() // "fresh JVM"
+    TrainOnce.artifactDir(key)(write)
+    assert(Files.getLastModifiedTime(Paths.get(p)).toMillis > 1000L,
+      "first use per JVM must refresh the last-used stamp")
+  }
 }
