@@ -45,7 +45,7 @@ object Expectations {
     grouped.agg(
         coalesce(sum(when(col("__n") > 1, col("__n"))), lit(0L)).cast(LongType)
           .as("violations"),
-        sum(col("__n")).cast(LongType).as("total"))
+        coalesce(sum(col("__n")), lit(0L)).cast(LongType).as("total"))
       .select(lit(name).as("check"), col("violations"), col("total"))
   }
 
