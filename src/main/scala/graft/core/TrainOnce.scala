@@ -140,16 +140,24 @@ object TrainOnce {
   def vacuum(ttlMillis: Long): Int = {
     val root = Paths.get(artifactRoot)
     if (!Files.exists(root)) return 0
+    // dirCache only protects artifacts THIS JVM resolved; a concurrent
+    // process that resolved an artifact within the TTL window is covered
+    // by the touch-on-use mtime stamp, not by this set — so ttlMillis
+    // must exceed the longest plausible artifact-consumer run (the
+    // cross-process contract; same assumption as any mtime-TTL GC).
     val inUse = dirCache.values.toSet
     val cutoff = System.currentTimeMillis() - ttlMillis
     var removed = 0
-    Files.list(root).forEach { p =>
-      val name = p.getFileName.toString
-      val stale = !name.startsWith(".") &&
-        !inUse.contains(p.toString) &&
-        Files.getLastModifiedTime(p).toMillis < cutoff
-      if (stale) { deleteRecursively(p); removed += 1 }
-    }
+    val listing = Files.list(root)
+    try {
+      listing.forEach { p =>
+        val name = p.getFileName.toString
+        val stale = !name.startsWith(".") &&
+          !inUse.contains(p.toString) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
+        if (stale) { deleteRecursively(p); removed += 1 }
+      }
+    } finally listing.close()
     removed
   }
 

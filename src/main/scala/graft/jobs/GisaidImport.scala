@@ -165,11 +165,19 @@ object GisaidImport {
 
     // 5. merged table: upsert processed records, then drop deleted ids
     // (M4); the deletion count joins the report (reference FinalReport
-    // carries deleted-entry counts too)
+    // carries deleted-entry counts too). Deletion is keyed on ids ABSENT
+    // FROM THE FEED, not absent from the valid slice: an entry present in
+    // the package with a usable id but invalid fields (e.g. empty
+    // sequence) counts as failed, but must NOT delete the previously
+    // imported record (GisaidApiImporter.java:374-381 deletes only ids
+    // missing from the data package; failed entries are never deleted).
+    val feedIds = normalized
+      .filter(col("gisaid_epi_isl").isNotNull && length(trim(col("gisaid_epi_isl"))) > 0)
+      .select("gisaid_epi_isl")
     val merged = Upsert.upsert(existing, toProcess.drop("change_kind"), Seq("gisaid_epi_isl"))
-    val finalTable = Upsert.deleteMissing(merged, parsed.select("gisaid_epi_isl"), Seq("gisaid_epi_isl"))
+    val finalTable = Upsert.deleteMissing(merged, feedIds, Seq("gisaid_epi_isl"))
     val deletedCnt = existing.select("gisaid_epi_isl")
-      .join(parsed.select("gisaid_epi_isl"), Seq("gisaid_epi_isl"), "left_anti").count()
+      .join(feedIds, Seq("gisaid_epi_isl"), "left_anti").count()
 
     // 6. identifier update (M8): set gisaid_id where ours and not yet
     // set — null-guarded, an already-recorded id is never overwritten

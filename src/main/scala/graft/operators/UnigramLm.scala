@@ -65,9 +65,13 @@ object UnigramLm {
     val toks = filter(
       split(regexp_replace(lower(col(textCol)), "[^a-z ]", " "), " "),
       t => t =!= "")
+    // greatest(…, 0): a document with no [a-z ] content tokenizes to an
+    // empty array, and slice with length -1 is a runtime error (the
+    // DuckDB range(1, len-1) analog is safe); clamping yields an empty
+    // pair array for the degenerate doc instead of failing the scan
     val pairs = zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
       (a, b) => concat(a, b))
     docs.select(explode(pairs).as("unit"))
       .filter(length(col("unit")) <= MaxUnitLen)

@@ -93,6 +93,17 @@ object Upsert {
     * untouched. */
   def scd2Apply(versioned: DataFrame, batch: DataFrame, keys: Seq[String],
       compareCols: Seq[String], batchId: Long): DataFrame = {
+    // The schema contract is explicit: the versioned table must be
+    // exactly keys ++ compareCols ++ (vfrom, vto). Fresh rows are built
+    // from the batch's keys ++ compareCols only, so an extra passthrough
+    // column would otherwise surface as an opaque unionByName failure at
+    // execution time — fail here, at the call, with the fix spelled out.
+    val expected = (keys ++ compareCols ++ Seq("vfrom", "vto")).toSet
+    val actual = versioned.columns.toSet
+    require(actual == expected,
+      s"scd2Apply: versioned table columns ${actual.toSeq.sorted.mkString(",")} " +
+        s"must be exactly keys++compareCols++(vfrom,vto) = ${expected.toSeq.sorted.mkString(",")}; " +
+        "project the table (or add the column to compareCols) before applying")
     val history = versioned.filter(col("vto").isNotNull)
     val open = versioned.filter(col("vto").isNull)
     val kinds = changeKinds(

@@ -80,6 +80,36 @@ class ImportAndRefreshSpec extends SparkSpec {
     assert(report.success)
   }
 
+  test("failed feed entry with a valid id is NOT deleted; only ids absent from the feed are") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("import-del-")
+    // existing: 1..3 already imported
+    val existing = (1 to 3).map { i =>
+      (s"EPI_ISL_$i", s"Germany/BY-$i/2021", java.sql.Date.valueOf("2021-03-15"),
+        "BA.1", GisaidImport.demoReference)
+    }.toDF("gisaid_epi_isl", "strain", "date", "pango_lineage", "seq_aligned")
+    // feed: 1 valid, 2 present-but-invalid (empty sequence → counted
+    // failed), 3 absent, 4..40 valid fillers keeping failed under 5%
+    val lines = (Seq(1) ++ Seq(2) ++ (4 to 40)).map { i =>
+      val seq = if (i == 2) "" else GisaidImport.demoReference
+      s"""{"covv_accession_id":"EPI_ISL_$i","covv_virus_name":"Germany/BY-$i/2021","covv_collection_date":"2021-03-15","covv_location":"Europe / Germany","covv_patient_age":"30","covv_gender":"Male","covv_lineage":"BA.1","covv_subm_date":"2021-04-01","sequence":"$seq"}"""
+    }
+    val feed = dir.resolve("feed.json")
+    java.nio.file.Files.writeString(feed, lines.mkString("\n"))
+    val ids = Seq((16160L, "EPI_ISL_OLD", "existing")).toDF("ethid", "gisaid_id", "note")
+    val (outputs, report) =
+      GisaidImport.plan(spark, feed.toString, existing, ids, s"$dir/tables")
+    // the failed entry is accounted (GisaidApiImporter.java counts a
+    // throwing entry as failed) but its id was IN the data package, so
+    // deletion must not touch it (GisaidApiImporter.java:374-381)
+    assert(report.processed == 39 && report.failed == 1 && report.deleted == 1, report)
+    val kept = outputs.collectFirst { case ("gisaid_api_sequence", df) => df }.get
+      .select("gisaid_epi_isl").as[String].collect().toSet
+    assert(kept.contains("EPI_ISL_2"), "failed-but-present entry must keep its old record")
+    assert(!kept.contains("EPI_ISL_3"), "absent-from-feed id must be deleted")
+    assert((1 to 40).filter(_ != 3).forall(i => kept.contains(s"EPI_ISL_$i")))
+  }
+
   test("injected-failure feed: >=5% failed entries abort before commit; refresh is Blocked") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("import-fail-")

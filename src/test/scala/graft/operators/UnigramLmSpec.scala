@@ -43,6 +43,15 @@ class UnigramLmSpec extends SparkSpec {
     words.toSeq.map(w => (w, 1L, w.length)).toDF("unit", "ucount", "ulen")
   }
 
+  test("degenerate docs (no [a-z ] content, or one token) yield zero units, not a slice error") {
+    import spark.implicits._
+    val docs = Seq("1234 !!!", "", "solo", "two words").toDF("text")
+    val u = UnigramLm.units(docs, "text").collect()
+    // only the two-token doc contributes a pair; the empty/one-token
+    // docs must not fail the scan (slice with negative length throws)
+    assert(u.map(_.getString(0)).toSeq == Seq("twowords"))
+  }
+
   test("hand-traced: fewest pieces wins; bitlength score then seg string break ties") {
     // "abcd": {abc,d} (2 pieces) beats {ab,cd} (2 pieces) only via
     // score: bl(ab)=bl(freq 8)=4, bl(cd)=4 → 8; bl(abc)=bl(2)=2,

@@ -73,6 +73,17 @@ class UpsertSpec extends SparkSpec {
       row(9L, "fresh", 2L, null))) // brand new key
   }
 
+  test("SCD2: a versioned table with an extra passthrough column fails fast with the fix named") {
+    import spark.implicits._
+    val versioned = Seq((1L, "a", "extra", 0L, null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "s", "note", "vfrom", "vto")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.scd2Apply(versioned, Seq((1L, "a2")).toDF("k", "s"), Seq("k"), Seq("s"), 1L)
+    }
+    assert(e.getMessage.contains("keys++compareCols++(vfrom,vto)"), e.getMessage)
+    assert(e.getMessage.contains("note"), e.getMessage)
+  }
+
   test("SCD2: current-view query (vto IS NULL) returns exactly one row per live key") {
     import spark.implicits._
     val v0 = Seq((1L, "x", 0L, null.asInstanceOf[java.lang.Long]),
