@@ -15,7 +15,7 @@ object SparkEntry {
     GenomicsQueries, SimilarityQueries, MultimodalQueries, GraphQueries,
     BpeQueries, SkewQueries, SketchQueries, QualityClassifierQueries,
     NgramLmQueries, LengthBatchingQueries, ZOrderQueries, MaxMatchQueries,
-    RelFuzzQueries, TemporalFuzzQueries, StringFuzzQueries,
+    RelFuzzQueries, TemporalFuzzQueries, StringFuzzQueries, WindowSetFuzzQueries,
     UnigramLmQueries, ExpectationsQueries, KCenterQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
