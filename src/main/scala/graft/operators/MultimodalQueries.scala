@@ -216,5 +216,94 @@ object MultimodalQueries extends QueryModule {
         FROM p ORDER BY media_id"""))
   }
 
-  override val all: Seq[Q] = Seq(mm1, mm2, mm3, mm4)
+  // Perceptual (pixel-level) image dedup — the dedup modality the
+  // header-only codecs left open. The rasters are REAL: each doc_id
+  // renders a cell-aligned grayscale PNG (4×4-px cells over a 9×8
+  // grid, so W=36 H=32) through the deflate encoder, and the Spark
+  // side runs the full pipeline — PNG decode (inflate + unfilter) →
+  // integer 9×8 average-pool → dHash → 16-bit band fingerprints →
+  // LSH band equi-join → exact Hamming verify on candidates only.
+  // Groups of four consecutive ids share a base pattern; members
+  // m=1..3 brighten the first m cells of row 0 (+55), flipping at
+  // most 3 dHash bits — planted near-dups, all confined to band 0 so
+  // bands 1–3 still collide (the q_dd2 banding guarantee). The
+  // oracle reconstructs the SAME fingerprints arithmetically from
+  // the cell generator (pooling is exact on cell-aligned rasters)
+  // and replicates the band-candidate ∧ Hamming≤t discovery rule.
+  private val mm5 = {
+    val t = 6 // Hamming threshold (planted near-dups differ by ≤ 3)
+    Q(
+      "q_mm5_perceptual_dedup",
+      "pixel-level image dedup: real PNG rasters → dHash bands → LSH band join → Hamming verify",
+      (s, d) => {
+        import s.implicits._
+        val fp = Tables.documents(s, d)
+          .select(col("doc_id").cast(LongType)).as[Long]
+          .mapPartitions { it =>
+            val ph = graft.multimodal.PerceptualHash
+            it.map { id =>
+              val png = graft.multimodal.ImageCodec.encodePng(36, 32, (x, y) => {
+                val cx = x / 4; val cy = y / 4
+                ((cx * 17 + cy * 29 + (id / 4) * 31) % 200 +
+                  (if (cy == 0 && cx < id % 4) 55 else 0)).toInt
+              })
+              val raster = ph.decodePngGray(png)
+                .getOrElse(sys.error(s"undecodable synthesized png for id $id"))
+              val b = ph.dHashBands(raster)
+              (id, b(0), b(1), b(2), b(3))
+            }
+          }.toDF("media_id", "b0", "b1", "b2", "b3")
+        // LSH blocking: candidates share at least one identical band —
+        // four equi-joins (never a cartesian), exact Hamming on
+        // candidates only, distinct-pair reduction
+        val pairs = (0 until 4).map { bi =>
+          val l = fp.select(col("media_id").as("id_a"), col("b0").as("a0"),
+            col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+          val r = fp.select(col("media_id").as("id_b"), col("b0").as("c0"),
+            col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+          l.join(r, col(s"a$bi") === col(s"c$bi") && col("id_a") < col("id_b"))
+        }.reduce(_ unionByName _)
+          .select(col("id_a"), col("id_b"),
+            (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+              bit_count(col("a1").bitwiseXOR(col("c1"))) +
+              bit_count(col("a2").bitwiseXOR(col("c2"))) +
+              bit_count(col("a3").bitwiseXOR(col("c3")))).cast(LongType).as("hamming"))
+          .filter(col("hamming") <= t)
+          .distinct()
+        pairs.orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH cells AS (
+          SELECT d.doc_id AS media_id, cx.range AS cx, cy.range AS cy,
+                 (cx.range*17 + cy.range*29 + (d.doc_id // 4)*31) % 200 +
+                 CASE WHEN cy.range = 0 AND cx.range < d.doc_id % 4 THEN 55 ELSE 0 END AS v
+          FROM documents d, range(0, 9) cx, range(0, 8) cy),
+        bits AS (
+          SELECT a.media_id, (a.cy // 2) AS band, (a.cy % 2)*8 + a.cx AS loc,
+                 CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+          FROM cells a JOIN cells b
+            ON b.media_id = a.media_id AND b.cy = a.cy AND b.cx = a.cx + 1
+          WHERE a.cx < 8),
+        bands AS (
+          SELECT media_id, band, CAST(sum(bit * (1 << loc)) AS BIGINT) AS bv
+          FROM bits GROUP BY media_id, band),
+        fp AS (
+          SELECT media_id,
+                 max(CASE WHEN band = 0 THEN bv END) AS b0,
+                 max(CASE WHEN band = 1 THEN bv END) AS b1,
+                 max(CASE WHEN band = 2 THEN bv END) AS b2,
+                 max(CASE WHEN band = 3 THEN bv END) AS b3
+          FROM bands GROUP BY media_id)
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b
+          ON a.media_id < b.media_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+              bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= $t
+        ORDER BY id_a, id_b"""))
+  }
+
+  override val all: Seq[Q] = Seq(mm1, mm2, mm3, mm4, mm5)
 }

@@ -144,6 +144,12 @@ class PlanAuditSpec extends SparkSpec {
       s"embedding near-dup must join on the LSH bucket key:\n$p")
   }
 
+  test("q_mm5: perceptual dedup joins on the band key — no cartesian over the image set") {
+    val p = plan("q_mm5_perceptual_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"perceptual near-dup must equi-join on the dHash band, not all-pairs:\n$p")
+  }
+
   test("q_ann1: cosine's three vec_dots codegen in one projection (no janino fallback)") {
     // cosine() expands to 3 VecDot calls in a single project; with a
     // non-fresh accumulator name the generated code fails to compile
