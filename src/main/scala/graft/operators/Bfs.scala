@@ -21,11 +21,6 @@ import org.apache.spark.sql.types.LongType
   */
 object Bfs {
 
-  private def sym(edges: DataFrame, a: String, b: String): DataFrame =
-    edges.select(col(a).as("src"), col(b).as("dst"))
-      .unionAll(edges.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-
   private def round(symEdges: DataFrame, dist: DataFrame): DataFrame =
     dist.unionAll(
         symEdges.join(dist.withColumnRenamed("v", "dst"), Seq("dst"))
@@ -35,8 +30,8 @@ object Bfs {
   /** Fixed-round gate form: distances from `sources` (a one-column
     * frame of vertex ids) after `rounds` expansion rounds. */
   def hopDistances(edges: DataFrame, a: String, b: String,
-      sources: DataFrame, rounds: Int): DataFrame = {
-    val se = sym(edges, a, b).localCheckpoint()
+      sources: DataFrame, rounds: Int, edgeDir: Option[String] = None): DataFrame = {
+    val se = GraphEdges.symPinned(edges, a, b, edgeDir)
     // sources restricted to vertices present in the graph (both sides
     // replay the same restriction)
     var dist = se.select(col("src").as("v")).distinct()
@@ -52,8 +47,9 @@ object Bfs {
     * growing AND the distance sum stops shrinking — one bounded
     * two-scalar agg per round steers the loop. */
   def hopDistancesUntil(edges: DataFrame, a: String, b: String,
-      sources: DataFrame, maxRounds: Int = 100): (DataFrame, Int) = {
-    val se = sym(edges, a, b).localCheckpoint()
+      sources: DataFrame, maxRounds: Int = 100,
+      edgeDir: Option[String] = None): (DataFrame, Int) = {
+    val se = GraphEdges.symPinned(edges, a, b, edgeDir)
     var dist = se.select(col("src").as("v")).distinct()
       .join(sources.toDF("v"), Seq("v"), "left_semi")
       .select(col("v"), lit(0L).cast(LongType).as("d"))

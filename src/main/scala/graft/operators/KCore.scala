@@ -24,11 +24,6 @@ import org.apache.spark.sql.types.LongType
   */
 object KCore {
 
-  private def sym(edges: DataFrame, a: String, b: String): DataFrame =
-    edges.select(col(a).as("src"), col(b).as("dst"))
-      .unionAll(edges.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-
   private def round(symEdges: DataFrame, alive: DataFrame, k: Int): DataFrame =
     symEdges
       .join(alive.select(col("v").as("src")), Seq("src"))
@@ -47,8 +42,9 @@ object KCore {
   /** Fixed-round peel (gate form): `rounds` peeling rounds, then the
     * surviving vertices with their within-core degrees. Equal to the
     * true k-core whenever `rounds` ≥ the cascade length. */
-  def peel(edges: DataFrame, a: String, b: String, k: Int, rounds: Int): DataFrame = {
-    val se = sym(edges, a, b).localCheckpoint()
+  def peel(edges: DataFrame, a: String, b: String, k: Int, rounds: Int,
+      edgeDir: Option[String] = None): DataFrame = {
+    val se = GraphEdges.symPinned(edges, a, b, edgeDir)
     var alive = se.select(col("src").as("v")).distinct().localCheckpoint()
     for (_ <- 1 to rounds)
       alive = round(se, alive, k).localCheckpoint()
@@ -60,8 +56,8 @@ object KCore {
     * per round steers the loop — the PageRank.ranksUntil discipline.
     * Fails loudly rather than silently truncating the cascade. */
   def peelUntil(edges: DataFrame, a: String, b: String, k: Int,
-      maxRounds: Int = 100): (DataFrame, Int) = {
-    val se = sym(edges, a, b).localCheckpoint()
+      maxRounds: Int = 100, edgeDir: Option[String] = None): (DataFrame, Int) = {
+    val se = GraphEdges.symPinned(edges, a, b, edgeDir)
     var alive = se.select(col("src").as("v")).distinct().localCheckpoint()
     var n = alive.count()
     var r = 0
@@ -114,8 +110,9 @@ object KCore {
     * [[peel]] gate only samples; the per-round localCheckpoint is the
     * documented iterative-graph exemption (state = the O(V) estimate
     * vector). */
-  def coreness(edges: DataFrame, a: String, b: String, rounds: Int): DataFrame = {
-    val se = sym(edges, a, b).localCheckpoint()
+  def coreness(edges: DataFrame, a: String, b: String, rounds: Int,
+      edgeDir: Option[String] = None): DataFrame = {
+    val se = GraphEdges.symPinned(edges, a, b, edgeDir)
     var c = degrees(se).localCheckpoint()
     for (_ <- 1 to rounds) c = corenessRound(se, c).localCheckpoint()
     c.select(col("v").as("vertex"), col("c").as("coreness"))
@@ -127,8 +124,8 @@ object KCore {
     * one scalar agg per round steers the loop (the peelUntil
     * discipline; no O(V) driver materialization). */
   def corenessUntil(edges: DataFrame, a: String, b: String,
-      maxRounds: Int = 100): (DataFrame, Int) = {
-    val se = sym(edges, a, b).localCheckpoint()
+      maxRounds: Int = 100, edgeDir: Option[String] = None): (DataFrame, Int) = {
+    val se = GraphEdges.symPinned(edges, a, b, edgeDir)
     var c = degrees(se).localCheckpoint()
     var sum = c.agg(org.apache.spark.sql.functions.sum(col("c"))).head().getLong(0)
     var r = 0

@@ -28,9 +28,13 @@ object PageRank {
   /** Normalized graph frames shared by both iteration modes. */
   private final case class Graph(e: DataFrame, verts: DataFrame, outDeg: DataFrame)
 
-  private def graphOf(edges: DataFrame, srcCol: String, dstCol: String): Graph = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+  private def graphOf(edges: DataFrame, srcCol: String, dstCol: String,
+      edgeDir: Option[String] = None): Graph = {
+    // the O(E) static operand follows the GraphEdges pin policy:
+    // localCheckpoint at test scale, TableIO materialize-once for
+    // multi-hour production runs (resumable, no pinned blocks)
+    val e = GraphEdges.pin(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(), edgeDir)
     val verts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
     Graph(e, verts, e.groupBy(col("src")).agg(count(lit(1)).as("out")))
@@ -54,9 +58,10 @@ object PageRank {
     * rounds, damping 0.85. Vertices = all edge endpoints; dangling
     * vertices (no out-edges) contribute nothing (the standard
     * simplification, matched by the oracle). */
-  def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      edgeDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 20, "unrolled-oracle range")
-    val g = graphOf(edges, srcCol, dstCol)
+    val g = graphOf(edges, srcCol, dstCol, edgeDir)
     var r = g.verts.select(col("v"), lit(Scale).as("rank")).localCheckpoint()
     for (_ <- 1 to iters) r = roundStep(g, r)
     r
@@ -132,9 +137,9 @@ object PageRank {
     * truncation as [[ranks]] — one more keyed broadcast-size join per
     * round for the base vector. */
   def trustRanks(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, iters: Int): DataFrame = {
+      seeds: DataFrame, iters: Int, edgeDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 20, "unrolled-oracle range")
-    val g = graphOf(edges, srcCol, dstCol)
+    val g = graphOf(edges, srcCol, dstCol, edgeDir)
     val base = seedBase(g, seeds)
     var r = base.select(col("v"),
         when(col("base") > 0L, lit(Scale)).otherwise(lit(0L)).as("rank"))
