@@ -822,6 +822,120 @@ object SketchQueries extends QueryModule {
         ORDER BY s.bucket"""))
   }
 
+  // ---- mergeable quantile registers (sp12/sp13) ----
+  //
+  // The quantile analog of the sp10/sp11 register discipline. A
+  // deterministic KLL-style compactor run to completion over a batch
+  // collapses to STRIDED RANK SAMPLING: full-level odd-keep compaction
+  // halves a sorted level and doubles its weight, so L halvings of a
+  // shard's sorted run leave exactly the items at ranks 1, 1+2^L,
+  // 1+2·2^L, … with weight 2^L — the sketch's batch normal form. Each
+  // shard picks its own power-of-two stride s = min 2^L with
+  // ⌈n/s⌉ ≤ K, so the register is ≤ K rows NO MATTER the shard size
+  // (the bounded-model contract), and the INTEGER rank bound is exact:
+  // for any value x, a shard's weighted register count over q ≤ x
+  // lands in [true_count, true_count + s − 1] because rows with q ≤ x
+  // occupy a rank prefix of the (q, unique-key) order. Merging shard
+  // registers is plain union — each row carries its own weight — and
+  // the merged estimate inherits the bound Σ(sᵢ − 1). At 100 TB:
+  // shard = partition, the per-shard window never crosses executors,
+  // the merged state is #shards · K rows, and stride adapts per shard
+  // so skewed shards stay bounded.
+  private val QregK = 64L
+  private val QregShards = 8L
+
+  /** Per-shard strided-rank quantile registers over floor(l_quantity):
+    * (shard, rn, q, w). The unique 4-tuple key breaks rank ties (the
+    * fz1 non-unique-key lesson). */
+  private def quantileRegisters(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = li.select((col("l_suppkey") % QregShards).as("shard"),
+      floor(col("l_quantity")).cast(LongType).as("q"),
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    base
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("shard"))).cast(LongType))
+      // stride: smallest power of two with ceil(n/K) register rows;
+      // 2^bitlength(m-1) = least power of two >= m (integer-exact via
+      // the shared length(bin(...)) trick)
+      .withColumn("m", expr(s"(n + ${QregK - 1}) div $QregK"))
+      .withColumn("w", when(col("m") <= 1L, lit(1L))
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(m - 1)) AS INT))")))
+      .filter((col("rn") - 1L) % col("w") === 0L)
+      .select(col("shard"), col("rn"), col("q"), col("w"))
+  }
+
+  private def quantileRegistersSql: String = s"""
+    WITH qbase AS (
+      SELECT l_suppkey % $QregShards AS shard, CAST(floor(l_quantity) AS BIGINT) AS q,
+             l_orderkey, l_linenumber, l_partkey, l_suppkey
+      FROM lineitem),
+    qr AS (
+      SELECT shard, q,
+             CAST(row_number() OVER (PARTITION BY shard
+               ORDER BY q, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS n
+      FROM qbase),
+    qs AS (
+      SELECT shard, q, rn,
+             CASE WHEN (n + ${QregK - 1}) // $QregK <= 1 THEN 1
+                  ELSE (CAST(1 AS BIGINT)
+                        << CAST(length(bin((n + ${QregK - 1}) // $QregK - 1)) AS INT)) END AS w
+      FROM qr),
+    qreg AS (SELECT shard, rn, q, CAST(w AS BIGINT) AS w FROM qs WHERE (rn - 1) % w = 0)"""
+
+  private val sp12 = Q(
+    "q_sp12_quantile_registers",
+    s"mergeable quantile registers: per-shard strided rank sample (K=$QregK), " +
+      "the batch normal form of a deterministic KLL compactor",
+    (s, d) => quantileRegisters(Tables.lineitem(s, d))
+      .orderBy(col("shard"), col("rn")),
+    Some(s"""$quantileRegistersSql
+      SELECT shard, rn, q, w FROM qreg ORDER BY shard, rn"""))
+
+  // Shard-merge law with the INTEGER rank bound gated cross-engine:
+  // merged register rank estimates for a probe grid land in
+  // [true_rank, true_rank + Σ(sᵢ−1)] — both engines compute estimate,
+  // truth, bound, and the containment flag.
+  private val sp13 = Q(
+    "q_sp13_quantile_merge",
+    "quantile shard-merge: union of per-shard registers estimates ranks within the exact integer bound",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val reg = quantileRegisters(li).localCheckpoint() // consumed 3× below; ≤ shards·K rows
+      val bound = reg.groupBy(col("shard")).agg(max(col("w")).as("st"))
+        .agg(sum(col("st") - 1L).cast(LongType).as("bound"))
+      val probes = s.range(1)
+        .select(explode(sequence(lit(5L), lit(50L), lit(5L))).as("x"))
+      val est = probes.join(reg, reg("q") <= probes("x"), "left")
+        .groupBy(col("x")).agg(coalesce(sum(col("w")), lit(0L)).as("est_rank"))
+      val hist = li.select(floor(col("l_quantity")).cast(LongType).as("q"))
+        .groupBy(col("q")).agg(count(lit(1)).cast(LongType).as("c"))
+      val tru = probes.join(hist, hist("q") <= probes("x"), "left")
+        .groupBy(col("x")).agg(coalesce(sum(col("c")), lit(0L)).as("true_rank"))
+      est.join(tru, Seq("x")).crossJoin(bound)
+        .select(col("x"), col("est_rank"), col("true_rank"), col("bound"),
+          (col("est_rank") >= col("true_rank") &&
+            col("est_rank") <= col("true_rank") + col("bound")).cast("int").as("ok"))
+        .orderBy(col("x"))
+    },
+    Some(s"""$quantileRegistersSql,
+      strides AS (SELECT shard, max(w) AS st FROM qreg GROUP BY shard),
+      bnd AS (SELECT CAST(sum(st - 1) AS BIGINT) AS bound FROM strides),
+      probes AS (SELECT unnest(range(5, 55, 5)) AS x),
+      est AS (SELECT p.x, CAST(coalesce(sum(g.w), 0) AS BIGINT) AS est_rank
+              FROM probes p LEFT JOIN qreg g ON g.q <= p.x GROUP BY p.x),
+      hist AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q, count(*) AS c
+               FROM lineitem GROUP BY 1),
+      tru AS (SELECT p.x, CAST(coalesce(sum(h.c), 0) AS BIGINT) AS true_rank
+              FROM probes p LEFT JOIN hist h ON h.q <= p.x GROUP BY p.x)
+      SELECT e.x, e.est_rank, t.true_rank, b.bound,
+             CAST(e.est_rank >= t.true_rank AND e.est_rank <= t.true_rank + b.bound AS INT) AS ok
+      FROM est e JOIN tru t ON t.x = e.x, bnd b ORDER BY e.x"""))
+
   override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5, sp6, sp7, sp8, sp9,
-    sp10, sp11)
+    sp10, sp11, sp12, sp13)
 }

@@ -246,4 +246,53 @@ class SketchesSpec extends SparkSpec {
     val est = 0.709 * 64.0 * 64.0 * math.pow(2.0, rmax.toDouble) / harmonic.toDouble
     assert(math.abs(est - n) / n < 0.26, s"estimate $est vs true $n")
   }
+
+  test("quantile registers: bounded size, exact rank bound at EVERY distinct value, merge = union") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val reg = graft.SparkEntry.queries("q_sp12_quantile_registers")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // bounded-model contract: every shard register holds at most K rows
+    val perShard = reg.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perShard.values.forall(_ <= 64), s"register over capacity: $perShard")
+
+    // the integer rank bound, exhaustively: for every distinct q value,
+    // weighted register count over q <= x must land in
+    // [true_count, true_count + sum(stride_i - 1)]
+    val trueCounts = li.select(floor(col("l_quantity")).cast("long").as("q"))
+      .groupBy("q").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val bound = reg.groupBy(_._1).map(_._2.map(_._4).max - 1).sum
+    var cum = 0L
+    trueCounts.foreach { case (x, c) =>
+      cum += c
+      val est = reg.filter(_._3 <= x).map(_._4).sum
+      assert(est >= cum && est <= cum + bound,
+        s"x=$x: est $est outside [$cum, ${cum + bound}] (bound $bound)")
+    }
+
+    // quantile extraction from the merged register: value at the p-th
+    // weighted rank has true rank within bound + max stride of target
+    val n = trueCounts.map(_._2).sum
+    val totalW = reg.map(_._4).sum
+    val maxStride = reg.map(_._4).max
+    val sortedReg = reg.sortBy(r => (r._3, r._1, r._2)) // by value
+    for (p <- Seq(10, 25, 50, 75, 90)) {
+      val target = totalW * p / 100
+      var acc = 0L
+      val qv = sortedReg.find { r => acc += r._4; acc >= target }.map(_._3).get
+      val trueRankLo = trueCounts.takeWhile(_._1 < qv).map(_._2).sum
+      val trueRankHi = trueRankLo + trueCounts.find(_._1 == qv).map(_._2).getOrElse(0L)
+      val wantRank = n * p / 100
+      assert(wantRank >= trueRankLo - bound - maxStride &&
+        wantRank <= trueRankHi + bound + maxStride,
+        s"p$p: value $qv spans ranks [$trueRankLo,$trueRankHi], target $wantRank, slack ${bound + maxStride}")
+    }
+
+    // merge law: the merged estimate used by sp13 is literally the
+    // union of shard registers -- re-grouping shards changes nothing
+    val regrouped = reg.groupBy(t => t._1 % 2).values.flatten.toSeq.sorted
+    assert(regrouped == reg.toSeq.sorted)
+  }
 }
