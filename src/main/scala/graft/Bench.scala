@@ -80,8 +80,10 @@ object Bench {
   }
 
   /** The driver's log capture keeps ~2000 tail chars of the line —
-    * the budget the compact form must fit with every gate present. */
-  private val CaptureBudget = 1900
+    * the budget the compact form must fit with every gate present.
+    * 1950 because the r8 evidence pinned the window: a 1,747-char
+    * line survived capture complete. */
+  private val CaptureBudget = 1950
 
   /** The driver-facing single line, sized to survive the ~2000-char
     * tail capture at 160+ queries: per-query times as INTEGERS
@@ -105,18 +107,36 @@ object Bench {
       else forkStats.map { case (n, a, f) => s"[$n,$a,${if (f) 1 else 0}]" }
         .mkString("[", ",", "]")
     val sfShort = sfDir.split("/").last
-    def render(unit: String, mult: Double): String = {
+    // Preferred: the driver contract's EXACT shape — `queries` values
+    // are FLOAT SECONDS (1 decimal) and no extra fields ride the line
+    // (the r8 line was complete in the capture yet `parsed` stayed
+    // null; the two deviations were integer-cs values + the q_unit/
+    // contention fields, so this render removes both — telemetry
+    // lives in the BENCH_SELF record, which keeps full precision).
+    def renderSeconds: String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + short(k) + "\":" + (if (v < 0) "-1" else f"$v%.1f")
+      }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
+    }
+    // Fallback ladder: integer values with a self-describing q_unit
+    // (one digit traded per step) + compressed contention telemetry —
+    // guaranteed to fit when the float-seconds shape cannot.
+    def render(unit: String, mult: Double, withContention: Boolean): String = {
       val qs = results.map { case (k, v) =>
         "\"" + short(k) + "\":" + (if (v < 0) "-1" else math.round(v * mult).toString)
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","q_unit":"$unit%s","queries":$qs,""" +
-        f""""contention":{"load":[$loadPre%.2f,$loadPost%.2f],"passes":$passes,""" +
-        s""""forks":$forks},"sf":"$sfShort"}"""
+      val contention = if (!withContention) "" else
+        f""","contention":{"load":[$loadPre%.2f,$loadPost%.2f],"passes":$passes,""" +
+          s""""forks":$forks}"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","q_unit":"$unit%s","queries":$qs""" +
+        s"""$contention,"sf":"$sfShort"}"""
     }
-    val units = Seq("ms" -> 1000.0, "cs" -> 100.0, "ds" -> 10.0)
-    units.iterator.map { case (u, m) => render(u, m) }
+    val ladder = Seq(("ms", 1000.0, true), ("cs", 100.0, true), ("ds", 10.0, true),
+      ("ds", 10.0, false), ("s", 1.0, false))
+    (Iterator(renderSeconds) ++ ladder.iterator.map { case (u, m, c) => render(u, m, c) })
       .find(_.length <= CaptureBudget)
-      .getOrElse(render("ds", 10.0))
+      .getOrElse(render("s", 1.0, withContention = false))
   }
 
   /** Map each gate name to its unique short code: the first token

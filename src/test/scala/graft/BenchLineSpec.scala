@@ -28,17 +28,17 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("compact line fits the ~2000-char capture window for a pessimistic full-suite run") {
-    // pessimistic shape: EVERY gate present with 3–4 digit ms values,
-    // 7 fork groups. The contract is budget-fit with all gates and a
-    // self-describing unit — ms when digits allow, cs when the suite
-    // has grown past what ms fits (each unit step trades one digit).
+    // pessimistic shape: EVERY gate present, realistic mixed digits,
+    // 7 fork groups. Preference is the driver contract's exact shape
+    // (float seconds, no extra fields); the line may step down to the
+    // integer-unit ladder only when that cannot fit.
     val results = gateNames.zipWithIndex.map { case (n, i) =>
       n -> (if (i % 4 == 0) 4.321 else 0.543)
     }
     val forks = Seq.fill(7)((24, 1, false))
     val line = Bench.compactLine(results, 6.15, 1.97, 5, 24, forks, "/root/testdata/sf0.1")
     assert(line.length < 2000, s"driver line too long: ${line.length} chars")
-    assert("\"q_unit\":\"(ms|cs)\"".r.findFirstIn(line).nonEmpty, line.take(120))
+    assert(line.contains("\"unit\":\"sec\""))
     assert(line.contains("\"queries\":{"))
     // every gate key present, whatever the unit
     val short = Bench.shortNames(gateNames)
@@ -49,12 +49,14 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.count(_ == '{') == line.count(_ == '}'))
   }
 
-  test("a moderate suite keeps full ms precision") {
-    // 120 gates with realistic digits — must NOT downgrade
+  test("a moderate suite emits the driver contract's exact shape: float seconds, no extras") {
+    // 120 gates easily fit the budget — the line must be the contract
+    // sample's shape (queries valued in seconds, no q_unit/contention)
     val results = gateNames.take(120).map(n => n -> 0.543)
     val line = Bench.compactLine(results, 0, 0, 5, 24, Seq.fill(5)((24, 1, false)), "sf0.1")
-    assert(line.contains("\"q_unit\":\"ms\""), line.take(120))
-    assert(line.contains(":543"))
+    assert(!line.contains("q_unit"), line.take(160))
+    assert(!line.contains("contention"), line.take(160))
+    assert(line.contains("\"unit\":\"sec\"") && line.contains(":0.5"), line.take(160))
   }
 
   test("pathological digit inflation self-downgrades the unit rather than overflow the window") {
@@ -64,17 +66,17 @@ class BenchLineSpec extends AnyFunSuite {
     val results = gateNames.map(n => n -> 99.123)
     val line = Bench.compactLine(results, 0, 0, 5, 24, Seq.fill(7)((24, 1, false)), "sf0.1")
     assert(line.length < 2000, s"driver line too long: ${line.length} chars")
-    assert("\"q_unit\":\"(cs|ds)\"".r.findFirstIn(line).nonEmpty, line.take(120))
+    assert("\"q_unit\":\"(cs|ds|s)\"".r.findFirstIn(line).nonEmpty, line.take(120))
     assert(line.sliding(5).count(_ == "\":-1,") == 0)
     assert(gateNames.forall(n => line.contains("\"" + Bench.shortNames(gateNames)(n) + "\":")),
       "every gate key present")
   }
 
-  test("failed queries record -1 ms; total excludes them") {
+  test("failed queries record -1; total excludes them") {
     val line = Bench.compactLine(
       Seq("q_a1_agg_pricing" -> 1.0, "q_a2_conditional_agg" -> -1.0),
       0, 0, 5, 24, Nil, "sf")
-    assert(line.contains("\"a1\":1000"))
+    assert(line.contains("\"a1\":1.0"))
     assert(line.contains("\"a2\":-1"))
     assert(line.contains("\"value\":1.0"))
   }
