@@ -47,7 +47,8 @@ object ScalingProbe {
     "q_dd14_minhash_audit", "q_dd15_best_keeper", "q_s8_curriculum",
     "q_tx14_vocab_stats",
     "q_ul1_unigram_viterbi", "q_ul2_unigram_em_round",
-    "q_dc4_semantic_decontamination")
+    "q_dc4_semantic_decontamination",
+    "q_mm5_perceptual_dedup")
 
   /** Gates whose scaled input is the REAL sf0.01 → sf0.1 step: their
     * tables (lineitem / customer / events) pass through the
@@ -57,7 +58,9 @@ object ScalingProbe {
     "q_sp10_hll_registers", "q_sp11_hll_merge", "q_ev7_islands",
     "q_j13_fuzzy_blocked",
     "q_ev8_session_window", "q_cc9_cooccurrence", "q_m5_scd2",
-    "q_qa1_expectations", "q_qa2_profile_drift", "q_w6_range_frame")
+    "q_qa1_expectations", "q_qa2_profile_drift", "q_w6_range_frame",
+    "q_fz4_window_setop_fuzz", "q_sp12_quantile_registers",
+    "q_sp13_quantile_merge", "q_cc10_communities")
 
   val Shards = 10
   private val IdOffset = 10000000L

@@ -92,7 +92,7 @@ object CommunityLpa {
   def communitiesSqlCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""lab$i AS MATERIALIZED (
-         |  SELECT e.src AS v, p.lab, sum(e.w) AS ws
+         |  SELECT e.src AS v, p.lab, CAST(sum(e.w) AS BIGINT) AS ws
          |  FROM sym e JOIN l${i - 1} p ON p.v = e.dst
          |  GROUP BY e.src, p.lab),
          |l$i AS MATERIALIZED (

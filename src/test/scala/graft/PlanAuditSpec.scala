@@ -497,7 +497,7 @@ class PlanAuditSpec extends SparkSpec {
     val exempt = Set("q_cc1_components", "q_cc2_components_star",
       "q_cc3_triangles", "q_cc4_pagerank", "q_cc5_kcore",
       "q_cc6_coreness", "q_cc7_bfs_hops", "q_cc8_trustrank",
-      "q_dd10_dup_clusters")
+      "q_cc10_communities", "q_dd10_dup_clusters")
     val bounded: Set[Set[String]] = Set(
       Set("bucket", "kind", "cnt"),               // hashed LM models, ≤ 4·B+1 rows
       Set("bucket", "cnt_t", "cnt_b"),            // quality-classifier model, ≤ B rows
@@ -506,7 +506,8 @@ class PlanAuditSpec extends SparkSpec {
       Set("word", "rem", "pos", "bl"),            // MaxMatch vocab table, O(|vocab|)
       Set("source", "n_docs", "n_tokens", "__s", "mean_score", "__w"), // lm5 domains, O(#sources)
       Set("mg", "__n"),                           // Misra–Gries summary, ≤ k rows
-      Set("vec_id", "embedding", "sel_rank"))     // k-center chosen set, ≤ k rows
+      Set("vec_id", "embedding", "sel_rank"),     // k-center chosen set, ≤ k rows
+      Set("shard", "rn", "q", "w"))               // quantile registers, ≤ shards·K rows
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exempt)
       .flatMap { n =>
