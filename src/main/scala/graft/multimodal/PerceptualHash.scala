@@ -238,4 +238,21 @@ object PerceptualHash {
     while (i < a.length) { d += Integer.bitCount(a(i) ^ b(i)); i += 1 }
     d
   }
+
+  /** Synthetic cell value for the q_mm5 fixture images: md5-mixed per
+    * (group, cell) — the repo's standard cross-engine hash
+    * (`Sketches.md5Long56` semantics: first 14 md5 hex chars as an
+    * integer), mod a prime, with member `m` re-mapping the first m
+    * cells of row 0. md5 (not a polynomial) because any polynomial in
+    * cx has structured first differences — the dHash bits then
+    * near-collide GLOBALLY and candidate pairs grow quadratically in
+    * the synthetic duplication rather than the planted one (the
+    * ScalingProbe shard lesson, round 9). */
+  def synthCellValue(gid: Long, m: Long, cx: Int, cy: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pc:$gid:$cx:$cy".getBytes("UTF-8"))
+      .take(7).map("%02x".format(_)).mkString
+    val v = java.lang.Long.parseLong(hex, 16) % 241
+    ((v + (if (cy == 0 && cx < m) 101L else 0L)) % 241).toInt
+  }
 }

@@ -223,13 +223,16 @@ object MultimodalQueries extends QueryModule {
   // side runs the full pipeline — PNG decode (inflate + unfilter) →
   // integer 9×8 average-pool → dHash → 16-bit band fingerprints →
   // LSH band equi-join → exact Hamming verify on candidates only.
-  // Groups of four consecutive ids share a base pattern; members
-  // m=1..3 brighten the first m cells of row 0 (+55), flipping at
-  // most 3 dHash bits — planted near-dups, all confined to band 0 so
-  // bands 1–3 still collide (the q_dd2 banding guarantee). The
-  // oracle reconstructs the SAME fingerprints arithmetically from
-  // the cell generator (pooling is exact on cell-aligned rasters)
-  // and replicates the band-candidate ∧ Hamming≤t discovery rule.
+  // Groups of four consecutive ids share an md5-mixed base pattern
+  // (PerceptualHash.synthCellValue — a polynomial base made every
+  // image a near-dup of every other and the probe went quadratic in
+  // the synthetic duplication); members m=1..3 re-map the first m
+  // cells of row 0, flipping ≤ 4 dHash bits — planted near-dups, all
+  // confined to band 0 so bands 1–3 still collide (the q_dd2 banding
+  // guarantee). The oracle reconstructs the SAME fingerprints
+  // arithmetically from the cell generator (pooling is exact on
+  // cell-aligned rasters; the hash is the shared md5Long56) and
+  // replicates the band-candidate ∧ Hamming≤t discovery rule.
   private val mm5 = {
     val t = 6 // Hamming threshold (planted near-dups differ by ≤ 3)
     Q(
@@ -242,11 +245,8 @@ object MultimodalQueries extends QueryModule {
           .mapPartitions { it =>
             val ph = graft.multimodal.PerceptualHash
             it.map { id =>
-              val png = graft.multimodal.ImageCodec.encodePng(36, 32, (x, y) => {
-                val cx = x / 4; val cy = y / 4
-                ((cx * 17 + cy * 29 + (id / 4) * 31) % 200 +
-                  (if (cy == 0 && cx < id % 4) 55 else 0)).toInt
-              })
+              val png = graft.multimodal.ImageCodec.encodePng(36, 32,
+                (x, y) => ph.synthCellValue(id / 4, id % 4, x / 4, y / 4))
               val raster = ph.decodePngGray(png)
                 .getOrElse(sys.error(s"undecodable synthesized png for id $id"))
               val b = ph.dHashBands(raster)
@@ -275,8 +275,8 @@ object MultimodalQueries extends QueryModule {
       Some(s"""
         WITH cells AS (
           SELECT d.doc_id AS media_id, cx.range AS cx, cy.range AS cy,
-                 (cx.range*17 + cy.range*29 + (d.doc_id // 4)*31) % 200 +
-                 CASE WHEN cy.range = 0 AND cx.range < d.doc_id % 4 THEN 55 ELSE 0 END AS v
+                 ((${Sketches.md5Long56Sql("'pc:' || CAST(d.doc_id // 4 AS VARCHAR) || ':' || CAST(cx.range AS VARCHAR) || ':' || CAST(cy.range AS VARCHAR)")}) % 241 +
+                  CASE WHEN cy.range = 0 AND cx.range < d.doc_id % 4 THEN 101 ELSE 0 END) % 241 AS v
           FROM documents d, range(0, 9) cx, range(0, 8) cy),
         bits AS (
           SELECT a.media_id, (a.cy // 2) AS band, (a.cy % 2)*8 + a.cx AS loc,
