@@ -249,10 +249,22 @@ object PerceptualHash {
     * the synthetic duplication rather than the planted one (the
     * ScalingProbe shard lesson, round 9). */
   def synthCellValue(gid: Long, m: Long, cx: Int, cy: Int): Int = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
+    val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"pc:$gid:$cx:$cy".getBytes("UTF-8"))
-      .take(7).map("%02x".format(_)).mkString
-    val v = java.lang.Long.parseLong(hex, 16) % 241
-    ((v + (if (cy == 0 && cx < m) 101L else 0L)) % 241).toInt
+    // first 14 hex chars = first 7 bytes, big-endian (md5Long56 semantics)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (((v % 241) + (if (cy == 0 && cx < m) 101L else 0L)) % 241).toInt
+  }
+
+  /** The q_mm5 image's 9×8 cell grid, computed ONCE per image — the
+    * encoder samples gray(x, y) PER PIXEL (1,152 calls for 36×32), so
+    * hashing inside the sampler costs 16× the cell count (measured:
+    * 40 s for 5,000 images); build the 72-cell grid first and let the
+    * sampler index it. */
+  def synthCellGrid(gid: Long, m: Long): (Int, Int) => Int = {
+    val grid = Array.tabulate(8, 9)((cy, cx) => synthCellValue(gid, m, cx, cy))
+    (x, y) => grid(y / 4)(x / 4)
   }
 }

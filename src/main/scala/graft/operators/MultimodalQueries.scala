@@ -246,7 +246,7 @@ object MultimodalQueries extends QueryModule {
             val ph = graft.multimodal.PerceptualHash
             it.map { id =>
               val png = graft.multimodal.ImageCodec.encodePng(36, 32,
-                (x, y) => ph.synthCellValue(id / 4, id % 4, x / 4, y / 4))
+                ph.synthCellGrid(id / 4, id % 4))
               val raster = ph.decodePngGray(png)
                 .getOrElse(sys.error(s"undecodable synthesized png for id $id"))
               val b = ph.dHashBands(raster)

@@ -122,8 +122,7 @@ class PerceptualHashSpec extends AnyFunSuite {
     // affected dHash comparisons are bits [m1-1, m2-1], at most 4,
     // all in band 0 (cy = 0 → band cy/2 = 0)
     def img(gid: Long, m: Int) = PerceptualHash.decodePngGray(
-      ImageCodec.encodePng(36, 32,
-        (x, y) => PerceptualHash.synthCellValue(gid, m, x / 4, y / 4))).get
+      ImageCodec.encodePng(36, 32, PerceptualHash.synthCellGrid(gid, m))).get
     for (gid <- 0L to 20L; m1 <- 0 to 3; m2 <- 0 to 3 if m1 < m2) {
       val (a, b) = (PerceptualHash.dHashBands(img(gid, m1)), PerceptualHash.dHashBands(img(gid, m2)))
       val ham = PerceptualHash.hamming(a, b)
