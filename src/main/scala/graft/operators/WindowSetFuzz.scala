@@ -290,12 +290,18 @@ object WindowSetFuzz {
         val k = 1L + rnd.nextInt(if (rows) 5 else 150)
         Some(if (preceding) -k else k)
     }
-    // lo must not be past hi: regenerate until ordered (bounded retry)
+    // Constraints: lo must not be past hi, and a BOUNDED lo with an
+    // UNBOUNDED hi is excluded — Spark's UnboundedFollowing frame
+    // processor recomputes the aggregate from scratch per row, O(n²)
+    // per partition (measured: 45 s for ONE such query on a 30k-row
+    // partition at sf0.1, vs <1 s for every other frame; DuckDB's
+    // segment tree is fine). Full-partition (UNBOUNDED..UNBOUNDED)
+    // stays in — Spark computes that once per partition.
     var f = Frame(rows, bound(preceding = true), bound(preceding = false))
     var guard = 0
     def ok(fr: Frame): Boolean = (fr.lo, fr.hi) match {
       case (Some(l), Some(h)) => l <= h
-      case (_, None) => true
+      case (Some(_), None) => false // the O(n²) Spark frame class
       case (None, _) => true
     }
     while (!ok(f) && guard < 20) {
