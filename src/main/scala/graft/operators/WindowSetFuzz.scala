@@ -371,8 +371,14 @@ object WindowSetFuzz {
       if (topK) Some(2 + rnd.nextInt(6)) else None)
   }
 
-  // set-op projections: (sqlSelectList, dfCols, outNames) per table
-  private def setProjections(t: TableMeta, rnd: Random): (Seq[String], Seq[Column]) =
+  // set-op projections: (sqlSelectList, dfCols, outNames) per table.
+  // `withNull` routes one projected expression through nullif — set
+  // ops compare NULLs as EQUAL (IS NOT DISTINCT semantics) while
+  // ordinary predicates do not, a classic quiet-divergence class, so
+  // the population is GUARANTEED to exercise it (id-cycled, like the
+  // family-5 variants).
+  private def setProjections(t: TableMeta, rnd: Random,
+      withNull: Boolean): (Seq[String], Seq[Column]) =
     rnd.nextInt(3) match {
       case 0 =>
         val (aS, aD) = t.strCols.head
@@ -380,19 +386,27 @@ object WindowSetFuzz {
         (Seq(s"$aS AS s_0", s"$bS AS s_1"), Seq(aD.as("s_0"), bD.as("s_1")))
       case 1 =>
         val m = 20 + rnd.nextInt(60)
-        (Seq(s"${t.key} % $m AS s_0"), Seq((col(t.key) % m).as("s_0")))
+        val r = rnd.nextInt(m)
+        if (withNull)
+          (Seq(s"nullif(${t.key} % $m, $r) AS s_0"),
+            Seq(nullif(col(t.key) % m, lit(r)).as("s_0")))
+        else (Seq(s"${t.key} % $m AS s_0"), Seq((col(t.key) % m).as("s_0")))
       case _ =>
         val (aS, aD) = t.parts(rnd.nextInt(t.parts.size))
         val m = 10 + rnd.nextInt(30)
-        (Seq(s"${t.key} % $m AS s_0", s"$aS AS s_1"),
-          Seq((col(t.key) % m).as("s_0"), aD.as("s_1")))
+        val r = rnd.nextInt(m)
+        val keyExpr =
+          if (withNull) (s"nullif(${t.key} % $m, $r)", nullif(col(t.key) % m, lit(r)))
+          else (s"${t.key} % $m", col(t.key) % m)
+        (Seq(s"${keyExpr._1} AS s_0", s"$aS AS s_1"),
+          Seq(keyExpr._2.as("s_0"), aD.as("s_1")))
     }
 
   private def genSetOp(id: Int, rnd: Random): SetQ = {
     val t = winTables(rnd.nextInt(winTables.size))
     val op = Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT",
       "INTERSECT ALL", "EXCEPT ALL")(rnd.nextInt(6))
-    val (selSql, selDf) = setProjections(t, rnd)
+    val (selSql, selDf) = setProjections(t, rnd, withNull = id % 3 == 0)
     def pred(): (String, Column) = {
       val m = 2 + rnd.nextInt(4)
       val r = rnd.nextInt(m)
@@ -415,7 +429,13 @@ object WindowSetFuzz {
     val t = winTables(rnd.nextInt(winTables.size))
     val (gSql, gDf) = t.parts(rnd.nextInt(t.parts.size))
     val (eSql, eDf) = t.intExprs(rnd.nextInt(t.intExprs.size))
-    DistQ(id, t.name, gSql, gDf, eSql, eDf, withSum = rnd.nextBoolean())
+    // id-cycled nullable distinct expression: count(DISTINCT) ignores
+    // NULLs and a NULL group key forms its own group — both engines
+    // must agree on both rules
+    val (dSql, dDf) =
+      if (id % 2 == 0) (s"nullif($eSql, 3)", nullif(eDf, lit(3)))
+      else (eSql, eDf)
+    DistQ(id, t.name, gSql, gDf, dSql, dDf, withSum = rnd.nextBoolean())
   }
 
   // ---- fingerprint reduction (the RelFuzz discipline) ----

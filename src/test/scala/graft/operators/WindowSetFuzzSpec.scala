@@ -32,6 +32,15 @@ class WindowSetFuzzSpec extends SparkSpec {
     // both multiset (ALL) and distinct set-op forms must appear
     assert(sqls.contains("INTERSECT ALL") || sqls.contains("EXCEPT ALL"),
       "no multiset set-op form generated")
+    // NULL-semantics coverage is guaranteed, not probabilistic: set ops
+    // compare NULLs as equal (IS NOT DISTINCT) and distinct aggregation
+    // ignores them — at least one of each shape must carry nullif
+    val queries = WindowSetFuzz.queries().map(_.commonSql)
+    assert(queries.exists(q => q.contains("nullif(") &&
+      Seq("UNION", "INTERSECT", "EXCEPT").exists(q.contains)),
+      "no set-op query exercises NULL equality")
+    assert(queries.exists(q => q.contains("nullif(") && q.contains("GROUP BY")),
+      "no distinct-agg query exercises NULL keys/values")
   }
 
   test(s"property: all ${WindowSetFuzz.NQueries} window/set-op queries — DataFrame ≡ Spark-SQL") {
