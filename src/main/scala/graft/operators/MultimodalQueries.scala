@@ -253,24 +253,8 @@ object MultimodalQueries extends QueryModule {
               (id, b(0), b(1), b(2), b(3))
             }
           }.toDF("media_id", "b0", "b1", "b2", "b3")
-        // LSH blocking: candidates share at least one identical band —
-        // four equi-joins (never a cartesian), exact Hamming on
-        // candidates only, distinct-pair reduction
-        val pairs = (0 until 4).map { bi =>
-          val l = fp.select(col("media_id").as("id_a"), col("b0").as("a0"),
-            col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-          val r = fp.select(col("media_id").as("id_b"), col("b0").as("c0"),
-            col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
-          l.join(r, col(s"a$bi") === col(s"c$bi") && col("id_a") < col("id_b"))
-        }.reduce(_ unionByName _)
-          .select(col("id_a"), col("id_b"),
-            (bit_count(col("a0").bitwiseXOR(col("c0"))) +
-              bit_count(col("a1").bitwiseXOR(col("c1"))) +
-              bit_count(col("a2").bitwiseXOR(col("c2"))) +
-              bit_count(col("a3").bitwiseXOR(col("c3")))).cast(LongType).as("hamming"))
-          .filter(col("hamming") <= t)
-          .distinct()
-        pairs.orderBy(col("id_a"), col("id_b"))
+        perceptualPairs(fp, t, wideBlocks = false)
+          .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""
         WITH cells AS (
@@ -303,6 +287,42 @@ object MultimodalQueries extends QueryModule {
         WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
               bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= $t
         ORDER BY id_a, id_b"""))
+  }
+
+
+  /** Perceptual near-dup pair search over a (media_id, b0..b3) dHash
+    * fingerprint frame: LSH block equi-joins (never a cartesian),
+    * exact Hamming on candidates only, distinct-pair reduction.
+    *
+    * `wideBlocks = false` (the gate config): four 16-bit blocks, one
+    * per band — the classic pigeonhole (any pair with Hamming ≤ 3 is
+    * GUARANTEED a candidate). `wideBlocks = true` (the ≥10⁷-image
+    * production knob, SCALING.md round-9): two 32-bit blocks of
+    * adjacent band pairs — accidental candidates drop from N²/2¹⁶ to
+    * N²/2³² per block, at the cost of narrowing the recall guarantee
+    * to pairs whose differing bits are confined to one half (which
+    * both the planted class and typical localized perceptual edits
+    * satisfy; PerceptualHashSpec proves recall equality on the
+    * planted fixture). */
+  private[graft] def perceptualPairs(fp: org.apache.spark.sql.DataFrame,
+      t: Int, wideBlocks: Boolean): org.apache.spark.sql.DataFrame = {
+    val blocks: Seq[Seq[Int]] =
+      if (wideBlocks) Seq(Seq(0, 1), Seq(2, 3)) else Seq(Seq(0), Seq(1), Seq(2), Seq(3))
+    blocks.map { group =>
+      val l = fp.select(col("media_id").as("id_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      val r = fp.select(col("media_id").as("id_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+      val cond = group.map(bi => col(s"a$bi") === col(s"c$bi")).reduce(_ && _)
+      l.join(r, cond && col("id_a") < col("id_b"))
+    }.reduce(_ unionByName _)
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3")))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= t)
+      .distinct()
   }
 
   override val all: Seq[Q] = Seq(mm1, mm2, mm3, mm4, mm5)
