@@ -34,16 +34,18 @@ object ConnectedComponents {
     * `failOnNonConvergence = false` to get best-effort labels instead.
     */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 50, failOnNonConvergence: Boolean = true): DataFrame = {
+      maxIters: Int = 50, failOnNonConvergence: Boolean = true,
+      edgeDir: Option[String] = None): DataFrame = {
     // Materialize the symmetric edge list ONCE: `sym` is re-joined in
     // every round, and without the checkpoint each round re-executes
     // the whole upstream pipeline (for clusterDedup that is the full
     // LSH candidate+verify chain — ~rounds× redundant corpus scans).
-    // localCheckpoint also keeps every round's plan free of the
-    // upstream lineage.
-    val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
-      .localCheckpoint()
+    // The pin follows the GraphEdges policy: localCheckpoint at test
+    // scale, TableIO materialize-once (edgeDir) for multi-hour runs.
+    val sym = GraphEdges.pin(
+      edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"))),
+      edgeDir)
     var labels = sym.select(col("a").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
     var iter = 0
@@ -100,18 +102,22 @@ object ConnectedComponents {
     * with collision odds ~2⁻⁶⁴ per round, the standard trade against
     * an extra distinct-based EXCEPT job. */
   def componentsStar(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, edgeDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val nodes = edges
+    // only the INITIAL canonical edge set is static (the star rounds
+    // rewrite `e`), so the GraphEdges pin applies to it and the node
+    // set; per-round frames stay localCheckpoint (the documented
+    // iterative exemption — they are rewritten every round)
+    val nodes = GraphEdges.pin(edges
       .select(col(srcCol).cast("long").as("v"))
       .union(edges.select(col(dstCol).cast("long").as("v")))
-      .distinct().localCheckpoint()
-    var e = edges
+      .distinct(), edgeDir.map(_ + "_nodes"))
+    var e = GraphEdges.pin(edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct(), edgeDir)
 
     def largeStar(in: DataFrame): DataFrame = {
       val sym = in.union(in.select(col("v").as("u"), col("u").as("v")))

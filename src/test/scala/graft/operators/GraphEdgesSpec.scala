@@ -59,5 +59,22 @@ class GraphEdgesSpec extends SparkSpec {
     val trDir = collectSorted(PageRank.trustRanks(edges, "a", "b", sources, iters = 3,
       edgeDir = Some(s"$tmp/trust")))
     assert(trLocal == trDir && trLocal.nonEmpty)
+
+    val ccLocal = collectSorted(ConnectedComponents.components(edges, "a", "b"))
+    val ccDir = collectSorted(ConnectedComponents.components(edges, "a", "b",
+      edgeDir = Some(s"$tmp/cc")))
+    assert(ccLocal == ccDir && ccLocal.nonEmpty)
+
+    val starLocal = collectSorted(ConnectedComponents.componentsStar(edges, "a", "b"))
+    val starDir = collectSorted(ConnectedComponents.componentsStar(edges, "a", "b",
+      edgeDir = Some(s"$tmp/ccstar")))
+    assert(starLocal == starDir && starLocal.nonEmpty)
+
+    val lpaLocal = collectSorted(CommunityLpa.communities(
+      edges.withColumnRenamed("a", "x").withColumn("w", lit(1L)), "x", "b", "w", rounds = 3))
+    val lpaDir = collectSorted(CommunityLpa.communities(
+      edges.withColumnRenamed("a", "x").withColumn("w", lit(1L)), "x", "b", "w", rounds = 3,
+      edgeDir = Some(s"$tmp/lpa")))
+    assert(lpaLocal == lpaDir && lpaLocal.nonEmpty)
   }
 }
