@@ -49,6 +49,53 @@ object KCenter {
     chosen.select(col("sel_rank"), col("vec_id"))
   }
 
+  /** Production form for larger k: maintain each point's RUNNING
+    * min-distance to the chosen set instead of recomputing against
+    * all chosen centers every round — after adding center c, mind' =
+    * min(mind, d(x, c)), so round r compares against ONE center
+    * instead of r (total O(N·k) distance evaluations vs the gate
+    * form's O(N·k²)). The state is the O(N) (vec_id, embedding, mind)
+    * frame: deliberately NOT localCheckpoint (corpus-sized pinned
+    * blocks are the banned class) — it persists DISK_ONLY per round
+    * (the lm3 discipline), the previous round unpersists once the new
+    * round is materialized, and the argmax stays a TakeOrdered top-1.
+    * Exactly the same selection sequence as [[select]] (integer
+    * distances, same tie-break; KCenterSpec proves equality). */
+  def selectIncremental(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k-center needs k >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val pts = emb.select(col("vec_id"), col("embedding"))
+    val first = pts.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding"), lit(0L).as("sel_rank"))
+      .localCheckpoint() // ≤ k rows total — the bounded chosen set
+    var chosen = first
+    var state = pts
+      .join(first.select(col("vec_id").as("cid")), col("vec_id") === col("cid"), "left_anti")
+      .crossJoin(broadcast(first.select(col("embedding").as("cemb"))))
+      .select(col("vec_id"), col("embedding"),
+        intSqDist(col("embedding"), col("cemb")).cast(LongType).as("mind"))
+      .persist(StorageLevel.DISK_ONLY)
+    for (r <- 1 until k) {
+      val next = state.orderBy(col("mind").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("embedding"), lit(r.toLong).as("sel_rank"))
+        .localCheckpoint()
+      chosen = chosen.unionByName(next).localCheckpoint()
+      if (r < k - 1) {
+        val newState = state
+          .join(next.select(col("vec_id").as("cid")), col("vec_id") === col("cid"), "left_anti")
+          .crossJoin(broadcast(next.select(col("embedding").as("cemb"))))
+          .select(col("vec_id"), col("embedding"),
+            least(col("mind"), intSqDist(col("embedding"), col("cemb")).cast(LongType)).as("mind"))
+          .persist(StorageLevel.DISK_ONLY)
+        newState.count() // materialize before dropping the parent
+        state.unpersist()
+        state = newState
+      }
+    }
+    state.unpersist()
+    chosen.select(col("sel_rank"), col("vec_id"))
+  }
+
   /** DuckDB replay of the k rounds as materialized CTEs; expects a
     * `pts` CTE with (vec_id, qv), exposes `c<k-1>`. */
   def sqlCtes(k: Int): String = {

@@ -42,6 +42,25 @@ class KCenterSpec extends SparkSpec {
     assert(got == chosen, s"frame $got vs reference $chosen")
   }
 
+  test("incremental (production) form selects the identical sequence") {
+    // same integer distances + tie-breaks, O(N*k) instead of O(N*k^2)
+    // distance evals, DISK_ONLY state instead of recompute — the
+    // selection sequence must be bit-identical
+    val rnd = new scala.util.Random(29)
+    val e = emb((1L to 40L).map(i =>
+      i -> Seq.fill(4)(rnd.nextFloat() * 2 - 1)): _*)
+    val a = KCenter.select(e, 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val b = KCenter.selectIncremental(e, 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    assert(a == b, s"sequences diverge:\n$a\n$b")
+    // and on the real embeddings table at the gate's k
+    val real = graft.Tables.embeddings(spark, sf0001)
+    val ga = KCenter.select(real, 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val gb = KCenter.selectIncremental(real, 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(ga == gb)
+  }
+
   test("k = 1 returns just the deterministic seed") {
     val e = emb(7L -> Seq(1f, 2f), 3L -> Seq(0f, 0f))
     val got = KCenter.select(e, 1).collect().map(r => (r.getLong(0), r.getLong(1)))
