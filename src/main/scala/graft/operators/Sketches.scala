@@ -936,6 +936,44 @@ object SketchQueries extends QueryModule {
              CAST(e.est_rank >= t.true_rank AND e.est_rank <= t.true_rank + b.bound AS INT) AS ok
       FROM est e JOIN tru t ON t.x = e.x, bnd b ORDER BY e.x"""))
 
+  // Quantile EXTRACTION from the merged registers — the user-facing
+  // operator the register/merge gates exist for: percentile_disc-style
+  // answers off the bounded sketch state instead of a corpus sort.
+  // est(p) = the smallest register value whose running weighted count
+  // reaches ceil(W·p/100) (integer comparison via cum·100 ≥ W·p). The
+  // cumulative window runs over the REGISTER (≤ shards·K rows — a
+  // bounded artifact, so the single-partition window is free), never
+  // the corpus; by the sp13 bound the reported value's true rank is
+  // within Σ(strideᵢ−1)+max(stride) of the target.
+  private val sp14 = Q(
+    "q_sp14_quantile_extract",
+    "quantile extraction from merged registers: p25/p50/p75/p90 off the bounded sketch state",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val reg = quantileRegisters(Tables.lineitem(s, d))
+      val cum = reg
+        .withColumn("cw", sum(col("w")).over(
+          Window.orderBy(col("q"), col("shard"), col("rn"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(reg.agg(sum(col("w")).cast(LongType).as("tw")))
+      val pcts = s.range(1).select(explode(array(lit(25L), lit(50L), lit(75L), lit(90L))).as("pct"))
+      pcts.join(cum, col("cw") * 100 >= col("tw") * col("pct"))
+        .groupBy(col("pct"))
+        .agg(min(col("q")).as("est_q"))
+        .orderBy(col("pct"))
+    },
+    Some(s"""$quantileRegistersSql,
+      cum AS (
+        SELECT q, shard, rn, w,
+               CAST(sum(w) OVER (ORDER BY q, shard, rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        FROM qreg),
+      tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM qreg),
+      pcts AS (SELECT unnest([25, 50, 75, 90]) AS pct)
+      SELECT p.pct, min(c.q) AS est_q
+      FROM pcts p JOIN cum c ON c.cw * 100 >= (SELECT tw FROM tot) * p.pct
+      GROUP BY p.pct ORDER BY p.pct"""))
+
   override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5, sp6, sp7, sp8, sp9,
-    sp10, sp11, sp12, sp13)
+    sp10, sp11, sp12, sp13, sp14)
 }

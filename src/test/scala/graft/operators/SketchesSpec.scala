@@ -295,4 +295,27 @@ class SketchesSpec extends SparkSpec {
     val regrouped = reg.groupBy(t => t._1 % 2).values.flatten.toSeq.sorted
     assert(regrouped == reg.toSeq.sorted)
   }
+
+  test("sp14 quantile extraction lands within the register bound of the exact percentile") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select(floor(col("l_quantity")).cast("long").as("q"))
+    val n = li.count()
+    val sorted = li.orderBy("q").collect().map(_.getLong(0))
+    val reg = graft.SparkEntry.queries("q_sp12_quantile_registers")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val slack = reg.groupBy(_._1).map(_._2.map(_._2).max - 1).sum + reg.map(_._2).max
+    val est = graft.SparkEntry.queries("q_sp14_quantile_extract")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((p, v) <- est) {
+      // the exact rank span of the reported value must intersect the
+      // target-rank window widened by the register slack
+      val lo = sorted.indexWhere(_ == v) + 1
+      val hi = sorted.lastIndexWhere(_ == v) + 1
+      assert(lo >= 1, s"p$p: value $v not present in the column")
+      val target = n * p / 100
+      assert(target >= lo - slack && target <= hi + slack,
+        s"p$p: value $v spans exact ranks [$lo,$hi], target $target, slack $slack")
+    }
+  }
 }
