@@ -483,7 +483,41 @@ object AggQueries extends QueryModule {
         SELECT c_custkey, 'name_len', CAST(length(c_name) AS BIGINT) FROM customer)
       ORDER BY c_custkey, attr"""))
 
+  // A14: explicit GROUPING SETS — the general form a5's ROLLUP and
+  // a12's CUBE specialize; grouping() flags disambiguate a real NULL
+  // key from a superaggregate row (the reason the flags exist), and
+  // both engines must agree on flag values and on which sets appear.
+  // Same two-phase expand+aggregate shape as ROLLUP at scale.
+  private val a14 = Q(
+    "q_a14_grouping_sets",
+    "A14 grouping sets: ((rf, ls), (rf), ()) with grouping() markers",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast(LongType).as("g_rf"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_ls"),
+          count(lit(1)).cast(LongType).as("n"),
+          sum(floor(col("l_quantity")).cast(LongType)).cast(LongType).as("sq"))
+        .select(coalesce(col("l_returnflag"), lit("<ALL>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<ALL>")).as("ls"),
+          col("g_rf"), col("g_ls"), col("n"), col("sq"))
+        .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, '<ALL>') AS rf,
+             coalesce(l_linestatus, '<ALL>') AS ls,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY g_rf, g_ls, rf, ls"""))
+
   override val all: Seq[Q] =
     Seq(a1, a2, p2, p4, p5, p6, p7, a4, a5, a6, a7, a8, a9, a10, a11, a12,
-      a13, g7)
+      a13, a14, g7)
 }

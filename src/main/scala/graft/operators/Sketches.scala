@@ -974,6 +974,78 @@ object SketchQueries extends QueryModule {
       FROM pcts p JOIN cum c ON c.cw * 100 >= (SELECT tw FROM tot) * p.pct
       GROUP BY p.pct ORDER BY p.pct"""))
 
+  // Grouped form: quantile registers per KEY — percentiles per group
+  // without a per-group sort of the corpus (sp4's sampled estimator
+  // answers the same question approximately; this one carries the
+  // sp12 exact integer rank bound PER GROUP). Register state is
+  // bounded by #groups·shards·K rows; each group's stride adapts to
+  // its own size, so skewed group sizes stay bounded. One window pass
+  // over (grp, shard) builds the registers; extraction's cumulative
+  // window runs per group over register rows only.
+  private val sp15 = Q(
+    "q_sp15_grouped_quantiles",
+    "grouped quantile registers: per-returnflag p25/50/75/90 off bounded per-group state",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("grp"),
+        (col("l_suppkey") % 4).as("shard"),
+        floor(col("l_quantity")).cast(LongType).as("q"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val w = Window.partitionBy(col("grp"), col("shard"))
+        .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+      val reg = base
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("grp"), col("shard"))).cast(LongType))
+        .withColumn("m", expr(s"(n + ${QregK - 1}) div $QregK"))
+        .withColumn("w", when(col("m") <= 1L, lit(1L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(m - 1)) AS INT))")))
+        .filter((col("rn") - 1L) % col("w") === 0L)
+        .select(col("grp"), col("shard"), col("rn"), col("q"), col("w"))
+      val cum = reg
+        .withColumn("cw", sum(col("w")).over(
+          Window.partitionBy(col("grp")).orderBy(col("q"), col("shard"), col("rn"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("grp"))))
+      val pcts = s.range(1)
+        .select(explode(array(lit(25L), lit(50L), lit(75L), lit(90L))).as("pct"))
+      pcts.join(cum, col("cw") * 100 >= col("tw") * col("pct"))
+        .groupBy(col("grp"), col("pct"))
+        .agg(min(col("q")).as("est_q"))
+        .orderBy(col("grp"), col("pct"))
+    },
+    Some(s"""
+      WITH gbase AS (
+        SELECT l_returnflag AS grp, l_suppkey % 4 AS shard,
+               CAST(floor(l_quantity) AS BIGINT) AS q,
+               l_orderkey, l_linenumber, l_partkey, l_suppkey
+        FROM lineitem),
+      gr AS (
+        SELECT grp, shard, q,
+               CAST(row_number() OVER (PARTITION BY grp, shard
+                 ORDER BY q, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY grp, shard) AS BIGINT) AS n
+        FROM gbase),
+      gs AS (
+        SELECT grp, shard, q, rn,
+               CASE WHEN (n + ${QregK - 1}) // $QregK <= 1 THEN 1
+                    ELSE (CAST(1 AS BIGINT)
+                          << CAST(length(bin((n + ${QregK - 1}) // $QregK - 1)) AS INT)) END AS w
+        FROM gr),
+      greg AS (SELECT grp, shard, rn, q, CAST(w AS BIGINT) AS w FROM gs WHERE (rn - 1) % w = 0),
+      gcum AS (
+        SELECT grp, q, shard, rn, w,
+               CAST(sum(w) OVER (PARTITION BY grp ORDER BY q, shard, rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
+        FROM greg),
+      gpcts AS (SELECT unnest([25, 50, 75, 90]) AS pct)
+      SELECT c.grp, p.pct, min(c.q) AS est_q
+      FROM gpcts p JOIN gcum c ON c.cw * 100 >= c.tw * p.pct
+      GROUP BY c.grp, p.pct ORDER BY c.grp, p.pct"""))
+
   override val all: Seq[Q] = Seq(sp1, sp2, sp3, sp4, sp5, sp6, sp7, sp8, sp9,
-    sp10, sp11, sp12, sp13, sp14)
+    sp10, sp11, sp12, sp13, sp14, sp15)
 }

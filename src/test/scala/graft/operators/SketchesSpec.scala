@@ -318,4 +318,37 @@ class SketchesSpec extends SparkSpec {
         s"p$p: value $v spans exact ranks [$lo,$hi], target $target, slack $slack")
     }
   }
+
+  test("sp15 grouped quantiles land within each group's own register bound") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag").as("grp"), floor(col("l_quantity")).cast("long").as("q"))
+    val byGrp = li.collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val est = graft.SparkEntry.queries("q_sp15_grouped_quantiles")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.map(_._1).toSet == byGrp.keySet, "every group answered")
+    // per-group slack from the ACTUAL per-(grp, shard) counts (the
+    // gate's stride rule replayed exactly, robust to data regeneration)
+    val shardCounts = graft.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag").as("g"), (col("l_suppkey") % 4).as("sh"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    for ((g, p, v) <- est) {
+      val sorted = byGrp(g)
+      val n = sorted.length
+      val strides = shardCounts(g).map { ns =>
+        val m = (ns + 63) / 64
+        if (m <= 1) 1L else java.lang.Long.highestOneBit(m - 1) * 2
+      }.toSeq
+      val slack = strides.map(_ - 1).sum + strides.max
+      val lo = sorted.indexWhere(_ == v) + 1
+      val hi = sorted.lastIndexWhere(_ == v) + 1
+      assert(lo >= 1, s"$g p$p: value $v absent from group")
+      val target = n.toLong * p / 100
+      assert(target >= lo - slack && target <= hi + slack,
+        s"$g p$p: value $v spans [$lo,$hi], target $target, slack $slack")
+    }
+  }
 }
