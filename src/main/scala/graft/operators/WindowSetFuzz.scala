@@ -168,6 +168,26 @@ object WindowSetFuzz {
     }
   }
 
+  /** Two-level window: rank the FIRST window's result within the same
+    * partition (rank-of-sum / rank-of-count — the "window over a
+    * window" plan Spark executes as two Window nodes over one
+    * exchange). Deterministic: the outer order is (w_0, unique key).
+    * SQL nests the inner query; the DF side chains two Window specs —
+    * different code paths, same semantics, which is the point. */
+  private final case class ChainQ(inner: WinQ) extends WQuery {
+    def id: Int = inner.id
+    def outCols: Seq[String] = inner.outCols :+ "w_out"
+    def commonSql: String =
+      s"SELECT *, CAST(rank() OVER (PARTITION BY p_0 ORDER BY w_0 ASC NULLS LAST, " +
+        s"${inner.key} ASC NULLS LAST) AS BIGINT) AS w_out FROM (${inner.commonSql}) __chain"
+    def df(spark: SparkSession, dir: String): DataFrame = {
+      val base = inner.df(spark, dir)
+      val w = Window.partitionBy(col("p_0"))
+        .orderBy(col("w_0").asc_nulls_last, col(inner.key).asc_nulls_last)
+      base.withColumn("w_out", rank().over(w).cast(LongType))
+    }
+  }
+
   /** Two filtered projections of the SAME schema combined by a set op. */
   private final case class SetQ(id: Int, op: String,
       leftSql: String, rightSql: String,
@@ -269,7 +289,13 @@ object WindowSetFuzz {
     var f5 = -1
     (0 until n).map { i =>
       val pick = rnd.nextInt(100)
-      if (pick < 55) genWindow(i, rnd, topK = false, () => { f5 += 1; f5 })
+      if (pick < 55) {
+        val wq = genWindow(i, rnd, topK = false, () => { f5 += 1; f5 })
+        // id-cycled two-level chain (guaranteed presence, like the
+        // family-5 and nullif variants); single-fun inner only so the
+        // outer rank orders by exactly (w_0, key)
+        if (i % 6 == 0 && wq.funs.size == 1) ChainQ(wq) else wq
+      }
       else if (pick < 67) genWindow(i, rnd, topK = true, () => { f5 += 1; f5 })
       else if (pick < 88) genSetOp(i, rnd)
       else genDistAgg(i, rnd)

@@ -41,6 +41,10 @@ class WindowSetFuzzSpec extends SparkSpec {
       "no set-op query exercises NULL equality")
     assert(queries.exists(q => q.contains("nullif(") && q.contains("GROUP BY")),
       "no distinct-agg query exercises NULL keys/values")
+    // two-level window chains (rank of a window result) are id-cycled
+    // into the population — at least one must be present
+    assert(queries.exists(_.contains("ORDER BY w_0")),
+      "no window-over-window chain generated")
   }
 
   test(s"property: all ${WindowSetFuzz.NQueries} window/set-op queries — DataFrame ≡ Spark-SQL") {
