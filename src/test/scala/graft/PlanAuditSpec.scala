@@ -150,6 +150,35 @@ class PlanAuditSpec extends SparkSpec {
       s"perceptual near-dup must equi-join on the dHash band, not all-pairs:\n$p")
   }
 
+  test("q_sp12: register window is PARTITIONED by shard — no single-partition corpus sort") {
+    val p = plan("q_sp12_quantile_registers")
+    // the construction window must carry the shard in its partition
+    // spec; a global window here would funnel the corpus through one
+    // task (the WindowExec warning class)
+    assert(p.contains("Window"), p)
+    assert(p.toLowerCase.contains("windowspecdefinition(shard"),
+      s"shard must partition the register window: ${p.take(2000)}")
+  }
+
+  test("q_sp15: per-group registers never cartesian; windows keyed by (grp, shard)") {
+    val p = plan("q_sp15_grouped_quantiles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("grp"), s"group key must reach the window spec:\n$p")
+  }
+
+  test("q_a14: grouping sets run as Expand + two-phase aggregate") {
+    val p = plan("q_a14_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets must use the Expand operator: ${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expect partial+final HashAggregate: ${p.take(2000)}")
+  }
+
+  test("q_cc10: LPA round joins stay keyed — no cartesian in the community plan") {
+    val p = plan("q_cc10_communities")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LPA rounds must join on vertex keys: ${p.take(2000)}")
+  }
+
   test("q_ann1: cosine's three vec_dots codegen in one projection (no janino fallback)") {
     // cosine() expands to 3 VecDot calls in a single project; with a
     // non-fresh accumulator name the generated code fails to compile
