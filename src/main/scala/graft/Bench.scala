@@ -107,6 +107,12 @@ object Bench {
       else forkStats.map { case (n, a, f) => s"[$n,$a,${if (f) 1 else 0}]" }
         .mkString("[", ",", "]")
     val sfShort = sfDir.split("/").last
+    // JSON floats must render with '.' regardless of the JVM default
+    // locale (a comma-decimal locale would make the line invalid JSON)
+    def f1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // Preferred: the driver contract's EXACT shape — `queries` values
     // are FLOAT SECONDS (1 decimal) and no extra fields ride the line
     // (the r8 line was complete in the capture yet `parsed` stayed
@@ -115,9 +121,9 @@ object Bench {
     // lives in the BENCH_SELF record, which keeps full precision).
     def renderSeconds: String = {
       val qs = results.map { case (k, v) =>
-        "\"" + short(k) + "\":" + (if (v < 0) "-1" else f"$v%.1f")
+        "\"" + short(k) + "\":" + (if (v < 0) "-1" else f1(v))
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${f1(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
     }
     // Fallback ladder: integer values with a self-describing q_unit
     // (one digit traded per step) + compressed contention telemetry —
@@ -127,9 +133,9 @@ object Bench {
         "\"" + short(k) + "\":" + (if (v < 0) "-1" else math.round(v * mult).toString)
       }.mkString("{", ",", "}")
       val contention = if (!withContention) "" else
-        f""","contention":{"load":[$loadPre%.2f,$loadPost%.2f],"passes":$passes,""" +
+        s""","contention":{"load":[${f2(loadPre)},${f2(loadPost)}],"passes":$passes,""" +
           s""""forks":$forks}"""
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","q_unit":"$unit%s","queries":$qs""" +
+      s"""{"metric":"total","value":${f1(total)},"unit":"sec","q_unit":"$unit","queries":$qs""" +
         s"""$contention,"sf":"$sfShort"}"""
     }
     val ladder = Seq(("ms", 1000.0, true), ("cs", 100.0, true), ("ds", 10.0, true),

@@ -35,6 +35,11 @@ object PerceptualHash {
   }
 
   private def u8(b: Byte): Int = b & 0xff
+  /** Defensive dimension cap for header-declared sizes: keeps every
+    * size product (`height*(width+1)`, `rowSize*height`) well inside
+    * Int and bounds the allocation a hostile header can demand. */
+  private val MaxDim = 8192
+
   private def be32(b: Array[Byte], i: Int): Int =
     (u8(b(i)) << 24) | (u8(b(i + 1)) << 16) | (u8(b(i + 2)) << 8) | u8(b(i + 3))
   private def le16(b: Array[Byte], i: Int): Int = u8(b(i)) | (u8(b(i + 1)) << 8)
@@ -70,7 +75,8 @@ object PerceptualHash {
         pos = dataAt + len + 4 // skip CRC
       }
     }
-    if (!ok || width <= 0 || height <= 0) return None
+    if (!ok || width <= 0 || height <= 0 ||
+      width > MaxDim || height > MaxDim) return None
     // inflate to height filtered rows of (1 filter byte + width samples)
     val raw = new Array[Byte](height * (width + 1))
     val inf = new Inflater()
@@ -152,9 +158,13 @@ object PerceptualHash {
     val dataAt = le32(b, 10)
     val width = le32(b, 18); val height = le32(b, 22)
     val bpp = le16(b, 28); val compression = le32(b, 30)
-    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return None
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0 ||
+      width > MaxDim || height > MaxDim) return None
     val rowSize = (3 * width + 3) & ~3
-    if (dataAt + rowSize * height > b.length) return None
+    // size arithmetic in Long: header-controlled width/height would
+    // otherwise overflow Int, pass the check, and crash the pixel loop
+    // instead of honoring the Option invalid-input contract
+    if (dataAt < 54 || dataAt.toLong + rowSize.toLong * height > b.length) return None
     val out = new Array[Int](width * height)
     var y = 0
     while (y < height) {

@@ -40,14 +40,57 @@ object GraphEdges {
       .unionAll(edges.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
 
-  /** Pin a static edge operand per the policy above. */
+  /** Order-independent content fingerprint of an edge operand:
+    * `rowcount:xor(xxhash64(all columns))`. One aggregation pass —
+    * cheap relative to the kernel's per-round joins, and the only way
+    * "the pinned table is a pure function of the input edges" is a
+    * CHECKED invariant rather than a comment. */
+  private[operators] def fingerprint(df: DataFrame): String = {
+    val h = df.columns.map(c => s"`$c`").mkString("xxhash64(", ", ", ")")
+    val row = df.agg(count(lit(1)).as("n"),
+      coalesce(expr(s"bit_xor($h)"), lit(0L)).as("x")).head()
+    s"${row.getLong(0)}:${row.getLong(1)}"
+  }
+
+  private def writeMarker(marker: java.nio.file.Path, fp: String): Unit = {
+    val tmp = java.nio.file.Paths.get(marker.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, fp)
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Pin a static edge operand per the policy above.
+    *
+    * Reuse of an existing `edgeDir` is guarded by a fingerprint marker
+    * (`<dir>.fp`, written at materialization): if the incoming edge
+    * set no longer matches what was pinned — the input changed since
+    * the table was written, or the dir is foreign — every iterative
+    * kernel would silently run on the wrong graph, so mismatch fails
+    * loudly instead. A pre-marker dir self-heals: its fingerprint is
+    * computed from the stored files, checked, then recorded. */
   def pin(df: DataFrame, edgeDir: Option[String]): DataFrame = edgeDir match {
     case None => df.localCheckpoint()
     case Some(dir) =>
       val spark = df.sparkSession
-      // idempotent: an existing table (e.g. a restarted run) is reused
-      // as-is — the operand is a pure function of the input edges
-      if (!TableIO.exists(spark, dir)) TableIO.writeAtomicSwap(df, dir)
+      val marker = java.nio.file.Paths.get(dir + ".fp")
+      if (!TableIO.exists(spark, dir)) {
+        TableIO.writeAtomicSwap(df, dir)
+        writeMarker(marker, fingerprint(TableIO.read(spark, dir)))
+      } else {
+        val incoming = fingerprint(df)
+        val recorded =
+          if (java.nio.file.Files.exists(marker))
+            java.nio.file.Files.readString(marker).trim
+          else { // legacy dir without a marker: fingerprint the files
+            val fp = fingerprint(TableIO.read(spark, dir))
+            writeMarker(marker, fp)
+            fp
+          }
+        require(recorded == incoming,
+          s"pinned edge table at $dir (fingerprint $recorded) does not match " +
+            s"the incoming edge set ($incoming); delete the dir to re-materialize")
+      }
       TableIO.read(spark, dir)
   }
 

@@ -80,4 +80,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"a2\":-1"))
     assert(line.contains("\"value\":1.0"))
   }
+
+  test("line renders dot-decimal floats under a comma-decimal default locale") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.compactLine(
+        Seq("q_a1_agg_pricing" -> 1.234, "q_j7_cross_join" -> 0.05),
+        1.5, 0.7, 1, 24, Seq((2, 1, false)), "/root/testdata/sf0.1")
+      assert(line.contains("\"value\":1.3"), line)
+      assert(line.contains("\"a1\":1.2"), line)
+      assert(!line.matches("(?s).*\\d,\\d.*"), s"comma decimal leaked: $line")
+    } finally java.util.Locale.setDefault(prev)
+  }
 }

@@ -141,4 +141,27 @@ class PerceptualHashSpec extends AnyFunSuite {
     } yield (i, j)).size
     assert(crossDups == 0, s"$crossDups cross-group near-collisions among 60 base images")
   }
+
+  test("hostile BMP header dimensions return None, never crash") {
+    def le32(b: Array[Byte], at: Int, v: Int): Unit = {
+      b(at) = v.toByte; b(at + 1) = (v >> 8).toByte
+      b(at + 2) = (v >> 16).toByte; b(at + 3) = (v >> 24).toByte
+    }
+    def header(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](64)
+      b(0) = 'B'; b(1) = 'M'
+      le32(b, 10, 54); le32(b, 18, w); le32(b, 22, h)
+      b(28) = 24 // bpp le16
+      le32(b, 30, 0)
+      b
+    }
+    // 65536x65536: rowSize*height overflows Int — the Int-arithmetic
+    // check used to pass and the pixel loop crashed with AIOOBE
+    assert(PerceptualHash.decodeBmpGray(header(0x10000, 0x10000)).isEmpty)
+    // in-cap dims but not enough data
+    assert(PerceptualHash.decodeBmpGray(header(100, 100)).isEmpty)
+    // negative data offset
+    val neg = header(4, 4); le32(neg, 10, -8)
+    assert(PerceptualHash.decodeBmpGray(neg).isEmpty)
+  }
 }

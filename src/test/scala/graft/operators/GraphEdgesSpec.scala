@@ -77,4 +77,28 @@ class GraphEdgesSpec extends SparkSpec {
       edgeDir = Some(s"$tmp/lpa")))
     assert(lpaLocal == lpaDir && lpaLocal.nonEmpty)
   }
+
+  test("pin reuse is fingerprint-guarded: a changed edge set fails loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edgepin-fp-").toString + "/sym_edges"
+    val marker = java.nio.file.Paths.get(dir + ".fp")
+    GraphEdges.symPinned(edges, "a", "b", Some(dir))
+    assert(java.nio.file.Files.exists(marker), "materialization must record a fingerprint")
+    // identical edge set reuses cleanly
+    GraphEdges.symPinned(edges, "a", "b", Some(dir))
+    // a different edge set must NOT be silently computed on the stale pin
+    val other = Seq((7L, 8L), (8L, 9L)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      GraphEdges.symPinned(other, "a", "b", Some(dir))
+    }
+    assert(ex.getMessage.contains("does not match"))
+    // a legacy dir without a marker self-heals from the stored files...
+    java.nio.file.Files.delete(marker)
+    GraphEdges.symPinned(edges, "a", "b", Some(dir))
+    assert(java.nio.file.Files.exists(marker))
+    // ...and then guards again
+    intercept[IllegalArgumentException] {
+      GraphEdges.symPinned(other, "a", "b", Some(dir))
+    }
+  }
 }
