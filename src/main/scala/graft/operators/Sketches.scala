@@ -845,28 +845,20 @@ object SketchQueries extends QueryModule {
   private val QregShards = 8L
 
   /** Per-shard strided-rank quantile registers over floor(l_quantity):
-    * (shard, rn, q, w). The unique 4-tuple key breaks rank ties (the
-    * fz1 non-unique-key lesson). */
-  private def quantileRegisters(li: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = li.select((col("l_suppkey") % QregShards).as("shard"),
-      floor(col("l_quantity")).cast(LongType).as("q"),
-      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_suppkey"))
-    base
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("shard"))).cast(LongType))
-      // stride: smallest power of two with ceil(n/K) register rows;
-      // 2^bitlength(m-1) = least power of two >= m (integer-exact via
-      // the shared length(bin(...)) trick)
-      .withColumn("m", expr(s"(n + ${QregK - 1}) div $QregK"))
-      .withColumn("w", when(col("m") <= 1L, lit(1L))
-        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(m - 1)) AS INT))")))
-      .filter((col("rn") - 1L) % col("w") === 0L)
-      .select(col("shard"), col("rn"), col("q"), col("w"))
-  }
+    * (shard, rn, q, w) via the parameterized [[QuantileRegister]] core
+    * (shared with q_sp15 and the streaming twin). The gate PINS its
+    * shard key (`l_suppkey % 8`) for cross-engine determinism; the
+    * production sharding is [[QuantileRegister.registersByPartition]]
+    * — same core, shard = input partition. The unique 4-tuple key
+    * breaks rank ties (the fz1 non-unique-key lesson). */
+  private def quantileRegisters(li: DataFrame): DataFrame =
+    QuantileRegister.registers(
+      li.select((col("l_suppkey") % QregShards).as("shard"),
+        floor(col("l_quantity")).cast(LongType).as("q"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+      valueCol = "q",
+      tieCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      shardCols = Seq("shard"), k = QregK)
 
   private def quantileRegistersSql: String = s"""
     WITH qbase AS (
@@ -906,8 +898,7 @@ object SketchQueries extends QueryModule {
     (s, d) => {
       val li = Tables.lineitem(s, d)
       val reg = quantileRegisters(li).localCheckpoint() // consumed 3× below; ≤ shards·K rows
-      val bound = reg.groupBy(col("shard")).agg(max(col("w")).as("st"))
-        .agg(sum(col("st") - 1L).cast(LongType).as("bound"))
+      val bound = QuantileRegister.mergeBound(reg, Seq("shard"))
       val probes = s.range(1)
         .select(explode(sequence(lit(5L), lit(50L), lit(5L))).as("x"))
       val est = probes.join(reg, reg("q") <= probes("x"), "left")
@@ -987,23 +978,17 @@ object SketchQueries extends QueryModule {
     "grouped quantile registers: per-returnflag p25/50/75/90 off bounded per-group state",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val base = Tables.lineitem(s, d).select(
-        col("l_returnflag").as("grp"),
-        (col("l_suppkey") % 4).as("shard"),
-        floor(col("l_quantity")).cast(LongType).as("q"),
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-      val w = Window.partitionBy(col("grp"), col("shard"))
-        .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"))
-      val reg = base
-        .withColumn("rn", row_number().over(w).cast(LongType))
-        .withColumn("n", count(lit(1))
-          .over(Window.partitionBy(col("grp"), col("shard"))).cast(LongType))
-        .withColumn("m", expr(s"(n + ${QregK - 1}) div $QregK"))
-        .withColumn("w", when(col("m") <= 1L, lit(1L))
-          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(m - 1)) AS INT))")))
-        .filter((col("rn") - 1L) % col("w") === 0L)
-        .select(col("grp"), col("shard"), col("rn"), col("q"), col("w"))
+      // the same parameterized core as sp12 — grouped via grpCols; the
+      // gate pins its shard key (`% 4`), production shards by partition
+      val reg = QuantileRegister.registers(
+        Tables.lineitem(s, d).select(
+          col("l_returnflag").as("grp"),
+          (col("l_suppkey") % 4).as("shard"),
+          floor(col("l_quantity")).cast(LongType).as("q"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+        valueCol = "q",
+        tieCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        shardCols = Seq("shard"), k = QregK, grpCols = Seq("grp"))
       val cum = reg
         .withColumn("cw", sum(col("w")).over(
           Window.partitionBy(col("grp")).orderBy(col("q"), col("shard"), col("rn"))

@@ -3,11 +3,13 @@ package graft.streaming
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
-/** Stream ≡ batch for the quantile registers with MICRO-BATCHES AS
-  * SHARDS: after a bounded source drains, the state table must hold
-  * exactly the registers a static per-file build produces, and the
-  * merged estimates must respect the sp13 integer rank bound over the
-  * full streamed multiset. */
+/** Stream ≡ batch for the quantile registers with (MICRO-BATCH, INPUT
+  * PARTITION) AS SHARD: after a bounded source drains, the state table
+  * must hold exactly the registers a static per-file build produces,
+  * the merged estimates must respect the sp13 integer rank bound over
+  * the full streamed multiset, replays must OVERWRITE (not skip) their
+  * batch directory, and no register window may run unpartitioned (the
+  * round-9 single-task-sort weak mark). */
 class QuantileRegisterStreamSpec extends SparkSpec {
 
   private def stage(copies: Int): String = {
@@ -23,10 +25,17 @@ class QuantileRegisterStreamSpec extends SparkSpec {
   private def eventStream(dir: String) = {
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$sf0001/events.parquet").schema)
-      .option("maxFilesPerTrigger", 1) // one file per micro-batch = one shard
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch
       .parquet(dir)
     Tables.normalizeEventsTs(raw)
   }
+
+  private def stateRows(statePath: String): Seq[(Long, Long, Long, Long, Long)] =
+    graft.core.TableIO.read(spark, s"$statePath/registers")
+      .select(col("batch").cast("long"), col("part"), col("rn"), col("q"), col("w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
 
   test("streamed registers == static per-file registers; estimates within the merge bound") {
     val statePath = java.nio.file.Files.createTempDirectory("qreg_state").toString
@@ -34,22 +43,20 @@ class QuantileRegisterStreamSpec extends SparkSpec {
       floor(col("value")), Seq(col("event_id")), statePath, "qreg_test")
     q.processAllAvailable(); q.stop()
 
-    // batch twin: each staged file is one shard — identical rule
-    val static = (0L to 1L).map { bid =>
+    // batch twin: each staged file is one micro-batch — identical rule,
+    // so each batch's (part, rn, q, w) register set matches a static
+    // build over the same file, tagged with its batch id
+    val static = (0L to 1L).flatMap { bid =>
       QuantileRegisterStream.batchRegisters(
-        Tables.events(spark, sf0001), floor(col("value")), Seq(col("event_id")), bid)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    }.flatten.sorted
-    val streamed = graft.core.TableIO.read(spark, s"$statePath/registers")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sorted.toSeq
-    // the two files are copies, so both shards carry the same (rn, q, w)
-    // rows under their own shard ids — bound-for-bound equality
-    assert(streamed == static.toSeq, s"streamed ${streamed.take(3)}… vs static ${static.take(3)}…")
+        Tables.events(spark, sf0001), floor(col("value")), Seq(col("event_id")))
+        .collect().map(r => (bid, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.sorted
+    val streamed = stateRows(statePath)
+    assert(streamed == static, s"streamed ${streamed.take(3)}… vs static ${static.take(3)}…")
     assert(streamed.nonEmpty && streamed.map(_._1).distinct.sorted == Seq(0L, 1L))
 
     // the merged estimate obeys the integer rank bound over the FULL
-    // streamed multiset (both file-shards)
+    // streamed multiset (both file-batches)
     val exact = {
       val one = Tables.events(spark, sf0001)
         .select(floor(col("value")).cast("long").as("q")).collect().map(_.getLong(0))
@@ -72,22 +79,102 @@ class QuantileRegisterStreamSpec extends SparkSpec {
     }
   }
 
-  test("micro-batch replay is idempotent: re-running over the same source adds nothing") {
+  test("replay overwrites its batch dir: duplicate delivery AND partial writes both heal") {
     val dir = stage(1)
     val statePath = java.nio.file.Files.createTempDirectory("qreg_replay").toString
     val q1 = QuantileRegisterStream.run(eventStream(dir),
       floor(col("value")), Seq(col("event_id")), statePath, "qreg_replay_1")
     q1.processAllAvailable(); q1.stop()
-    val n1 = graft.core.TableIO.read(spark, s"$statePath/registers").count()
-    // fresh checkpoint, same batch ids re-delivered — the presence
-    // guard must skip them
+    val clean = stateRows(statePath)
+    assert(clean.nonEmpty)
+
+    // simulate a crash mid-write: a stray partial file inside the
+    // batch dir (the ADVICE failure mode — the old skip-if-present
+    // guard would have read this as "batch fully appended" forever)
+    val batchDir = java.nio.file.Paths.get(s"$statePath/registers/batch=0")
+    val junk = spark.range(5).selectExpr("CAST(id AS BIGINT) AS part",
+      "CAST(id AS BIGINT) AS rn", "CAST(99 AS BIGINT) AS q", "CAST(1 AS BIGINT) AS w")
+    junk.write.mode("append").parquet(batchDir.toString)
+    assert(stateRows(statePath) != clean, "junk must be visible before replay")
+
+    // fresh checkpoint, same batch ids re-delivered — the overwrite
+    // discipline rewrites batch=0 wholesale, restoring the clean state
     val cp = java.nio.file.Paths.get(s"$statePath/_checkpoint")
     org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
     val q2 = QuantileRegisterStream.run(eventStream(dir),
       floor(col("value")), Seq(col("event_id")), statePath, "qreg_replay_2")
     q2.processAllAvailable(); q2.stop()
-    val n2 = graft.core.TableIO.read(spark, s"$statePath/registers").count()
-    assert(n1 == n2, s"replayed batch must not duplicate registers: $n1 -> $n2")
-    assert(n1 > 0)
+    assert(stateRows(statePath) == clean,
+      "replayed batch must overwrite partial/duplicate registers")
+  }
+
+  test("grouped twin: per-key streamed registers == static per-file; per-key bound law") {
+    val statePath = java.nio.file.Files.createTempDirectory("qreg_grouped").toString
+    val q = QuantileRegisterStream.runGrouped(eventStream(stage(2)),
+      col("event_type"), floor(col("value")), Seq(col("event_id")),
+      statePath, "qreg_grouped_test")
+    q.processAllAvailable(); q.stop()
+
+    val static = (0L to 1L).flatMap { bid =>
+      QuantileRegisterStream.batchRegisters(
+        Tables.events(spark, sf0001), floor(col("value")), Seq(col("event_id")),
+        grp = Some(col("event_type")))
+        .collect().map(r => (bid, r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    }.sorted
+    val streamed = graft.core.TableIO.read(spark, s"$statePath/registers")
+      .select(col("batch").cast("long"), col("grp"), col("part"),
+        col("rn"), col("q"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sorted.toSeq
+    assert(streamed == static)
+    assert(streamed.map(_._2).distinct.size > 1, "need multiple groups to test grouping")
+
+    // per-group: the p50 estimate's true per-group rank must be within
+    // that group's own bound + max stride (the sp15 law, per key)
+    val bounds = QuantileRegisterStream.boundGrouped(spark, statePath)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = QuantileRegisterStream.estimatesGrouped(spark, statePath, Seq(50L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.map(_._1).toSet == bounds.keySet)
+    val perGroup = Tables.events(spark, sf0001)
+      .select(col("event_type").as("grp"), floor(col("value")).cast("long").as("q"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (g, xs) =>
+        val one = xs.map(_._2).sorted
+        g -> (one ++ one).sorted // two identical file-batches streamed
+      }
+    val maxStrides = graft.core.TableIO.read(spark, s"$statePath/registers")
+      .groupBy(col("grp")).agg(max(col("w")).as("ms"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((g, p, v) <- est) {
+      val exact = perGroup(g)
+      val lo = exact.indexWhere(_ == v) + 1
+      val hi = exact.lastIndexWhere(_ == v) + 1
+      assert(lo >= 1, s"$g p$p: estimate $v not a data value of the group")
+      val target = exact.length.toLong * p / 100
+      val slack = bounds(g) + maxStrides(g)
+      assert(target >= lo - slack && target <= hi + slack,
+        s"$g p$p: $v spans [$lo,$hi], target $target, slack $slack")
+    }
+  }
+
+  test("structural: no register window is unpartitioned (single-task corpus sort)") {
+    // the round-9 weak mark, pinned as a plan property: the register
+    // build inside foreachBatch must partition its rank window by the
+    // input-partition shard — with Trigger.AvailableNow batch 0 is the
+    // whole backlog, so an unpartitioned window here is a single-task
+    // sort of the corpus
+    for (grp <- Seq(None, Some(col("event_type")))) {
+      val reg = QuantileRegisterStream.batchRegisters(
+        Tables.events(spark, sf0001), floor(col("value")), Seq(col("event_id")), grp)
+      val windows = reg.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty)
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"unpartitioned register window (grp=$grp)")
+    }
   }
 }
