@@ -321,8 +321,11 @@ object WindowSetFuzz {
     // processor recomputes the aggregate from scratch per row, O(n²)
     // per partition (measured: 45 s for ONE such query on a 30k-row
     // partition at sf0.1, vs <1 s for every other frame; DuckDB's
-    // segment tree is fine). Full-partition (UNBOUNDED..UNBOUNDED)
-    // stays in — Spark computes that once per partition.
+    // segment tree is fine). Users hitting the shape should rewrite
+    // through [[Frames.runningForm]] (the reversed-order running
+    // form — measured 71.5 s → 0.63 s on this exact shape; see
+    // SCALING.md). Full-partition (UNBOUNDED..UNBOUNDED) stays in —
+    // Spark computes that once per partition.
     var f = Frame(rows, bound(preceding = true), bound(preceding = false))
     var guard = 0
     def ok(fr: Frame): Boolean = (fr.lo, fr.hi) match {
