@@ -277,4 +277,31 @@ object PerceptualHash {
     val grid = Array.tabulate(8, 9)((cy, cx) => synthCellValue(gid, m, cx, cy))
     (x, y) => grid(y / 4)(x / 4)
   }
+
+  /** The q_mm5b SPANNING fixture: member `m` re-maps the first m cells
+    * of row 0 (dHash band 0, the low half-block) AND row 4 (band 2,
+    * the high half-block) — planted near-dup pairs whose differing
+    * bits span BOTH 32-bit halves. The pigeonhole recall of the
+    * narrow 4×16-bit blocking still covers them (bands 1 and 3 are
+    * untouched), while the wide 2×32-bit production blocking — whose
+    * guarantee only covers pairs confined to one half — misses
+    * exactly this class. The gate turns that documented trade into a
+    * cross-engine fact. */
+  def synthCellValueSpan(gid: Long, m: Long, cx: Int, cy: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pc:$gid:$cx:$cy".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    val bump = (if (cy == 0 && cx < m) 101L else 0L) +
+      (if (cy == 4 && cx < m) 101L else 0L)
+    (((v % 241) + bump) % 241).toInt
+  }
+
+  /** Memoized grid for the spanning fixture (same per-pixel-sampler
+    * discipline as [[synthCellGrid]]). */
+  def synthCellGridSpan(gid: Long, m: Long): (Int, Int) => Int = {
+    val grid = Array.tabulate(8, 9)((cy, cx) => synthCellValueSpan(gid, m, cx, cy))
+    (x, y) => grid(y / 4)(x / 4)
+  }
 }

@@ -290,6 +290,85 @@ object MultimodalQueries extends QueryModule {
   }
 
 
+  // q_mm5b — the wide-block knob's recall contract as a gate: the
+  // SPANNING fixture perturbs row 0 (band 0, low half) AND row 4
+  // (band 2, high half), so planted near-dup pairs differ in BOTH
+  // 32-bit halves. The narrow 4×16-bit blocking's pigeonhole still
+  // finds them (bands 1/3 untouched); the wide 2×32-bit production
+  // blocking — guarantee limited to one-half-confined pairs — misses
+  // exactly this class. The gate output is the traded recall
+  // (narrow − wide), computed identically in both engines.
+  private val mm5b = {
+    val t = 6
+    Q(
+      "q_mm5b_wide_recall",
+      "wide-block recall contract: near-dup pairs found by 4×16-bit banding but " +
+        "missed by the 2×32-bit production blocking — the documented trade, cross-engine",
+      (s, d) => {
+        import s.implicits._
+        val fp = Tables.documents(s, d)
+          .select(col("doc_id").cast(LongType)).as[Long]
+          .mapPartitions { it =>
+            val ph = graft.multimodal.PerceptualHash
+            it.map { id =>
+              val png = graft.multimodal.ImageCodec.encodePng(36, 32,
+                ph.synthCellGridSpan(id / 4, id % 4))
+              val raster = ph.decodePngGray(png)
+                .getOrElse(sys.error(s"undecodable synthesized png for id $id"))
+              val b = ph.dHashBands(raster)
+              (id, b(0), b(1), b(2), b(3))
+            }
+          }.toDF("media_id", "b0", "b1", "b2", "b3")
+        val narrow = perceptualPairs(fp, t, wideBlocks = false)
+        val wide = perceptualPairs(fp, t, wideBlocks = true)
+        narrow.join(wide.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH cells AS (
+          SELECT d.doc_id AS media_id, cx.range AS cx, cy.range AS cy,
+                 ((${Sketches.md5Long56Sql("'pc:' || CAST(d.doc_id // 4 AS VARCHAR) || ':' || CAST(cx.range AS VARCHAR) || ':' || CAST(cy.range AS VARCHAR)")}) % 241 +
+                  CASE WHEN cy.range IN (0, 4) AND cx.range < d.doc_id % 4 THEN 101 ELSE 0 END) % 241 AS v
+          FROM documents d, range(0, 9) cx, range(0, 8) cy),
+        bits AS (
+          SELECT a.media_id, (a.cy // 2) AS band, (a.cy % 2)*8 + a.cx AS loc,
+                 CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+          FROM cells a JOIN cells b
+            ON b.media_id = a.media_id AND b.cy = a.cy AND b.cx = a.cx + 1
+          WHERE a.cx < 8),
+        bands AS (
+          SELECT media_id, band, CAST(sum(bit * (1 << loc)) AS BIGINT) AS bv
+          FROM bits GROUP BY media_id, band),
+        fp AS MATERIALIZED (
+          SELECT media_id,
+                 max(CASE WHEN band = 0 THEN bv END) AS b0,
+                 max(CASE WHEN band = 1 THEN bv END) AS b1,
+                 max(CASE WHEN band = 2 THEN bv END) AS b2,
+                 max(CASE WHEN band = 3 THEN bv END) AS b3
+          FROM bands GROUP BY media_id),
+        narrow AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                 CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+          FROM fp a JOIN fp b
+            ON a.media_id < b.media_id
+           AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= $t),
+        wide AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                 CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+          FROM fp a JOIN fp b
+            ON a.media_id < b.media_id
+           AND ((a.b0 = b.b0 AND a.b1 = b.b1) OR (a.b2 = b.b2 AND a.b3 = b.b3))
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= $t)
+        SELECT id_a, id_b, hamming FROM
+          (SELECT * FROM narrow EXCEPT SELECT * FROM wide)
+        ORDER BY id_a, id_b"""))
+  }
+
   /** Perceptual near-dup pair search over a (media_id, b0..b3) dHash
     * fingerprint frame: LSH block equi-joins (never a cartesian),
     * exact Hamming on candidates only, distinct-pair reduction.
@@ -325,5 +404,5 @@ object MultimodalQueries extends QueryModule {
       .distinct()
   }
 
-  override val all: Seq[Q] = Seq(mm1, mm2, mm3, mm4, mm5)
+  override val all: Seq[Q] = Seq(mm1, mm2, mm3, mm4, mm5, mm5b)
 }

@@ -150,6 +150,12 @@ class PlanAuditSpec extends SparkSpec {
       s"perceptual near-dup must equi-join on the dHash band, not all-pairs:\n$p")
   }
 
+  test("q_mm5b: both blocking configs and the anti-join stay equi-keyed — no cartesian") {
+    val p = plan("q_mm5b_wide_recall")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the traded-recall difference must stay equi-join throughout:\n$p")
+  }
+
   test("q_sp12: register window is PARTITIONED by shard — no single-partition corpus sort") {
     val p = plan("q_sp12_quantile_registers")
     // the construction window must carry the shard in its partition
