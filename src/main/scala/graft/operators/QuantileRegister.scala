@@ -85,6 +85,39 @@ object QuantileRegister {
     registers(df.withColumn("shard", spark_partition_id().cast(LongType)),
       valueCol, tieCols, Seq("shard"), k, grpCols)
 
+  /** Percentile extraction off a register table — the q_sp14 rule,
+    * shared by the sp14/sp15 gates and the streaming twin: est(p) is
+    * the smallest register value whose running weighted count reaches
+    * ⌈W·p/100⌉ (integer comparison via cum·100 ≥ W·p). The cumulative
+    * window runs over REGISTER ROWS ONLY (≤ shards·k per group — a
+    * bounded artifact, which is what makes its single partition free);
+    * by the merge law the reported value's true rank is within
+    * Σ(strideᵢ−1) + max(stride) of the target.
+    *
+    * @return (grpCols…, pct, est_q), ordered. */
+  def extract(reg: DataFrame, valueCol: String, shardCols: Seq[String],
+      pcts: Seq[Long], grpCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(valueCol) +: shardCols.map(col)) :+ col("rn")
+    val running = Window.unboundedPreceding
+    val cum =
+      if (grpCols.isEmpty)
+        reg.withColumn("__qr_cw", sum(col("w")).over(
+            Window.orderBy(ord: _*).rowsBetween(running, Window.currentRow)))
+          .crossJoin(reg.agg(sum(col("w")).cast(LongType).as("__qr_tw")))
+      else
+        reg.withColumn("__qr_cw", sum(col("w")).over(
+            Window.partitionBy(grpCols.map(col): _*).orderBy(ord: _*)
+              .rowsBetween(running, Window.currentRow)))
+          .withColumn("__qr_tw",
+            sum(col("w")).over(Window.partitionBy(grpCols.map(col): _*)))
+    val probes = reg.sparkSession.range(1)
+      .select(explode(array(pcts.map(lit(_)): _*)).as("pct"))
+    probes.join(cum, col("__qr_cw") * 100 >= col("__qr_tw") * col("pct"))
+      .groupBy((grpCols.map(col) :+ col("pct")): _*)
+      .agg(min(col(valueCol)).as("est_q"))
+      .orderBy((grpCols.map(col) :+ col("pct")): _*)
+  }
+
   /** The exact merge-law bound over a register table: Σ over shards
     * (per group when `grpCols` non-empty) of (stride − 1). */
   def mergeBound(reg: DataFrame, shardCols: Seq[String],

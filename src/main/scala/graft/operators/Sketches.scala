@@ -939,20 +939,9 @@ object SketchQueries extends QueryModule {
   private val sp14 = Q(
     "q_sp14_quantile_extract",
     "quantile extraction from merged registers: p25/p50/p75/p90 off the bounded sketch state",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val reg = quantileRegisters(Tables.lineitem(s, d))
-      val cum = reg
-        .withColumn("cw", sum(col("w")).over(
-          Window.orderBy(col("q"), col("shard"), col("rn"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .crossJoin(reg.agg(sum(col("w")).cast(LongType).as("tw")))
-      val pcts = s.range(1).select(explode(array(lit(25L), lit(50L), lit(75L), lit(90L))).as("pct"))
-      pcts.join(cum, col("cw") * 100 >= col("tw") * col("pct"))
-        .groupBy(col("pct"))
-        .agg(min(col("q")).as("est_q"))
-        .orderBy(col("pct"))
-    },
+    (s, d) => QuantileRegister.extract(
+      quantileRegisters(Tables.lineitem(s, d)), "q", Seq("shard"),
+      Seq(25L, 50L, 75L, 90L)),
     Some(s"""$quantileRegistersSql,
       cum AS (
         SELECT q, shard, rn, w,
@@ -977,7 +966,6 @@ object SketchQueries extends QueryModule {
     "q_sp15_grouped_quantiles",
     "grouped quantile registers: per-returnflag p25/50/75/90 off bounded per-group state",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       // the same parameterized core as sp12 — grouped via grpCols; the
       // gate pins its shard key (`% 4`), production shards by partition
       val reg = QuantileRegister.registers(
@@ -989,17 +977,8 @@ object SketchQueries extends QueryModule {
         valueCol = "q",
         tieCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
         shardCols = Seq("shard"), k = QregK, grpCols = Seq("grp"))
-      val cum = reg
-        .withColumn("cw", sum(col("w")).over(
-          Window.partitionBy(col("grp")).orderBy(col("q"), col("shard"), col("rn"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("grp"))))
-      val pcts = s.range(1)
-        .select(explode(array(lit(25L), lit(50L), lit(75L), lit(90L))).as("pct"))
-      pcts.join(cum, col("cw") * 100 >= col("tw") * col("pct"))
-        .groupBy(col("grp"), col("pct"))
-        .agg(min(col("q")).as("est_q"))
-        .orderBy(col("grp"), col("pct"))
+      QuantileRegister.extract(reg, "q", Seq("shard"),
+        Seq(25L, 50L, 75L, 90L), grpCols = Seq("grp"))
     },
     Some(s"""
       WITH gbase AS (

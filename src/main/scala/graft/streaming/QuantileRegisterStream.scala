@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.operators.QuantileRegister
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.LongType
@@ -82,39 +81,18 @@ object QuantileRegisterStream {
     spark.read.parquet(s"$statePath/registers")
       .withColumn("batch", col("batch").cast(LongType))
 
-  /** Percentile answers off the merged state (the sp14 rule): one
-    * cumulative window over ≤ shards·K register rows — a bounded
-    * artifact, which is what makes its single partition free. */
-  def estimates(spark: SparkSession, statePath: String, pcts: Seq[Long]): DataFrame = {
-    val reg = readState(spark, statePath)
-    val cum = reg
-      .withColumn("cw", sum(col("w")).over(
-        Window.orderBy(col("q"), col("batch"), col("part"), col("rn"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(reg.agg(sum(col("w")).cast(LongType).as("tw")))
-    val p = pcts.map(x => lit(x))
-    spark.range(1).select(explode(array(p: _*)).as("pct"))
-      .join(cum, col("cw") * 100 >= col("tw") * col("pct"))
-      .groupBy(col("pct")).agg(min(col("q")).as("est_q"))
-      .orderBy(col("pct"))
-  }
+  /** Percentile answers off the merged state — the shared
+    * [[QuantileRegister.extract]] rule (one cumulative window over
+    * ≤ shards·K register rows, a bounded artifact). */
+  def estimates(spark: SparkSession, statePath: String, pcts: Seq[Long]): DataFrame =
+    QuantileRegister.extract(readState(spark, statePath), "q",
+      Seq("batch", "part"), pcts)
 
   /** Per-group percentile answers off the grouped state. */
   def estimatesGrouped(spark: SparkSession, statePath: String,
-      pcts: Seq[Long]): DataFrame = {
-    val reg = readState(spark, statePath)
-    val cum = reg
-      .withColumn("cw", sum(col("w")).over(
-        Window.partitionBy(col("grp"))
-          .orderBy(col("q"), col("batch"), col("part"), col("rn"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("grp"))))
-    val p = pcts.map(x => lit(x))
-    spark.range(1).select(explode(array(p: _*)).as("pct"))
-      .join(cum, col("cw") * 100 >= col("tw") * col("pct"))
-      .groupBy(col("grp"), col("pct")).agg(min(col("q")).as("est_q"))
-      .orderBy(col("grp"), col("pct"))
-  }
+      pcts: Seq[Long]): DataFrame =
+    QuantileRegister.extract(readState(spark, statePath), "q",
+      Seq("batch", "part"), pcts, grpCols = Seq("grp"))
 
   /** The exact merge-law bound over the current state:
     * Σ over (batch, part) shards of (strideᵢ − 1). */
