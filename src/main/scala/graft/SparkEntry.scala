@@ -16,7 +16,7 @@ object SparkEntry {
     BpeQueries, SkewQueries, SketchQueries, QualityClassifierQueries,
     NgramLmQueries, LengthBatchingQueries, ZOrderQueries, MaxMatchQueries,
     RelFuzzQueries, TemporalFuzzQueries, StringFuzzQueries, WindowSetFuzzQueries,
-    GroupingFuzzQueries, SubqueryFuzzQueries, ArrayFuzzQueries,
+    GroupingFuzzQueries, SubqueryFuzzQueries, ArrayFuzzQueries, JsonFuzzQueries,
     UnigramLmQueries, ExpectationsQueries, KCenterQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
