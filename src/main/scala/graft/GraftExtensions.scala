@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the O(n²) ROWS … UNBOUNDED FOLLOWING frame class rewrites to its
+    // O(n) running twin (graft.plans.TailFrameRewrite scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.TailFrameRewrite)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),

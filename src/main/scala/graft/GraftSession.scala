@@ -25,6 +25,11 @@ object GraftSession {
       .config("spark.sql.legacy.javaCharsets", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the O(n²) tail-frame class rewrites to its O(n) running twin
+    // automatically (value-preserving matches only — see the rule)
+    if (!s.experimental.extraOptimizations.contains(plans.TailFrameRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ plans.TailFrameRewrite
     // SQL surface for the sketch aggregator (native expressions are
     // injected by GraftExtensions; a typed Aggregator registers
     // per-session): SELECT kmv_sketch(hash_col) ... GROUP BY g

@@ -268,6 +268,29 @@ object WindowSetQueries extends QueryModule {
         ORDER BY l_suppkey, l_orderkey"""))
   }
 
+  // O6 (round 10): the W1 shape's PRODUCTION form as its own gate —
+  // Ids.globalRowNumber (range-partition + in-partition sort +
+  // zipWithIndex offsets, SCALING.md "global id allocation") must
+  // allocate exactly the ids the single-task window form would, so the
+  // oracle IS the unpartitioned row_number. numParts=8 forces real
+  // multi-partition offset stitching even at sf0.001.
+  private val o6 = Q(
+    "q_o6_global_ids_partitioned",
+    "global id allocation via the partition-offset production form (== unpartitioned row_number)",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 200000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Ids.globalRowNumber(base,
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), "gid", numParts = 8)
+        .select(col("o_orderkey"), col("gid"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS gid
+      FROM orders WHERE o_totalprice > 200000 ORDER BY o_orderkey"""))
+
   override val all: Seq[Q] =
-    Seq(w1, w2, w4, w6, o2, o3, u1, u2, g1, g3, g4)
+    Seq(w1, w2, w4, w6, o2, o3, o6, u1, u2, g1, g3, g4)
 }

@@ -16,7 +16,16 @@ class FramesSpec extends SparkSpec {
 
   private def orders = Tables.orders(spark, sf0001)
 
+  /** The manual-identity tests below observe the UNREWRITTEN quadratic
+    * plan, so they run with the automatic optimizer rewrite
+    * ([[graft.plans.TailFrameRewrite]]) switched off. */
+  private def withoutRule[T](body: => T): T = {
+    spark.conf.set(graft.plans.TailFrameRewrite.ConfKey, "false")
+    try body finally spark.conf.set(graft.plans.TailFrameRewrite.ConfKey, "true")
+  }
+
   test("runningForm == tailForm for sum/min/max/count across bounds and orderings") {
+    withoutRule {
     val part = Seq(col("o_orderstatus"))
     // unique total order (the fz4 determinism discipline), with a
     // nullable leading key to exercise null-placement reversal
@@ -37,9 +46,11 @@ class FramesSpec extends SparkSpec {
       val bad = df.filter(not(col("slow") <=> col("fast"))).count()
       assert(bad == 0, s"agg#$ai lo=$lo ord=${ord.map(o => (o.desc, o.nullsLast))}: $bad rows differ")
     }
+    }
   }
 
   test("reversal flips null placement, not just direction") {
+    withoutRule {
     // a pure-direction flip would put the null block at the wrong end;
     // this ordering leads with a nullable key so any such bug shifts
     // frames for every row near the null block
@@ -62,9 +73,11 @@ class FramesSpec extends SparkSpec {
         .rowsBetween(Long.MinValue, 1L)).cast("long").as("fast"))
     assert(wrong.filter(not(col("slow") <=> col("fast"))).count() > 0,
       "direction-only reversal should diverge on the nullable ordering")
+    }
   }
 
   test("plan: runningForm executes the incremental frame, tailForm the quadratic one") {
+    withoutRule {
     val ord = Seq(Ord(col("o_custkey")), Ord(col("o_orderkey")))
     def physical(c: Column): String = orders.select(c.as("v"))
       .queryExecution.executedPlan.toString
@@ -76,5 +89,93 @@ class FramesSpec extends SparkSpec {
       s"runningForm must not retain an UNBOUNDED FOLLOWING frame:\n$fast")
     assert(fast.toLowerCase.contains("unboundedpreceding"),
       s"runningForm should run the incremental growing frame:\n$fast")
+    }
+  }
+
+  // ---- the automatic optimizer rewrite (graft.plans.TailFrameRewrite) ----
+
+  test("rule: SQL hazard frame auto-rewrites to the running twin, same rows") {
+    orders.createOrReplaceTempView("__fr_orders")
+    val q = """SELECT o_orderkey,
+      CAST(sum(o_custkey % 100) OVER (PARTITION BY o_orderstatus
+        ORDER BY o_custkey, o_orderkey
+        ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS s
+      FROM __fr_orders"""
+    val fast = spark.sql(q)
+    val plan = fast.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("unboundedfollowing"),
+      s"the rule should have removed the quadratic frame:\n$plan")
+    assert(plan.contains("unboundedpreceding"), plan)
+    // value equality against the unrewritten execution
+    val rewritten = fast.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val reference = withoutRule {
+      val slow = spark.sql(q)
+      assert(slow.queryExecution.executedPlan.toString.toLowerCase
+        .contains("unboundedfollowing"), "escape hatch must disable the rule")
+      slow.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    }
+    assert(rewritten.sameElements(reference))
+  }
+
+  test("rule: CURRENT ROW AND UNBOUNDED FOLLOWING rewrites too") {
+    orders.createOrReplaceTempView("__fr_orders")
+    val q = """SELECT o_orderkey,
+      CAST(count(*) OVER (PARTITION BY o_orderstatus
+        ORDER BY o_custkey DESC NULLS LAST, o_orderkey
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS c
+      FROM __fr_orders"""
+    val fast = spark.sql(q)
+    assert(!fast.queryExecution.executedPlan.toString.toLowerCase
+      .contains("unboundedfollowing"))
+    val a = fast.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = withoutRule(spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
+    assert(a.sameElements(b))
+  }
+
+  test("rule: double-typed sum is NOT rewritten (float accumulation is order-dependent)") {
+    orders.createOrReplaceTempView("__fr_orders")
+    val plan = spark.sql("""SELECT
+      sum(o_totalprice) OVER (PARTITION BY o_orderstatus
+        ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING)
+      FROM __fr_orders""").queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("unboundedfollowing"),
+      s"a double sum must keep its original frame:\n$plan")
+  }
+
+  test("rule: order-sensitive functions are NOT rewritten") {
+    orders.createOrReplaceTempView("__fr_orders")
+    // first_value's result depends on frame orientation — reversal
+    // would silently change it
+    val plan = spark.sql("""SELECT
+      first_value(o_custkey) OVER (PARTITION BY o_orderstatus
+        ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING)
+      FROM __fr_orders""").queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("unboundedfollowing"),
+      s"first_value must keep its original frame:\n$plan")
+  }
+
+  test("rule: a node mixing a hazard frame with a non-hazard sibling stays put") {
+    orders.createOrReplaceTempView("__fr_orders")
+    // both expressions share one (partition, order) → one Window node;
+    // the running sibling must veto the reversal
+    val plan = spark.sql("""SELECT
+      sum(o_custkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING) AS a,
+      first_value(o_custkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
+      FROM __fr_orders""").queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("unboundedfollowing"),
+      s"mixed node must not be reversed:\n$plan")
+  }
+
+  test("rule: DataFrame tailForm now executes the incremental frame automatically") {
+    val ord = Seq(Ord(col("o_custkey")), Ord(col("o_orderkey")))
+    val df = orders.select(col("o_orderkey"),
+      Frames.tailForm(sum(col("o_custkey") % 100), Seq(col("o_orderstatus")), ord, -3L)
+        .cast("long").as("s"))
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("unboundedfollowing") && plan.contains("unboundedpreceding"),
+      s"the rule should rewrite the DataFrame hazard shape too:\n$plan")
   }
 }
