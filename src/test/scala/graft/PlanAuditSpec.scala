@@ -532,7 +532,14 @@ class PlanAuditSpec extends SparkSpec {
     val exempt = Set("q_cc1_components", "q_cc2_components_star",
       "q_cc3_triangles", "q_cc4_pagerank", "q_cc5_kcore",
       "q_cc6_coreness", "q_cc7_bfs_hops", "q_cc8_trustrank",
-      "q_cc10_communities", "q_dd10_dup_clusters")
+      "q_cc10_communities", "q_dd10_dup_clusters",
+      // q_o6's LogicalRDD is Ids.globalRowNumber's zipWithIndex hop —
+      // lazy lineage (range exchange → in-partition sort → offset map)
+      // that RECOMPUTES on re-execution; nothing is pinned or
+      // checkpointed. The RDD hop is the documented carve-out that
+      // welds the offset job and the result job to one partition
+      // assignment (Ids.scala scaladoc).
+      "q_o6_global_ids_partitioned")
     val bounded: Set[Set[String]] = Set(
       Set("bucket", "kind", "cnt"),               // hashed LM models, ≤ 4·B+1 rows
       Set("bucket", "cnt_t", "cnt_b"),            // quality-classifier model, ≤ B rows
