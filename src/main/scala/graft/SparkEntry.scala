@@ -17,7 +17,7 @@ object SparkEntry {
     NgramLmQueries, LengthBatchingQueries, ZOrderQueries, MaxMatchQueries,
     RelFuzzQueries, TemporalFuzzQueries, StringFuzzQueries, WindowSetFuzzQueries,
     GroupingFuzzQueries, SubqueryFuzzQueries, ArrayFuzzQueries, JsonFuzzQueries,
-    NumericFuzzQueries, DateArithFuzzQueries,
+    NumericFuzzQueries, DateArithFuzzQueries, FloatFuzzQueries, TsArithFuzzQueries,
     UnigramLmQueries, ExpectationsQueries, KCenterQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
   * plan without knowing the trick.
   *
   * Spark's `UnboundedFollowingWindowFunctionFrame` recomputes its
-  * aggregate from scratch per row: any `ROWS BETWEEN <bounded-lo> AND
-  * UNBOUNDED FOLLOWING` frame costs O(n²) per partition (measured:
+  * aggregate from scratch per row: any `ROWS/RANGE BETWEEN
+  * <bounded-lo> AND UNBOUNDED FOLLOWING` frame costs O(n²) per
+  * partition (measured:
   * 45.6 s for one fz4-generated query at sf0.1 vs <1 s for every other
   * frame shape; 71.5 s → 0.63 s for the manual rewrite in FramesSpec).
   * The rewrite flips the ordering EXACTLY (direction AND null
@@ -33,9 +34,11 @@ import org.apache.spark.sql.types._
   *    would be a silent semantics change);
   *  - the node has an explicit ordering to reverse.
   *
-  * Ties: like every ROWS frame, results are only well-defined under a
-  * total ordering (the fz1/fz4 unique-key discipline); with ties both
-  * orientations are legitimately tie-dependent.
+  * Ties: like every ROWS frame, ROWS results are only well-defined
+  * under a total ordering (the fz1/fz4 unique-key discipline); with
+  * ties both orientations are legitimately tie-dependent. RANGE
+  * frames are tie-insensitive (peers enter by value), so their
+  * rewrite is unconditional on ordering uniqueness.
   *
   * Injected by [[graft.GraftExtensions]] (config path) and
   * [[graft.GraftSession]] (programmatic path). Idempotent: the
@@ -75,16 +78,32 @@ object TailFrameRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The hazard: ROWS, bounded lower, UNBOUNDED FOLLOWING upper.
-    * Returns the rewritten UPPER bound (k PRECEDING → k FOLLOWING,
-    * CURRENT ROW → CURRENT ROW). */
-  private def rewrittenUpper(f: Expression): Option[Expression] = f match {
-    case SpecifiedWindowFrame(RowFrame, lower, UnboundedFollowing) => lower match {
-      case CurrentRow => Some(CurrentRow)
-      case Literal(v: Int, t) if v < 0 => Some(Literal.create(-v, t))
-      case Literal(v: Long, t) if v < 0L => Some(Literal.create(-v, t))
-      case _ => None // UnboundedPreceding (already running) / FOLLOWING lowers
-    }
+  /** The hazard: ROWS *or* RANGE, bounded lower, UNBOUNDED FOLLOWING
+    * upper — both frame types run on the quadratic
+    * UnboundedFollowingWindowFunctionFrame. Returns (frameType,
+    * rewritten UPPER bound): k PRECEDING → k FOLLOWING (literal
+    * negation — exact for every numeric type incl. float sign flips),
+    * CURRENT ROW → CURRENT ROW. RANGE is actually the SAFER case:
+    * value bounds are tie-insensitive, and the reversal identity was
+    * verified to hold for NULL order keys too (null rows are peers
+    * whose frame is orientation-invariant — probed, both
+    * orientations). Interval bounds (date/timestamp keys) are left
+    * alone. */
+  private def rewrittenUpper(f: Expression): Option[(FrameType, Expression)] = f match {
+    case SpecifiedWindowFrame(ft, lower, UnboundedFollowing) =>
+      val upper = lower match {
+        case CurrentRow => Some(CurrentRow)
+        case Literal(v: Int, t) if v < 0 => Some(Literal.create(-v, t))
+        case Literal(v: Long, t) if v < 0L => Some(Literal.create(-v, t))
+        case Literal(v: Short, t) if v < 0 => Some(Literal.create((-v).toShort, t))
+        case Literal(v: Byte, t) if v < 0 => Some(Literal.create((-v).toByte, t))
+        case Literal(v: Double, t) if v < 0d => Some(Literal.create(-v, t))
+        case Literal(v: Float, t) if v < 0f => Some(Literal.create(-v, t))
+        case Literal(v: Decimal, t) if v.toBigDecimal.signum < 0 =>
+          Some(Literal.create(v.unary_-, t))
+        case _ => None // UnboundedPreceding (already running) / FOLLOWING lowers
+      }
+      upper.map(u => (ft, u))
     case _ => None
   }
 
@@ -102,11 +121,11 @@ object TailFrameRewrite extends Rule[LogicalPlan] {
       val rewritten: Seq[Option[NamedExpression]] = wes.map {
         case a @ Alias(we @ WindowExpression(fn, spec: WindowSpecDefinition), name)
             if orderInsensitive(fn) =>
-          rewrittenUpper(spec.frameSpecification).map { upper =>
+          rewrittenUpper(spec.frameSpecification).map { case (ft, upper) =>
             val newSpec = spec.copy(
               orderSpec = spec.orderSpec.map(reversedSort),
               frameSpecification =
-                SpecifiedWindowFrame(RowFrame, UnboundedPreceding, upper))
+                SpecifiedWindowFrame(ft, UnboundedPreceding, upper))
             Alias(we.copy(windowSpec = newSpec), name)(
               a.exprId, a.qualifier, a.explicitMetadata, a.nonInheritableMetadataKeys)
           }

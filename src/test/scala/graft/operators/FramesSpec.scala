@@ -169,6 +169,55 @@ class FramesSpec extends SparkSpec {
       s"mixed node must not be reversed:\n$plan")
   }
 
+  test("rule: RANGE hazard frame rewrites too — ties, NULL keys, exact values") {
+    // RANGE bounds are value offsets and tie-INSENSITIVE; the reversal
+    // identity was probed to hold for NULL order keys as well (null
+    // rows are peers whose frame is orientation-invariant). The order
+    // key here has heavy ties (custkey % 50) and an id-cycled NULL arm.
+    orders.createOrReplaceTempView("__fr_orders")
+    val q = """SELECT o_orderkey,
+      CAST(sum(o_orderkey % 1000) OVER (PARTITION BY o_orderstatus
+        ORDER BY nullif(o_custkey % 50, 7)
+        RANGE BETWEEN 5 PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS s
+      FROM __fr_orders"""
+    val fast = spark.sql(q)
+    val plan = fast.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("unboundedfollowing"),
+      s"the rule should have removed the quadratic RANGE frame:\n$plan")
+    val a = fast.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = withoutRule {
+      val slow = spark.sql(q)
+      assert(slow.queryExecution.executedPlan.toString.toLowerCase
+        .contains("unboundedfollowing"), "escape hatch must disable the rule")
+      slow.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    }
+    assert(a.sameElements(b))
+  }
+
+  test("rule: RANGE CURRENT ROW AND UNBOUNDED FOLLOWING rewrites; double sum does not") {
+    orders.createOrReplaceTempView("__fr_orders")
+    val q = """SELECT o_orderkey,
+      CAST(max(o_orderkey % 777) OVER (PARTITION BY o_orderstatus
+        ORDER BY o_custkey % 50 DESC NULLS FIRST
+        RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS m
+      FROM __fr_orders"""
+    val fast = spark.sql(q)
+    assert(!fast.queryExecution.executedPlan.toString.toLowerCase
+      .contains("unboundedfollowing"))
+    val a = fast.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = withoutRule(spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
+    assert(a.sameElements(b))
+    // a double-typed sum keeps its RANGE hazard frame (same exact-type
+    // gate as ROWS: accumulation order differs across orientations)
+    val plan2 = spark.sql("""SELECT
+      sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_custkey % 50
+        RANGE BETWEEN 5 PRECEDING AND UNBOUNDED FOLLOWING)
+      FROM __fr_orders""").queryExecution.executedPlan.toString.toLowerCase
+    assert(plan2.contains("unboundedfollowing"),
+      s"a double RANGE sum must keep its original frame:\n$plan2")
+  }
+
   test("rule: DataFrame tailForm now executes the incremental frame automatically") {
     val ord = Seq(Ord(col("o_custkey")), Ord(col("o_orderkey")))
     val df = orders.select(col("o_orderkey"),
