@@ -68,7 +68,13 @@ class OracleSqlLintSpec extends AnyFunSuite {
     "q_bpe5_fertility" -> 6, // per-round pair counts (vocab-sized CTEs)
     "q_bpe7_vocab_coverage" -> 6, // same round chain; output sums CAST-wrapped
     "q_d2_variant_caller" -> 4, // state tallies inside boolean/argmax exprs
-    "q_dd3_simhash" -> 16 // per-bit votes, signs consumed into the hash
+    "q_dd3_simhash" -> 16, // per-bit votes, signs consumed into the hash
+    // DOUBLE sums (no integer→HUGEINT widening hazard — DuckDB keeps
+    // sum(DOUBLE) DOUBLE); each one exits through the fz11 sentinel
+    // encoder CASE whose every branch is BIGINT, so the output schema
+    // is integral. The 4 sum sites × 4 encoder references + fingerprint
+    // shape pin at 20.
+    "q_fz11_float_fuzz" -> 20
   )
 
   test("every oracle sum() is CAST-wrapped, DECIMAL, or count-pinned allowlisted") {
