@@ -58,9 +58,13 @@ object Frames {
 
   /** The O(n) rewrite: same rows, same values, reversed ordering with
     * the running (UNBOUNDED PRECEDING .. −lo) frame. Only valid for
-    * order-insensitive aggregates (sum/min/max/count/avg — NOT
-    * first/last/lag/collect_list, whose VALUE depends on frame
-    * orientation). */
+    * order-insensitive aggregates: min/max/count over any type,
+    * sum over exact types, avg over DECIMAL only — NOT avg over
+    * integral/double (Spark accumulates those in a Double buffer,
+    * order-dependent above 2^53) and NOT first/last/lag/collect_list,
+    * whose VALUE depends on frame orientation. The automatic rule
+    * ([[graft.plans.TailFrameRewrite]]) enforces these guards;
+    * callers of this manual form must respect them. */
   def runningForm(aggExpr: Column, part: Seq[Column], order: Seq[Ord], lo: Long): Column =
     aggExpr.over(spec(part, order.map(_.reversed.sortCol))
       .rowsBetween(Window.unboundedPreceding, -lo))
