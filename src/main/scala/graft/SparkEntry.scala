@@ -18,7 +18,8 @@ object SparkEntry {
     RelFuzzQueries, TemporalFuzzQueries, StringFuzzQueries, WindowSetFuzzQueries,
     GroupingFuzzQueries, SubqueryFuzzQueries, ArrayFuzzQueries, JsonFuzzQueries,
     NumericFuzzQueries, DateArithFuzzQueries, FloatFuzzQueries, TsArithFuzzQueries,
-    CastFuzzQueries, RegexFuzzQueries, StructFuzzQueries,
+    CastFuzzQueries, RegexFuzzQueries, StructFuzzQueries, MapFuzzQueries,
+    ComposedFuzzQueries,
     UnigramLmQueries, ExpectationsQueries, KCenterQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
