@@ -33,10 +33,11 @@ import scala.util.Random
   *  - double→string spelling: Spark 'NaN'/'Infinity'/'-0.0' vs DuckDB
   *    'nan'/'inf' and even '-nan' for Inf−Inf → no raw double ever
   *    reaches an output: every float exits through the SENTINEL
-  *    ENCODER `CASE isnan → 4000000003 | =+Inf → 4000000001 |
-  *    =−Inf → −4000000001 | ELSE CAST(v·16 AS BIGINT)` (all finite
+  *    ENCODER `CASE isnan → 4·10¹⁵+3 | =+Inf → 4·10¹⁵+1 |
+  *    =−Inf → −(4·10¹⁵+1) | ELSE CAST(v·16 AS BIGINT)` (all finite
   *    values are sixteenths, so the cast is integral-exact — the fz9
-  *    normalize-before-cast rule);
+  *    normalize-before-cast rule; the sentinel band sits 3 orders
+  *    above any reachable encoded group sum — see the constants);
   *  - the group-surviving zero representative (Spark normalizes −0.0
   *    to 0.0 in keys; DuckDB may keep the first-seen sign) and
   *    abs(−0.0) (DuckDB preserves the sign bit) — both invisible
@@ -172,8 +173,16 @@ object FloatFuzz {
 
   // ---- the sentinel encoder: the ONLY exit for a double ----
 
-  val NanSentinel = 4000000003L
-  val InfSentinel = 4000000001L
+  /** Sentinels sit at 4·10¹⁵ — far above any reachable encoded finite
+    * aggregate, so a finite sum can never collide with (mask or fake)
+    * an Inf/NaN-vs-finite cross-engine divergence: per-expression
+    * magnitudes are bounded by the `mag` tracker (≤ ~10⁴ after the
+    * depth-2 grammar) and group sums by rows·mag·16 ≲ 10¹² even at
+    * sf1-scale groups, 3 orders below the sentinel band. The values
+    * stay below 2⁵³ so they are also exact if a future rendering ever
+    * routes them through a double. */
+  val NanSentinel = 4000000000000003L
+  val InfSentinel = 4000000000000001L
 
   private def encSql(e: String): String =
     s"(CASE WHEN isnan($e) THEN ${NanSentinel}" +
