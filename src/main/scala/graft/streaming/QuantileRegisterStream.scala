@@ -21,15 +21,21 @@ import org.apache.spark.sql.types.LongType
   * ≤ shards·K rows, never the corpus, and the sp13 integer rank bound
   * holds with Σ over (batch, part) shards of (strideᵢ − 1).
   *
-  * **Replay atomicity**: each batch writes its registers to its own
-  * `registers/batch=<id>` partition directory with OVERWRITE — a
-  * replayed batch rewrites its directory rather than being skipped on
-  * a presence probe. A crash mid-write leaves partial files only
-  * inside that batch's directory, and the replay (Spark re-fires the
-  * batch until foreachBatch returns) overwrites them wholesale, so
-  * the old skip-if-present guard's failure mode — a partial append
-  * read as "batch done", silently breaking the rank-bound invariant —
-  * cannot occur. */
+  * **Replay atomicity**: each batch STAGES its registers to a hidden
+  * `registers/.batch=<id>.staging` directory, then atomically renames
+  * it over `registers/batch=<id>` (the TableIO swap discipline). The
+  * staging dir's leading dot keeps it invisible to Spark's file
+  * listing, so a CONCURRENT `estimates()` reader can never observe a
+  * half-written batch: it sees either the old complete directory, no
+  * directory (a valid pre-batch merged state — registers are
+  * mergeable, so any batch-subset is consistent), or the new complete
+  * directory. A replayed batch (Spark re-fires until foreachBatch
+  * returns) re-stages and re-swaps wholesale, so a crash-partial write
+  * can neither be read as "batch done" nor leak into the state — the
+  * rank-bound invariant holds at every instant. Rename atomicity is a
+  * same-directory move: exact on POSIX/HDFS; object stores without
+  * atomic rename fall back to the single-writer, read-after-stop
+  * contract. */
 object QuantileRegisterStream {
 
   val K = 64L
@@ -53,9 +59,10 @@ object QuantileRegisterStream {
       shardCols = Seq("part"), k = K, grpCols = grp.map(_ => "grp").toSeq)
   }
 
-  /** Continuous register maintenance: every micro-batch OVERWRITES its
-    * own `registers/batch=<id>` directory (replay-idempotent by
-    * construction — see the atomicity note above). */
+  /** Continuous register maintenance: every micro-batch stages to the
+    * hidden `.batch=<id>.staging` dir, then atomically swaps it over
+    * `registers/batch=<id>` (replay-idempotent AND reader-safe — see
+    * the atomicity note above). */
   def run(stream: DataFrame, value: Column, tieCols: Seq[Column],
       statePath: String, queryName: String,
       grp: Option[Column] = None): StreamingQuery =
@@ -63,12 +70,31 @@ object QuantileRegisterStream {
       .queryName(queryName)
       .option("checkpointLocation", s"$statePath/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          val staging = s"$statePath/registers/.batch=$batchId.staging"
           batchRegisters(batch, value, tieCols, grp)
-            .write.mode("overwrite")
-            .parquet(s"$statePath/registers/batch=$batchId")
+            .write.mode("overwrite").parquet(staging)
+          swapBatchDir(staging, s"$statePath/registers/batch=$batchId")
+        }
       }
       .start()
+
+  /** Atomic promote: delete any previous (replayed) live dir, then a
+    * same-directory rename of the fully-written staging dir. The only
+    * non-atomic instant is "live absent", which is a VALID merged
+    * state; a half-written staging dir is never visible to readers
+    * (hidden path). */
+  private def swapBatchDir(staging: String, live: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val livePath = Paths.get(live)
+    if (Files.exists(livePath)) {
+      val walk = Files.walk(livePath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+    Files.move(Paths.get(staging), livePath, StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Grouped (per-key) continuous registers — the q_sp15 twin: one
     * state table, per-group strides/bounds, batch-as-shard discipline

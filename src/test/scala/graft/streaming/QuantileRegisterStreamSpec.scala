@@ -108,6 +108,41 @@ class QuantileRegisterStreamSpec extends SparkSpec {
       "replayed batch must overwrite partial/duplicate registers")
   }
 
+  test("staging dirs are hidden from readers; leftover staging heals on replay") {
+    val dir = stage(1)
+    val statePath = java.nio.file.Files.createTempDirectory("qreg_staging").toString
+    val q1 = QuantileRegisterStream.run(eventStream(dir),
+      floor(col("value")), Seq(col("event_id")), statePath, "qreg_staging_1")
+    q1.processAllAvailable(); q1.stop()
+    val clean = stateRows(statePath)
+    assert(clean.nonEmpty)
+    // no staging dir survives a completed batch
+    val regDir = java.nio.file.Paths.get(s"$statePath/registers")
+    val listing = java.nio.file.Files.list(regDir)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.getFileName.toString).toList
+    } finally listing.close()
+    assert(!names.exists(_.contains("staging")), s"staging leaked: $names")
+
+    // simulate a crash mid-STAGING: a half-written hidden staging dir.
+    // Readers must not see it (hidden path), and a replay must swap a
+    // fresh staging over the live dir regardless.
+    val stray = java.nio.file.Paths.get(s"$statePath/registers/.batch=0.staging")
+    spark.range(3).selectExpr("CAST(id AS BIGINT) AS part",
+        "CAST(id AS BIGINT) AS rn", "CAST(123 AS BIGINT) AS q", "CAST(1 AS BIGINT) AS w")
+      .write.mode("overwrite").parquet(stray.toString)
+    assert(stateRows(statePath) == clean,
+      "a hidden staging dir must be invisible to readers")
+    val cp = java.nio.file.Paths.get(s"$statePath/_checkpoint")
+    org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    val q2 = QuantileRegisterStream.run(eventStream(dir),
+      floor(col("value")), Seq(col("event_id")), statePath, "qreg_staging_2")
+    q2.processAllAvailable(); q2.stop()
+    assert(stateRows(statePath) == clean,
+      "replay must re-stage and swap cleanly over a crash-partial staging dir")
+  }
+
   test("grouped twin: per-key streamed registers == static per-file; per-key bound law") {
     val statePath = java.nio.file.Files.createTempDirectory("qreg_grouped").toString
     val q = QuantileRegisterStream.runGrouped(eventStream(stage(2)),
