@@ -66,6 +66,9 @@ object ScalingProbe {
   private val IdOffset = 10000000L
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--decade2")) {
+      decade2(args(1), args(2), args(3), args(4)); return
+    }
     val Array(sfDir, bigDir, outMd) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
@@ -180,6 +183,183 @@ object ScalingProbe {
 
     writeMd(outMd, sfDir, bigDir, rows ++ kRow ++ realRows ++ graphRows ++ dc4Row)
     spark.stop()
+  }
+
+  /** Round-11 SECOND decade: ~sf1 → ~sf10 for the heaviest sublinear
+    * claims (a 10× step can hide a knee the next decade exposes), the
+    * production `registersByPartition` on a MEASURED multi-partition
+    * input (both driver SFs fit one input partition, so shard-count =
+    * partition-count was spec'd but never measured), cc10 on a 10×
+    * lineitem graph (its first decade was the real sf0.01→sf0.1 step),
+    * and rule-ON/OFF rows for the two hazard-frame shapes the
+    * TailFrameRewrite newly covers.
+    *
+    * Usage: ScalingProbe --decade2 <sfDir> <bigDir> <big2Dir> <out.md> */
+  def decade2(sfDir: String, bigDir: String, big2Dir: String, outMd: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
+    synthesize(spark, sfDir, bigDir) // decade 1 must exist
+    synthesizeDecade2(spark, sfDir, bigDir, big2Dir)
+
+    def once(build: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      build().write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+    def timedF(build: () => DataFrame): Double = {
+      once(build); math.min(once(build), once(build))
+    }
+    def gate(name: String, dir: String): () => DataFrame =
+      () => SparkEntry.queries(name)(spark, dir)
+
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+    def want(g: String) = only.forall(_.contains(g))
+
+    var rows = Seq.empty[(String, Double, Double, Double, Double)]
+    if (want("q_dd4_ngram_jaccard"))
+      rows :+= row("q_dd4_ngram_jaccard (~sf1→~sf10)",
+        timedF(gate("q_dd4_ngram_jaccard", bigDir)),
+        timedF(gate("q_dd4_ngram_jaccard", big2Dir)))
+    if (want("q_mm5_perceptual_dedup"))
+      rows :+= row("q_mm5_perceptual_dedup (~sf1→~sf10)",
+        timedF(gate("q_mm5_perceptual_dedup", bigDir)),
+        timedF(gate("q_mm5_perceptual_dedup", big2Dir)))
+    if (want("q_dd8_semantic_dedup")) {
+      // the production k ∝ N knob at the second decade: 80 → 800
+      def dd8(dir: String, k: Int): () => DataFrame = () =>
+        graft.operators.SemanticDedup.dedup(spark,
+          Tables.embeddings(spark, dir), k, 2, 0.5, 7, 20,
+          codebookKey = Some(s"semdedup-probe2|$k|$dir"), codebookSrcDir = dir)
+      rows :+= row("q_dd8 with k∝N (80→800, ~sf1→~sf10)",
+        timedF(dd8(bigDir, 80)), timedF(dd8(big2Dir, 800)))
+    }
+    if (want("q_cc10_communities"))
+      rows :+= row("q_cc10_communities (lineitem 1×→10×)",
+        timedF(gate("q_cc10_communities", sfDir)),
+        timedF(gate("q_cc10_communities", big2Dir)))
+
+    // production registersByPartition on a MULTI-partition input:
+    // cap maxPartitionBytes so the 10× lineitem really splits, and
+    // record shard-count = partition-count alongside the timing
+    if (want("registersByPartition")) {
+      val mpbKey = "spark.sql.files.maxPartitionBytes"
+      val oldMpb = spark.conf.get(mpbKey)
+      spark.conf.set(mpbKey, (4L * 1024 * 1024).toString) // 4 MB splits
+      def regs(dir: String): DataFrame = {
+        val li = Tables.lineitem(spark, dir)
+          .select((col("l_orderkey") * 8 + col("l_linenumber")).as("uk"),
+            col("l_partkey").as("q0"))
+        graft.operators.QuantileRegister.registersByPartition(
+          li, valueCol = "q0", tieCols = Seq("uk"), k = 64L)
+      }
+      // shard-count = NON-EMPTY partition count: byte-range splitting
+      // can plan more chunks than a file has row groups (a row group
+      // lands in the chunk holding its midpoint; the other chunks scan
+      // zero rows), and empty partitions contribute no registers —
+      // the honest invariant is over partitions that carry rows
+      def partsAndShards(dir: String): (Int, Long, Long) = {
+        val li = Tables.lineitem(spark, dir)
+          .select((col("l_orderkey") * 8 + col("l_linenumber")).as("uk"),
+            col("l_partkey").as("q0"))
+        val planned = li.rdd.getNumPartitions // probe-only introspection
+        val nonEmpty = li.select(spark_partition_id().as("p"))
+          .agg(countDistinct(col("p"))).head().getLong(0)
+        val nShards = regs(dir).select(countDistinct(col("shard"))).head().getLong(0)
+        (planned, nonEmpty, nShards)
+      }
+      try {
+        val (p1, ne1, s1) = partsAndShards(sfDir)
+        val (p2, ne2, s2) = partsAndShards(big2Dir)
+        println(s"[scaling] registersByPartition shards: sf=$s1 (of $ne1 non-empty/$p1 planned), " +
+          s"big2=$s2 (of $ne2 non-empty/$p2 planned)")
+        require(s1 == ne1 && s2 == ne2,
+          s"shard-count must equal non-empty-partition count: ($s1,$ne1) ($s2,$ne2)")
+        require(s2 > 1, s"big2 input must be genuinely multi-partition, got $s2")
+        rows :+= row(s"registersByPartition (lineitem 1×/$ne1 shards→10×/$ne2 shards)",
+          timedF(() => regs(sfDir)), timedF(() => regs(big2Dir)))
+      } finally spark.conf.set(mpbKey, oldMpb)
+    }
+
+    // rule-ON/OFF rows for the newly covered hazard shapes (sf0.1):
+    // these record the measured win, not a 10× exponent
+    if (want("tailframe")) {
+      val key = graft.plans.TailFrameRewrite.ConfKey
+      def hazard(sqlText: String): () => DataFrame = () => {
+        Tables.orders(spark, sfDir).createOrReplaceTempView("__probe_orders")
+        spark.sql(sqlText)
+      }
+      val kFollowing = """SELECT o_orderkey,
+        CAST(sum(o_custkey % 100) OVER (PARTITION BY o_orderstatus
+          ORDER BY o_custkey, o_orderkey
+          ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT) AS s
+        FROM __probe_orders"""
+      val interval = """SELECT o_orderkey,
+        CAST(sum(o_custkey % 100) OVER (PARTITION BY o_orderstatus
+          ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS s
+        FROM __probe_orders"""
+      for ((label, q) <- Seq(("k-FOLLOWING ROWS hazard", kFollowing),
+          ("interval RANGE hazard", interval))) {
+        val tOn = timedF(hazard(q))
+        spark.conf.set(key, "false")
+        val tOff = try timedF(hazard(q)) finally spark.conf.set(key, "true")
+        // (label, ON, OFF, speedup, log10) — reuse the row shape
+        rows :+= row(s"TailFrameRewrite $label (sf0.1, ON→OFF)", tOn, tOff)
+      }
+    }
+
+    writeMd(outMd, bigDir, big2Dir, rows)
+    spark.stop()
+  }
+
+  /** documents+embeddings ~sf1 → ~sf10 (10 more mutually-unrelated
+    * shards of the decade-1 corpus: per-word second-level suffix,
+    * second rotation, disjoint id band) and lineitem sfDir → 10×
+    * (shard-offset keys — disjoint subgraphs with sf0.1's exact
+    * per-shard structure, the cc10-honest scaling). Idempotent via
+    * marker. */
+  def synthesizeDecade2(spark: SparkSession, sfDir: String, bigDir: String,
+      big2Dir: String): Unit = {
+    val marker = java.nio.file.Paths.get(big2Dir, "_SYNTH_COMPLETE")
+    if (java.nio.file.Files.exists(marker)) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(big2Dir))
+    val Off2 = 1000000000L
+
+    val docs = spark.read.parquet(s"$bigDir/documents.parquet")
+    (0 until Shards).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"~$k"))), " ")
+      docs.select((col("doc_id") + lit(k * Off2)).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$big2Dir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$bigDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    (0 until Shards).map { k =>
+      val rot = (k * 17) % dim // co-prime-ish stride past the decade-1 rotations
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot))
+      emb.select((col("vec_id") + lit(k * Off2)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$big2Dir/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    (0 until Shards).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdOffset))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * IdOffset))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * IdOffset))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$big2Dir/lineitem.parquet")
+
+    java.nio.file.Files.writeString(marker, s"from $bigDir x$Shards + lineitem $sfDir x$Shards\n")
   }
 
   private def row(g: String, tSf: Double, tBig: Double) = {
