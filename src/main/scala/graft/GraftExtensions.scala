@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the O(n²) ROWS … UNBOUNDED FOLLOWING frame class rewrites to its
     // O(n) running twin (graft.plans.TailFrameRewrite scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.TailFrameRewrite)
+    // CSE-split top-k projections re-inline so SpecialLimits keeps
+    // planning bounded heaps instead of a global sort
+    ext.injectOptimizerRule(_ => graft.plans.TopKProjectInline)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),

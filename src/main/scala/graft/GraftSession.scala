@@ -30,6 +30,11 @@ object GraftSession {
     if (!s.experimental.extraOptimizations.contains(plans.TailFrameRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ plans.TailFrameRewrite
+    // CSE-split top-k projections re-inline so SpecialLimits keeps
+    // planning bounded heaps instead of a global sort (see the rule)
+    if (!s.experimental.extraOptimizations.contains(plans.TopKProjectInline))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ plans.TopKProjectInline
     // SQL surface for the sketch aggregator (native expressions are
     // injected by GraftExtensions; a typed Aggregator registers
     // per-session): SELECT kmv_sketch(hash_col) ... GROUP BY g

@@ -48,40 +48,94 @@ class LimitFuzzSpec extends SparkSpec {
       s"top-k should plan bounded heaps:\n$plan")
   }
 
-  test("PINNED: nullif order keys break TakeOrderedAndProject; projecting the key restores it") {
+  test("PINNED+FIXED: CSE-split top-k degrades to a global sort; TopKProjectInline restores bounded heaps") {
     // The DataFrame orderBy-then-select spelling with a nullif order
     // key that is ALSO projected: Spark's common-subexpression With
-    // rewrite splits the projection into two stacked Projects above
-    // the Sort — and SpecialLimits only matches ONE Project over
-    // Sort, so this top-k silently degrades to a global
-    // range-partition sort + CollectLimit (an at-scale cliff this
-    // population surfaced; note in SCALING.md). The equivalent SQL
-    // spelling, and a DF that materializes the key FIRST and orders
-    // by the column, both keep TakeOrderedAndProject.
+    // rewrite splits the projection into two stacked Projects — and
+    // SpecialLimits only matches ONE Project over Sort, so stock
+    // Spark silently degrades this top-k to a global range-partition
+    // sort + CollectLimit (the at-scale cliff this population
+    // surfaced; note in SCALING.md). graft's TopKProjectInline rule
+    // re-inlines the split, restoring TakeOrderedAndProject.
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     val sk = nullif(col("o_custkey") % 5, lit(2))
-    val broken = orders
+    def topk = orders
       .orderBy(sk.asc_nulls_first, col("o_orderkey").asc)
       .select(col("o_orderkey").as("o_0"), sk.cast(LongType).as("o_1"))
       .limit(7)
-    val brokenPlan = broken.queryExecution.executedPlan.toString
-    assert(!brokenPlan.contains("TakeOrderedAndProject") &&
-      brokenPlan.contains("Sort"),
-      s"expected the pinned global-sort artifact:\n$brokenPlan")
+    val key = graft.plans.TopKProjectInline.ConfKey
+    val onPlan = topk.queryExecution.executedPlan.toString
+    assert(onPlan.contains("TakeOrderedAndProject"),
+      s"the inline rule should restore bounded heaps:\n$onPlan")
+    val onRows = topk.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    spark.conf.set(key, "false")
+    val (offPlan, offRows) = try {
+      val df = topk
+      (df.queryExecution.executedPlan.toString, df.collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq)
+    } finally spark.conf.set(key, "true")
+    // the stock-Spark artifact stays pinned behind the escape hatch
+    assert(!offPlan.contains("TakeOrderedAndProject") && offPlan.contains("Sort"),
+      s"expected the pinned global-sort artifact with the rule off:\n$offPlan")
+    assert(onRows == offRows, "the inline rule must be value-preserving")
+    // the materialize-first spelling plans bounded heaps either way
     val fixed = orders
       .select(col("o_orderkey").as("o_0"), sk.cast(LongType).as("o_1"))
       .orderBy(col("o_1").asc_nulls_first, col("o_0").asc)
       .limit(7)
-    val fixedPlan = fixed.queryExecution.executedPlan.toString
-    assert(fixedPlan.contains("TakeOrderedAndProject"),
-      s"projected order key should restore bounded heaps:\n$fixedPlan")
-    // and both spellings select the same set (sk, uk) is total so the
-    // orderings agree despite the cast in the fixed ordering
+    assert(fixed.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
     def set(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
-    assert(set(broken) == set(fixed))
+    assert(set(fixed) == onRows)
+  }
+
+  test("TopKProjectInline: a non-deterministic lower projection stays split") {
+    // inlining a non-deterministic alias would change semantics —
+    // the rule's guard must leave such plans alone. Build the
+    // Project(Project(Sort)) shape from the pinned query's optimized
+    // plan (rule off), then swap a lower common-expr alias child for
+    // rand() and assert the rule is a no-op on it.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Rand}
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Project, Sort}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val sk = nullif(col("o_custkey") % 5, lit(2))
+    val key = graft.plans.TopKProjectInline.ConfKey
+    spark.conf.set(key, "false")
+    val split = try orders
+      .orderBy(sk.asc_nulls_first, col("o_orderkey").asc)
+      .select(col("o_orderkey").as("o_0"), sk.cast(LongType).as("o_1"))
+      .limit(7).queryExecution.optimizedPlan
+      finally spark.conf.set(key, "true")
+    // sanity: the shape really is Limit over two stacked Projects
+    val isSplit = split match {
+      case GlobalLimit(_, LocalLimit(_, Project(_, Project(_, _: Sort)))) => true
+      case _ => false
+    }
+    assert(isSplit, s"expected the CSE-split shape:\n$split")
+    // deterministic lower projection → the rule collapses it
+    val collapsed = graft.plans.TopKProjectInline(split)
+    val isCollapsed = collapsed match {
+      case GlobalLimit(_, LocalLimit(_, Project(_, _: Sort))) => true
+      case _ => false
+    }
+    assert(isCollapsed, s"rule should collapse the split:\n$collapsed")
+    // swap a lower alias child for rand() → the rule must not touch it
+    val poisoned = split.transformUp {
+      case p @ Project(list, _: Sort) =>
+        p.copy(projectList = list.map {
+          case a: Alias => Alias(new Rand(
+            org.apache.spark.sql.catalyst.expressions.Literal(a.exprId.id % 100)),
+            a.name)(a.exprId)
+          case ne => ne
+        })
+    }
+    assert(graft.plans.TopKProjectInline(poisoned) fastEquals poisoned,
+      "a non-deterministic lower projection must stay split")
   }
 
   test(s"property: all ${LimitFuzz.NQueries} limit queries — DataFrame ≡ Spark-SQL") {
