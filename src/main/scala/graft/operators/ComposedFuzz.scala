@@ -38,8 +38,15 @@ import scala.util.Random
   * Determinism: ROWS-frame windows and row_number/rank order by ALL
   * four schema columns (ties ⇒ the tied rows are identical in every
   * column the window can read, so any tie order yields the same output
-  * multiset); RANGE frames order by a single column and are
-  * tie-insensitive for the sum/min/max/count they carry.
+  * multiset — and ties are REAL: the lineitem "unique" key
+  * (orderkey·8+linenumber) repeats in this testdata, so determinism
+  * rests on the full-column order, never on k alone); RANGE frames
+  * order by a single column and are tie-insensitive for the
+  * sum/min/max/count they carry. The single-node multiset argument is
+  * exactly what a SPLIT window execution cannot assume — which is why
+  * hazard-frame ids pair with rank() (tie-insensitive, split-safe)
+  * and TailFrameRewrite vetoes splits with position-dependent
+  * siblings (the round-11 q20 incident, 24 flipped rows).
   *
   * The hazard frames (`k PRECEDING .. UNBOUNDED FOLLOWING` and
   * `k FOLLOWING .. UNBOUNDED FOLLOWING`) make the cross-engine gate a
@@ -229,7 +236,17 @@ object ComposedFuzz {
     val vc = if (rnd.nextBoolean()) "v" else "w"
     val orderSql = fs.rangeCol.fold(fullOrderSql)(c => s"$c ASC NULLS FIRST")
     val overSql = s"(PARTITION BY g ORDER BY $orderSql ${fs.sql})"
-    val rankFn = if (rnd.nextBoolean()) "rank()" else "row_number()"
+    // ROWS-hazard ids (id%6 ∈ {2,3}) share (partition, fullOrder)
+    // with the rank column → ONE Window node. The k column is NOT
+    // unique in this testdata (lineitem (orderkey, linenumber) pairs
+    // repeat), so the rank column must be TIE-insensitive — rank(),
+    // never row_number() — for TailFrameRewrite's mixed-node split to
+    // apply (position-dependent siblings veto it, and the unsplit
+    // node runs the O(n²) frame: the round-11 bench-hang incident).
+    // row_number stays exercised on the non-hazard ids.
+    val rankFn =
+      if (id % 6 == 2 || id % 6 == 3) "rank()"
+      else if (rnd.nextBoolean()) "rank()" else "row_number()"
     val rankOver = s"(PARTITION BY g ORDER BY $fullOrderSql)"
     val sql = s"SELECT k, g, v, w, " +
       s"CAST($fn($vc) OVER $overSql AS BIGINT) AS o_0, " +

@@ -130,14 +130,19 @@ object LimitFuzz {
     val s1 = sortTerm(e1, rnd); val s2 = sortTerm(e2, rnd)
     val where = if (rnd.nextInt(100) < 45) Some(t.preds(rnd.nextInt(t.preds.size))) else None
     val (lim, limDf) = limitArm(id, rnd)
+    // the "unique" key is NOT unique in this testdata (lineitem
+    // (orderkey, linenumber) pairs repeat), so the ORDER BY must
+    // cover EVERY output-distinguishing column — otherwise a LIMIT/
+    // OFFSET boundary cutting inside a tie group selects arbitrary
+    // rows whose non-ordered outputs differ (the round-11 fz18 flake)
     val sql = s"SELECT CAST(${t.uk} AS BIGINT) AS o_0, " +
       s"CAST(${e1.sql} AS BIGINT) AS o_1, ${t.strs.head} AS o_2 FROM ${t.name}" +
       where.fold("")(w => s" WHERE $w") +
-      s" ORDER BY ${s1.sql}, ${s2.sql}, ${t.uk}$lim"
+      s" ORDER BY ${s1.sql}, ${s2.sql}, ${t.uk}, ${t.strs.head}$lim"
     val dfFn = (sp: SparkSession, d: String) => {
       val raw = sp.read.parquet(s"$d/${t.name}.parquet")
       val f = where.fold(raw)(w => raw.filter(expr(w)))
-      limDf(f.orderBy(s1.df, s2.df, t.ukDf.asc)
+      limDf(f.orderBy(s1.df, s2.df, t.ukDf.asc, col(t.strs.head).asc)
         .select(t.ukDf.cast(LongType).as("o_0"),
           e1.df.cast(LongType).as("o_1"), col(t.strs.head).as("o_2")))
     }
@@ -172,14 +177,20 @@ object LimitFuzz {
     val g = orderExpr(t, rnd, nullArm = false)
     val v = t.ints(rnd.nextInt(t.ints.size))
     val (lim, limDf) = limitArm(id, rnd)
+    // the window order must include the summed contribution: uk is
+    // not unique (see genPlain), and tied-uk rows with DIFFERENT
+    // contributions would make the running sum's output multiset
+    // tie-order-dependent; with the contribution in the order, tied
+    // rows contribute equally and the multiset is deterministic
     val sql = s"SELECT CAST(${t.uk} AS BIGINT) AS o_0, " +
       s"CAST(sum($v % 100) OVER (PARTITION BY ${g.sql} " +
-      s"ORDER BY ${t.uk} ASC NULLS FIRST " +
+      s"ORDER BY ${t.uk} ASC NULLS FIRST, $v % 100 ASC NULLS FIRST " +
       s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS o_1 " +
       s"FROM ${t.name} ORDER BY o_1 DESC NULLS LAST, o_0$lim"
     val dfFn = (sp: SparkSession, d: String) => {
       val raw = sp.read.parquet(s"$d/${t.name}.parquet")
-      val w = Window.partitionBy(g.df).orderBy(t.ukDf.asc_nulls_first)
+      val w = Window.partitionBy(g.df)
+        .orderBy(t.ukDf.asc_nulls_first, (col(v) % 100).asc_nulls_first)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       limDf(raw.select(t.ukDf.cast(LongType).as("o_0"),
           sum(col(v) % 100).over(w).cast(LongType).as("o_1"))
@@ -194,13 +205,15 @@ object LimitFuzz {
     val s1 = sortTerm(e, rnd)
     val v = t.ints(rnd.nextInt(t.ints.size))
     val (lim, limDf) = limitArm(id, rnd)
+    // cover the output column x in the ORDER BY (non-unique keys —
+    // see genPlain): a boundary tie must not pick arbitrary x values
     val inner = s"SELECT CAST($v % 1000 AS BIGINT) AS x FROM ${t.name} " +
-      s"ORDER BY ${s1.sql}, ${t.uk}$lim"
+      s"ORDER BY ${s1.sql}, ${t.uk}, $v % 1000$lim"
     val sql = s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
       s"CAST(coalesce(sum(x), 0) AS BIGINT) AS a_1 FROM ($inner) __i"
     val dfFn = (sp: SparkSession, d: String) => {
       val raw = sp.read.parquet(s"$d/${t.name}.parquet")
-      val innerDf = limDf(raw.orderBy(s1.df, t.ukDf.asc)
+      val innerDf = limDf(raw.orderBy(s1.df, t.ukDf.asc, (col(v) % 1000).asc)
         .select((col(v) % 1000).cast(LongType).as("x")))
       innerDf.agg(count(lit(1)).cast(LongType).as("a_0"),
         coalesce(sum(col("x")), lit(0L)).cast(LongType).as("a_1"))

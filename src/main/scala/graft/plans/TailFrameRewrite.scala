@@ -24,9 +24,16 @@ import org.apache.spark.sql.types._
   *
   * Fires only when provably value-preserving:
   *
-  *  - every window expression in the node has the hazard frame (a
-  *    node mixes frames over ONE sort order — reversing it must not
-  *    disturb a sibling frame);
+  *  - a node whose every expression has the hazard frame reverses
+  *    in place; a MIXED node (hazard aggregates sharing one
+  *    (partition, order) with siblings that must keep the original
+  *    order) SPLITS — hazard expressions move to their own stacked
+  *    Window node over the reversed order — but only when every
+  *    sibling is TIE-insensitive (rank/dense_rank/percent_rank/
+  *    cume_dist/RANGE-frame aggregates); a position-dependent
+  *    sibling (row_number, ntile, ROWS frames) vetoes the split,
+  *    because two independent sorts may pair order-tied rows
+  *    differently than one (see `tieInsensitive`);
   *  - the aggregate is order-insensitive: min/max/count over any
   *    type; sum over EXACT types only (integral/decimal —
   *    floating-point accumulation is order-dependent, so a
@@ -165,24 +172,80 @@ object TailFrameRewrite extends Rule[LogicalPlan] {
     if (conf.getConfString(ConfKey, "true") != "true") plan
     else rewrite(plan)
 
+  private def rewriteOne(ne: NamedExpression): Option[NamedExpression] = ne match {
+    case a @ Alias(we @ WindowExpression(fn, spec: WindowSpecDefinition), name)
+        if orderInsensitive(fn) =>
+      rewrittenUpper(spec.frameSpecification).map { case (ft, upper) =>
+        val newSpec = spec.copy(
+          orderSpec = spec.orderSpec.map(reversedSort),
+          frameSpecification =
+            SpecifiedWindowFrame(ft, UnboundedPreceding, upper))
+        Alias(we.copy(windowSpec = newSpec), name)(
+          a.exprId, a.qualifier, a.explicitMetadata, a.nonInheritableMetadataKeys)
+      }
+    case _ => None
+  }
+
+  /** TIE-insensitive window expression: its VALUE is a function of
+    * the order-key VALUES only, never of the physical position among
+    * order-tied rows — rank/dense_rank/percent_rank/cume_dist and
+    * aggregates over RANGE frames (peers enter by value). This is the
+    * split-safety condition: splitting a Window node runs two
+    * independent sorts, and order-tied rows may land in a different
+    * relative position in each. A position-dependent sibling
+    * (row_number, ntile, any ROWS-frame function) would then pair a
+    * DIFFERENT tie row with the hazard expression's position-dependent
+    * value than single-node execution does — changing the output
+    * multiset (caught live: fz17's q20 row_number × hazard-sum over a
+    * tied order flipped 24 rows under the first, unguarded split).
+    * With every sibling tie-insensitive, both tied rows carry EQUAL
+    * sibling values and the pairing is invisible: the split output
+    * multiset equals single-node execution for every input, tied or
+    * not. */
+  private def tieInsensitive(ne: NamedExpression): Boolean = ne match {
+    case Alias(WindowExpression(fn, spec: WindowSpecDefinition), _) =>
+      fn match {
+        case _: Rank | _: DenseRank | _: PercentRank | _: CumeDist => true
+        case _: AggregateExpression => spec.frameSpecification match {
+          case SpecifiedWindowFrame(RangeFrame, _, _) => true
+          case _ => false
+        }
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** Whole-node reversal when every expression rewrites; otherwise the
+    * MIXED-NODE SPLIT: hazard expressions move to their own Window
+    * node over the reversed order (stacked under the original node,
+    * which keeps the order-sensitive siblings on the original order)
+    * — but ONLY when every remaining sibling is tie-insensitive (see
+    * [[tieInsensitive]]; a position-dependent sibling vetoes the
+    * split and the node stays put). A Window node's output is
+    * child.output ++ its expressions and parents resolve by exprId,
+    * so stacking is semantics-preserving; the cost trade is one extra
+    * in-partition sort (same hash exchange, reused) against the O(n²)
+    * frame — measured 37× on the mixed shape over sf0.1 orders
+    * (133.2 s → 3.6 s, identical results), and the same shape over
+    * sf0.1 lineitem (4× the rows ⇒ ~16× the frame work) was not
+    * measurable unrewritten. Without the split, a node mixing a
+    * hazard aggregate with e.g. a rank() over the same
+    * (partition, order) — one Window node by Spark's grouping —
+    * stayed quadratic, which the q_fz17 composed population surfaced
+    * as a multi-hour bench hang. */
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w @ Window(wes, part, order, child, hint)
         if order.nonEmpty && wes.nonEmpty =>
-      val rewritten: Seq[Option[NamedExpression]] = wes.map {
-        case a @ Alias(we @ WindowExpression(fn, spec: WindowSpecDefinition), name)
-            if orderInsensitive(fn) =>
-          rewrittenUpper(spec.frameSpecification).map { case (ft, upper) =>
-            val newSpec = spec.copy(
-              orderSpec = spec.orderSpec.map(reversedSort),
-              frameSpecification =
-                SpecifiedWindowFrame(ft, UnboundedPreceding, upper))
-            Alias(we.copy(windowSpec = newSpec), name)(
-              a.exprId, a.qualifier, a.explicitMetadata, a.nonInheritableMetadataKeys)
-          }
-        case _ => None
+      val rewritten = wes.map(ne => (ne, rewriteOne(ne)))
+      if (rewritten.forall(_._2.isDefined))
+        Window(rewritten.flatMap(_._2), part, order.map(reversedSort), child, hint)
+      else {
+        val others = rewritten.collect { case (ne, None) => ne }
+        if (rewritten.exists(_._2.isDefined) && others.forall(tieInsensitive)) {
+          val hazards = rewritten.flatMap(_._2)
+          Window(others, part, order,
+            Window(hazards, part, order.map(reversedSort), child, hint), hint)
+        } else w
       }
-      if (rewritten.forall(_.isDefined))
-        Window(rewritten.flatten, part, order.map(reversedSort), child, hint)
-      else w
   }
 }

@@ -155,18 +155,73 @@ class FramesSpec extends SparkSpec {
       s"first_value must keep its original frame:\n$plan")
   }
 
-  test("rule: a node mixing a hazard frame with a non-hazard sibling stays put") {
+  test("rule: a node mixing a hazard frame with a TIE-INSENSITIVE sibling SPLITS") {
     orders.createOrReplaceTempView("__fr_orders")
-    // both expressions share one (partition, order) → one Window node;
-    // the running sibling must veto the reversal
+    // both expressions share one (partition, order) → one Window node.
+    // Reversing the shared order would change rank()'s ordering, so
+    // the hazard aggregate moves to its OWN stacked Window node over
+    // the reversed order (the mixed-node split — the shape q_fz17
+    // surfaced as a multi-hour quadratic bench hang) while the rank
+    // sibling keeps the original order. rank is tie-insensitive
+    // (equal on order-tied rows), which is the split-safety
+    // condition. No quadratic frame survives, and values are
+    // identical to the unrewritten execution.
+    val q = """SELECT o_orderkey,
+      CAST(sum(o_custkey % 100) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS a,
+      CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS BIGINT) AS b
+      FROM __fr_orders"""
+    val fast = spark.sql(q)
+    val plan = fast.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("unboundedfollowing"),
+      s"the mixed node should split, leaving no quadratic frame:\n$plan")
+    // two Window operators: the reversed hazard node + the sibling node
+    assert("(?m)^\\s*(\\+- )?\\*?\\(?\\d*\\)? ?window".r
+      .findAllIn(plan).size >= 2 || plan.split("window\\b").length > 2, plan)
+    val a = fast.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = withoutRule {
+      val slow = spark.sql(q)
+      assert(slow.queryExecution.executedPlan.toString.toLowerCase
+        .contains("unboundedfollowing"), "escape hatch must disable the split")
+      slow.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    }
+    assert(a.sameElements(b))
+  }
+
+  test("rule: a mixed node with NO rewritable hazard stays put") {
+    orders.createOrReplaceTempView("__fr_orders")
+    // first_value over a hazard frame is order-sensitive — nothing to
+    // split out; the node must be untouched
     val plan = spark.sql("""SELECT
-      sum(o_custkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
-        ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING) AS a,
       first_value(o_custkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING) AS a,
+      sum(o_custkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
       FROM __fr_orders""").queryExecution.executedPlan.toString.toLowerCase
     assert(plan.contains("unboundedfollowing"),
-      s"mixed node must not be reversed:\n$plan")
+      s"an order-sensitive hazard must keep its frame:\n$plan")
+  }
+
+  test("rule: a POSITION-DEPENDENT sibling (row_number / ROWS frame) vetoes the split") {
+    orders.createOrReplaceTempView("__fr_orders")
+    // two independent sorts may pair order-tied rows differently than
+    // one — under ties a row_number (or any ROWS-frame function)
+    // sibling would cross-pair with the hazard expression's
+    // position-dependent values and change the output multiset (the
+    // fz17-q20 incident: 24 flipped rows over a tied order). Such
+    // nodes must stay put, quadratic or not — soundness first.
+    for (sibling <- Seq(
+      "CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_custkey % 50) AS BIGINT)",
+      """CAST(sum(o_orderkey % 7) OVER (PARTITION BY o_orderstatus ORDER BY o_custkey % 50
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)""")) {
+      val plan = spark.sql(s"""SELECT
+        CAST(sum(o_custkey % 100) OVER (PARTITION BY o_orderstatus ORDER BY o_custkey % 50
+          ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS a,
+        $sibling AS b
+        FROM __fr_orders""").queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("unboundedfollowing"),
+        s"a position-dependent sibling must veto the split:\n$plan")
+    }
   }
 
   test("rule: RANGE hazard frame rewrites too — ties, NULL keys, exact values") {
