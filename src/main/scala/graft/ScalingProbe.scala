@@ -283,7 +283,10 @@ object ScalingProbe {
     }
 
     // rule-ON/OFF rows for the newly covered hazard shapes (sf0.1):
-    // these record the measured win, not a 10× exponent
+    // these record the measured win, not a 10× exponent. Sum children
+    // are INT-cast: under ANSI (default) the rule only rewrites sums
+    // with Long-buffer overflow headroom — a bare Long sum would make
+    // both arms quadratic and measure nothing.
     if (want("tailframe")) {
       val key = graft.plans.TailFrameRewrite.ConfKey
       def hazard(sqlText: String): () => DataFrame = () => {
@@ -291,12 +294,12 @@ object ScalingProbe {
         spark.sql(sqlText)
       }
       val kFollowing = """SELECT o_orderkey,
-        CAST(sum(o_custkey % 100) OVER (PARTITION BY o_orderstatus
+        CAST(sum(CAST(o_custkey % 100 AS INT)) OVER (PARTITION BY o_orderstatus
           ORDER BY o_custkey, o_orderkey
           ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT) AS s
         FROM __probe_orders"""
       val interval = """SELECT o_orderkey,
-        CAST(sum(o_custkey % 100) OVER (PARTITION BY o_orderstatus
+        CAST(sum(CAST(o_custkey % 100 AS INT)) OVER (PARTITION BY o_orderstatus
           ORDER BY o_orderdate
           RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS s
         FROM __probe_orders"""

@@ -74,7 +74,8 @@ object QuantileRegisterStream {
           val staging = s"$statePath/registers/.batch=$batchId.staging"
           batchRegisters(batch, value, tieCols, grp)
             .write.mode("overwrite").parquet(staging)
-          swapBatchDir(staging, s"$statePath/registers/batch=$batchId")
+          swapBatchDir(batch.sparkSession, staging,
+            s"$statePath/registers/batch=$batchId")
         }
       }
       .start()
@@ -83,17 +84,24 @@ object QuantileRegisterStream {
     * same-directory rename of the fully-written staging dir. The only
     * non-atomic instant is "live absent", which is a VALID merged
     * state; a half-written staging dir is never visible to readers
-    * (hidden path). */
-  private def swapBatchDir(staging: String, live: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val livePath = Paths.get(live)
-    if (Files.exists(livePath)) {
-      val walk = Files.walk(livePath)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-      finally walk.close()
-    }
-    Files.move(Paths.get(staging), livePath, StandardCopyOption.ATOMIC_MOVE)
+    * (hidden path).
+    *
+    * Routed through Hadoop's `FileSystem` (the TableIO discipline) so
+    * the state path can live on ANY filesystem the parquet staging
+    * write itself reaches — local, HDFS (where directory rename is
+    * atomic), or an object store (where rename is copy+delete and the
+    * guarantee degrades to the single-writer, read-after-stop
+    * contract documented above). The previous java.nio implementation
+    * could not address non-local schemes at all. */
+  private def swapBatchDir(spark: SparkSession, staging: String,
+      live: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val livePath = new Path(live)
+    val fs = livePath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(livePath)) fs.delete(livePath, true)
+    if (!fs.rename(new Path(staging), livePath))
+      throw new java.io.IOException(
+        s"failed to promote staged register batch $staging -> $live")
   }
 
   /** Grouped (per-key) continuous registers — the q_sp15 twin: one

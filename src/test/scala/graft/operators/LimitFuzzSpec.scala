@@ -92,6 +92,57 @@ class LimitFuzzSpec extends SparkSpec {
     assert(set(fixed) == onRows)
   }
 
+  test("PINNED+FIXED: CSE-split LIMIT+OFFSET degrades too; the offset match restores bounded heaps") {
+    // Round-12 audit of the fz18 offset arms: `df.offset(m).limit(k)`
+    // optimizes to GlobalLimit(Offset(LocalLimit(…))) — a shape the
+    // plain-limit match never reaches — and with the CSE-split
+    // projection it planned CollectLimit over a global range-partition
+    // Sort (probed rule-OFF below). TakeOrderedAndProject carries the
+    // offset natively in Spark 4, so the extended rule restores the
+    // bounded-heap plan for this shape as well.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val sk = nullif(col("o_custkey") % 5, lit(2))
+    def topk = orders
+      .orderBy(sk.asc_nulls_first, col("o_orderkey").asc)
+      .select(col("o_orderkey").as("o_0"), sk.cast(LongType).as("o_1"))
+      .offset(3).limit(7)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    val onPlan = topk.queryExecution.executedPlan.toString
+    assert(onPlan.contains("TakeOrderedAndProject") && onPlan.contains("offset=3"),
+      s"the offset match should restore bounded heaps:\n$onPlan")
+    val onRows = rows(topk)
+    val key = graft.plans.TopKProjectInline.ConfKey
+    spark.conf.set(key, "false")
+    val (offPlan, offRows) = try {
+      val df = topk
+      (df.queryExecution.executedPlan.toString, rows(df))
+    } finally spark.conf.set(key, "true")
+    assert(!offPlan.contains("TakeOrderedAndProject") && offPlan.contains("Sort"),
+      s"expected the pinned global-sort artifact with the rule off:\n$offPlan")
+    assert(onRows == offRows, "the offset-shape inline must be value-preserving")
+    assert(onRows.size == 7)
+  }
+
+  test("PINNED: standalone OFFSET is inherently a global sort — nothing to restore") {
+    // OFFSET with no LIMIT keeps every row after the skip, so no
+    // bounded-heap physical plan exists; Spark plans CollectLimit(-1,
+    // m) over the global Sort with or without the CSE split. Pinned so
+    // a future Spark version changing this gets noticed.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val sk = nullif(col("o_custkey") % 5, lit(2))
+    val plan = orders
+      .orderBy(sk.asc_nulls_first, col("o_orderkey").asc)
+      .select(col("o_orderkey").as("o_0"), sk.cast(LongType).as("o_1"))
+      .offset(3).queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject") && plan.contains("Sort"),
+      s"standalone OFFSET should remain the global-sort plan:\n$plan")
+  }
+
   test("TopKProjectInline: a non-deterministic lower projection stays split") {
     // inlining a non-deterministic alias would change semantics —
     // the rule's guard must leave such plans alone. Build the
