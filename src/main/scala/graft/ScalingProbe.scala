@@ -69,6 +69,9 @@ object ScalingProbe {
     if (args.headOption.contains("--decade2")) {
       decade2(args(1), args(2), args(3), args(4)); return
     }
+    if (args.headOption.contains("--decade3")) {
+      decade3(args(1), args(2), args(3)); return
+    }
     val Array(sfDir, bigDir, outMd) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
@@ -363,6 +366,55 @@ object ScalingProbe {
       .write.mode("overwrite").parquet(s"$big2Dir/lineitem.parquet")
 
     java.nio.file.Files.writeString(marker, s"from $bigDir x$Shards + lineitem $sfDir x$Shards\n")
+  }
+
+  /** Round-12 THIRD decade, dd4 only (the VERDICT stretch): the
+    * measured exponent drifted 0.70 → 0.83 across the first two
+    * decades — the fixed-cost-amortization model predicts it keeps
+    * drifting toward (never past) 1.0; a third decade either confirms
+    * that or exposes a knee. Synthesizes ~sf100 documents from the
+    * decade-2 corpus (10 more mutually-unrelated shards: third-level
+    * word suffix, disjoint id band — same duplicate-density-preserving
+    * construction) and measures dd4 at ~sf10 → ~sf100.
+    *
+    * Usage: ScalingProbe --decade3 <big2Dir> <big3Dir> <out.md> */
+  def decade3(big2Dir: String, big3Dir: String, outMd: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
+    val marker = java.nio.file.Paths.get(big3Dir, "_SYNTH_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(big3Dir))
+      val Off3 = 100000000000L
+      val docs = spark.read.parquet(s"$big2Dir/documents.parquet")
+      (0 until Shards).map { k =>
+        val text =
+          if (k == 0) col("text")
+          else array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s".$k"))), " ")
+        docs.select((col("doc_id") + lit(k * Off3)).as("doc_id"), text.as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$big3Dir/documents.parquet")
+      java.nio.file.Files.writeString(marker, s"from $big2Dir x$Shards (documents only)\n")
+    }
+
+    def once(build: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      build().write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+    def timedF(build: () => DataFrame): Double = {
+      once(build); math.min(once(build), once(build))
+    }
+    def gate(dir: String): () => DataFrame =
+      () => SparkEntry.queries("q_dd4_ngram_jaccard")(spark, dir)
+
+    val r = row("q_dd4_ngram_jaccard (~sf10→~sf100)",
+      timedF(gate(big2Dir)), timedF(gate(big3Dir)))
+    writeMd(outMd, big2Dir, big3Dir, Seq(r))
+    spark.stop()
   }
 
   private def row(g: String, tSf: Double, tBig: Double) = {
