@@ -37,6 +37,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * profitable by orders of magnitude whenever the Limit is small, and
   * never worse than the pre-CSE query the user wrote.
   *
+  * ANSI note: restoring `TakeOrderedAndProject` can change WHICH
+  * rows' projection expressions are evaluated (the bounded-heap plan
+  * projects only the final winners; a global-sort plan pulls skipped
+  * OFFSET rows through the projection). SQL does not pin select-list
+  * evaluation for rows outside the result, and vanilla Spark already
+  * varies this across its own `topKSortFallbackThreshold` — the rule
+  * stays inside Spark's existing contract envelope, and the inlined
+  * expressions are CSE-extracted scalars the user's original query
+  * evaluated for every row anyway.
+  *
   * Fires only when provably value-preserving AND on the shape it
   * targets: every expression in the lower projection must be
   * DETERMINISTIC (inlining a non-deterministic alias referenced more
