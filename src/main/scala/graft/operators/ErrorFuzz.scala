@@ -65,13 +65,19 @@ import scala.util.Random
   * (agg-overflow / window / cast / div-mod-element), variant =
   * (id / 4) % 8 walking safe and must-error arms of each shape,
   * including element_at index 0 (a structural error) and the two
-  * VALUES overflow fixtures. ~half the population must error and
-  * ~half must answer (pinned in the spec) — an all-error population
-  * would never test value agreement, an all-answer one never error
-  * agreement. */
+  * VALUES overflow fixtures. Ids 32–47 are the round-12 extension
+  * block (same family dispatch, variant (id−32)/4): Long sums cast to
+  * narrow DECIMALs (final-value overflow — order-independent), the
+  * k-PRECEDING / k-FOLLOWING fixture twins of the suppression repro
+  * plus the interval-not-prefix overflow fixture, ANSI date casts
+  * (structural month validity, ISO-string canon per the raw-DATE
+  * driver gotcha), and variable-index element_at. ~half the
+  * population must error and ~half must answer (pinned in the
+  * spec) — an all-error population would never test value agreement,
+  * an all-answer one never error agreement. */
 object ErrorFuzz {
 
-  val NQueries = 32
+  val NQueries = 48
   val GateSeed = 20260915L
 
   private val LongMax = "9223372036854775807"
@@ -81,11 +87,16 @@ object ErrorFuzz {
     * Long.MaxValue ≥ 2×; per-row products stay ≤ 49 · 5e16 < 2^62. */
   private val KBig = "50000000000000000"
 
-  /** Spark error conditions this population may legitimately raise. */
+  /** Spark error conditions this population may legitimately raise
+    * (each probed in round 12; the decimal pair is the
+    * sub-conditioned NUMERIC_VALUE_OUT_OF_RANGE family a narrow
+    * DECIMAL cast raises). */
   val ExpectedConditions: Set[String] = Set(
     "ARITHMETIC_OVERFLOW", "CAST_INVALID_INPUT", "CAST_OVERFLOW",
     "DIVIDE_BY_ZERO", "REMAINDER_BY_ZERO",
-    "INVALID_ARRAY_INDEX_IN_ELEMENT_AT", "INVALID_INDEX_OF_ZERO")
+    "INVALID_ARRAY_INDEX_IN_ELEMENT_AT", "INVALID_INDEX_OF_ZERO",
+    "NUMERIC_VALUE_OUT_OF_RANGE.WITH_SUGGESTION",
+    "NUMERIC_VALUE_OUT_OF_RANGE.WITHOUT_SUGGESTION")
 
   /** Table metadata: `wide` spans ≫ 2^15 at every SF (for the
     * SMALLINT-overflow arm), `num`s are small non-negative residue
@@ -122,12 +133,23 @@ object ErrorFuzz {
 
   private def gen(id: Int, rnd: Random): EQuery = {
     val t = tables(rnd.nextInt(tables.size))
-    val v = (id / 4) % 8
-    id % 4 match {
-      case 0 => genAggOverflow(id, t, v, rnd)
-      case 1 => genWindow(id, t, v, rnd)
-      case 2 => genCast(id, t, v, rnd)
-      case _ => genRowErrors(id, t, v, rnd)
+    if (id >= 32) {
+      // round-12 extension block: ids 32–47, newVariant (id−32)/4
+      val nv = (id - 32) / 4
+      id % 4 match {
+        case 0 => genDecimalCast(id, t, nv, rnd)
+        case 1 => genExtFixture(id, nv)
+        case 2 => genDateCast(id, t, nv, rnd)
+        case _ => genVarIndex(id, t, nv, rnd)
+      }
+    } else {
+      val v = (id / 4) % 8
+      id % 4 match {
+        case 0 => genAggOverflow(id, t, v, rnd)
+        case 1 => genWindow(id, t, v, rnd)
+        case 2 => genCast(id, t, v, rnd)
+        case _ => genRowErrors(id, t, v, rnd)
+      }
     }
   }
 
@@ -248,19 +270,147 @@ object ErrorFuzz {
   }
 
   /** A 3-row VALUES fixture arm (both engines parse the identical
-    * VALUES list; Long literals stay BIGINT in each). */
-  private def fixture(id: Int, rows: String, tail: Boolean): EQuery = {
-    val frame =
+    * VALUES list; Long literals stay BIGINT in each). `tail = true`
+    * selects the CURRENT ROW .. UNBOUNDED FOLLOWING frame and the
+    * full interval-set oracle; `tail = false` the running frame and
+    * the prefix oracle. */
+  private def fixture(id: Int, rows: String, tail: Boolean): EQuery =
+    fixtureFrame(id, rows,
       if (tail) "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
-      else "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+      else "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+      Some(tail))
+
+  /** General fixture: `intervalPred` Some(true) = full interval-set
+    * oracle (every frame head), Some(false) = prefix-set oracle (all
+    * frames head at row 1 — also correct for `k PRECEDING` lowers
+    * whose k covers the whole 3-row fixture), None = structurally
+    * cannot error (Long-literal partials only; documented per call). */
+  private def fixtureFrame(id: Int, rows: String, frame: String,
+      intervalPred: Option[Boolean]): EQuery = {
     def src = s"(VALUES $rows) AS __t(k, v)"
     val sparkSql = s"SELECT k, CAST(sum(v) OVER (ORDER BY k ASC $frame) " +
       s"AS BIGINT) AS a_0 FROM $src"
-    val errPred = prefixErrPred(src, "v", tail)
+    val errPred = intervalPred match {
+      case Some(tail) => prefixErrPred(src, "v", tail)
+      case None => "(SELECT CAST(0 AS BIGINT))"
+    }
     val guarded = s"SELECT k, CAST(CASE WHEN s > $LongMax OR s < $LongMin " +
       s"THEN NULL ELSE s END AS BIGINT) AS a_0 FROM " +
       s"(SELECT k, CAST(sum(CAST(v AS HUGEINT)) OVER (ORDER BY k ASC $frame) " +
       s"AS HUGEINT) AS s FROM $src) __w"
+    EQuery(id, sparkSql, errPred, guarded, Seq("k", "a_0"))
+  }
+
+  // ---- round-12 extension arms (ids 32–47) ----
+
+  /** Long sum cast to a narrow DECIMAL: overflow of the CAST is a
+    * FINAL-value condition (non-negative terms, exact Long sum), so
+    * erroring-vs-not is order-independent; the multiplier keeps the
+    * Long sum itself far inside Long range at every SF while the
+    * overflow arm clears 10^5 even on the smallest table. */
+  private def genDecimalCast(id: Int, t: ETable, nv: Int, rnd: Random): EQuery = {
+    val c = t.nums(rnd.nextInt(t.nums.size))
+    val ovf = nv % 2 == 0
+    val k = 600
+    val (target, thr) =
+      if (ovf) ("DECIMAL(5,0)", "100000") else ("DECIMAL(18,0)", "1000000000000000000")
+    val where =
+      if (!ovf && rnd.nextBoolean()) s" WHERE ${t.preds(rnd.nextInt(t.preds.size))}"
+      else ""
+    val sparkSql = s"SELECT CAST(CAST(sum(($c % 50) * $k) AS $target) AS STRING) " +
+      s"AS a_0, CAST(count(*) AS BIGINT) AS a_1 FROM ${sparkView(t.name)}$where"
+    val hsum = s"sum(CAST($c % 50 AS HUGEINT) * $k)"
+    val duckErrPred = s"(SELECT CAST(CASE WHEN s >= $thr THEN 1 ELSE 0 END " +
+      s"AS BIGINT) FROM (SELECT CAST(coalesce($hsum, 0) AS HUGEINT) AS s " +
+      s"FROM ${t.name}$where) __s)"
+    val duckGuarded = s"SELECT CAST(CAST(CASE WHEN __s.s >= $thr THEN NULL " +
+      s"ELSE __s.s END AS $target) AS VARCHAR) AS a_0, __s.c AS a_1 FROM " +
+      s"(SELECT CAST($hsum AS HUGEINT) AS s, CAST(count(*) AS BIGINT) AS c " +
+      s"FROM ${t.name}$where) __s"
+    EQuery(id, sparkSql, duckErrPred, duckGuarded, Seq("a_0", "a_1"))
+  }
+
+  /** Fixture arms for the k-PRECEDING / k-FOLLOWING rewrite
+    * directions (the original fixtures covered CURRENT ROW and
+    * running frames only). */
+  private def genExtFixture(id: Int, nv: Int): EQuery = nv match {
+    case 0 =>
+      // 2-PRECEDING suppression twin of the judge fixture: every
+      // 3-row frame heads at row 1, so the prefix oracle is exact;
+      // forward partials hit MaxValue+1 (must error), the reversed
+      // UNBOUNDED..2 FOLLOWING twin never would
+      fixtureFrame(id, "(1, 9223372036854775807), (2, 1), (3, -1)",
+        "ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING", Some(false))
+    case 1 =>
+      // k-FOLLOWING answering fixture: the only computed partial is
+      // the single-row frame {100} (rows 2 and 3 have EMPTY frames →
+      // NULL) — Long-literal partials cannot overflow, so the
+      // predicate is structurally 0
+      fixtureFrame(id, "(1, -5000000000000000000), (2, 5000000000000000000), (3, 100)",
+        "ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING", None)
+    case 2 =>
+      // 2-PRECEDING answering fixture: all partials in range; ON ≡
+      // OFF values (6, 6, 6)
+      fixtureFrame(id, "(1, 7), (2, 1), (3, -2)",
+        "ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING", Some(false))
+    case _ =>
+      // interval-not-prefix overflow: prefixes (−3, Max−3, Max−1)
+      // stay in range but the frame-2 partial Max+2 does not — the
+      // arm that distinguishes the interval-set oracle from the
+      // prefix one in the ERROR direction (fixture v5 does it in the
+      // value direction)
+      fixtureFrame(id, "(1, -3), (2, 9223372036854775807), (3, 2)",
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING", Some(true))
+  }
+
+  /** ANSI date-cast arms: month strings are structurally valid
+    * ('01'–'09') or reach '13' on a data-dependent condition; both
+    * engines render the DATE back as an ISO string for the canon. */
+  private def genDateCast(id: Int, t: ETable, nv: Int, rnd: Random): EQuery = {
+    val c = t.nums(rnd.nextInt(t.nums.size))
+    val c2 = t.nums(rnd.nextInt(t.nums.size))
+    val invalid = nv % 2 == 0
+    val where =
+      if (rnd.nextBoolean()) s" WHERE ${t.preds(rnd.nextInt(t.preds.size))}" else ""
+    val badCond = if (invalid) s"$c % 4 = 3" else "1 = 0"
+    def month(cast: String) =
+      if (invalid) s"CAST(10 + $c % 4 AS $cast)" // '10'..'13'; 13 invalid
+      else s"concat('0', CAST(1 + $c % 9 AS $cast))" // '01'..'09'
+    def day(cast: String) = s"concat('0', CAST(1 + $c2 % 9 AS $cast))"
+    val sSpark = s"concat('2024-', ${month("STRING")}, '-', ${day("STRING")})"
+    val sDuck = s"concat('2024-', ${month("VARCHAR")}, '-', ${day("VARCHAR")})"
+    val sparkSql = s"SELECT CAST(${t.key} AS BIGINT) AS k, " +
+      s"CAST(CAST($sSpark AS DATE) AS STRING) AS a_0 FROM ${sparkView(t.name)}$where"
+    val errPred = s"(SELECT CAST(CASE WHEN count(*) > 0 THEN 1 ELSE 0 END " +
+      s"AS BIGINT) FROM ${t.name} WHERE ($badCond)" +
+      (if (where.isEmpty) "" else s" AND (${where.stripPrefix(" WHERE ")})") + ")"
+    val guarded = s"SELECT CAST(${t.key} AS BIGINT) AS k, " +
+      s"CAST(CAST(CASE WHEN $badCond THEN NULL ELSE $sDuck END AS DATE) " +
+      s"AS VARCHAR) AS a_0 FROM ${t.name}$where"
+    EQuery(id, sparkSql, errPred, guarded, Seq("k", "a_0"))
+  }
+
+  /** element_at with a VARIABLE index over a 2-token array: the OOB
+    * condition is a per-row data condition instead of a literal
+    * index (the original arms' shape). */
+  private def genVarIndex(id: Int, t: ETable, nv: Int, rnd: Random): EQuery = {
+    val c = t.nums(rnd.nextInt(t.nums.size))
+    val oob = nv % 2 == 0
+    val m = if (oob) 3 else 2 // 1 + c % 3 reaches 3 (OOB); 1 + c % 2 stays valid
+    val where =
+      if (rnd.nextBoolean()) s" WHERE ${t.preds(rnd.nextInt(t.preds.size))}" else ""
+    val sparkArr = s"split(concat(${t.str}, '-', CAST($c % 10 AS STRING)), '-')"
+    val duckArr = s"string_split(${t.str} || '-' || CAST($c % 10 AS VARCHAR), '-')"
+    val sparkSql = s"SELECT CAST(${t.key} AS BIGINT) AS k, " +
+      s"element_at($sparkArr, CAST(1 + $c % $m AS INT)) AS a_0 " +
+      s"FROM ${sparkView(t.name)}$where"
+    val errPred =
+      if (!oob) "(SELECT CAST(0 AS BIGINT))"
+      else s"(SELECT CAST(CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS BIGINT) " +
+        s"FROM ${t.name} WHERE $c % 3 = 2" +
+        (if (where.isEmpty) "" else s" AND (${where.stripPrefix(" WHERE ")})") + ")"
+    val guarded = s"SELECT CAST(${t.key} AS BIGINT) AS k, " +
+      s"$duckArr[1 + $c % $m] AS a_0 FROM ${t.name}$where"
     EQuery(id, sparkSql, errPred, guarded, Seq("k", "a_0"))
   }
 
@@ -441,10 +591,12 @@ object ErrorFuzzQueries extends QueryModule {
   private val fz19 = Q(
     "q_fz19_error_fuzz",
     s"ANSI error-agreement fuzz: ${ErrorFuzz.NQueries} seeded queries " +
-      "(sum-overflow agg/window/tail incl. the round-11 suppression fixture, " +
-      "invalid/overflowing casts, div-mod-by-zero, element_at OOB/zero) " +
-      "gated on DOES-IT-ERROR vs an analytic DuckDB oracle (HUGEINT " +
-      "partial-sum checks, guarded twins for the non-error fingerprints)",
+      "(sum-overflow agg/window/tail incl. the round-11 suppression fixture " +
+      "and its k-PRECEDING/k-FOLLOWING twins, invalid/overflowing casts incl. " +
+      "dates and narrow decimals, div-mod-by-zero, element_at OOB/zero/" +
+      "variable-index) gated on DOES-IT-ERROR vs an analytic DuckDB oracle " +
+      "(HUGEINT partial-sum checks, guarded twins for the non-error " +
+      "fingerprints)",
     (s, d) => ErrorFuzz.outcomes(s, d),
     Some(ErrorFuzz.duckOracleSql))
 

@@ -37,7 +37,14 @@ class ErrorFuzzSpec extends SparkSpec {
       "AS SMALLINT)", // cast overflow
       " div ", " % ", // division / remainder
       "element_at(", // array indexing
-      ", 3)", ", 0)" // OOB + zero index
+      ", 3)", ", 0)", // OOB + zero index
+      // round-12 extension block
+      "AS DECIMAL(5,0)", // narrow-decimal final-value overflow
+      "ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING", // k-PRECEDING fixture twin
+      "ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING", // k-FOLLOWING fixture
+      "(1, -3), (2, 9223372036854775807), (3, 2)", // interval-not-prefix overflow
+      "AS DATE)", // ANSI date casts
+      "element_at" // variable-index arms ride the same function
     ).foreach { op =>
       assert(sql.contains(op), s"population never generated: $op")
     }
@@ -70,8 +77,8 @@ class ErrorFuzzSpec extends SparkSpec {
     }
     // both halves must be populated — an all-error population never
     // tests value agreement, an all-answer one never error agreement
-    assert(errored >= 8, s"only $errored erroring queries at sf0.001")
-    assert(answered >= 8, s"only $answered answering queries at sf0.001")
+    assert(errored >= 12, s"only $errored erroring queries at sf0.001")
+    assert(answered >= 12, s"only $answered answering queries at sf0.001")
   }
 
   test("the round-11 suppression fixture errors under BOTH rule modes") {
