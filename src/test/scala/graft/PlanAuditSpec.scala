@@ -596,4 +596,39 @@ class PlanAuditSpec extends SparkSpec {
     // codegen'd stages print as "*(n)" prefixes in the final plan
     assert(p.contains("*(1)"), s"scalar pipeline must stay in codegen:\n$p")
   }
+
+  test("no gate plans a quadratic tail frame: bounded-lower + UNBOUNDED FOLLOWING survives nowhere unexempted") {
+    // Spark's UnboundedFollowingWindowFunctionFrame recomputes per row
+    // — O(n²) per window partition, the cliff TailFrameRewrite exists
+    // to remove (SCALING.md: 96.7 s vs 0.47 s on one sf0.1 shape). A
+    // full-partition frame (UNBOUNDED..UNBOUNDED) is computed once and
+    // is FINE, so this inspects Window nodes structurally instead of
+    // string-matching the plan. Any gate whose OPTIMIZED plan still
+    // carries the hazard shape is either a bug (a population generated
+    // the shape the rewrite can't fix and nobody noticed) or a
+    // documented exemption.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.plans.logical
+    // q_fz19 is the error-agreement population: its Long-child tail
+    // arms are EXEMPT BY DESIGN — under ANSI the rewrite must refuse
+    // them (error suppression, the round-11 weak mark), and each is
+    // either a 3-row VALUES fixture or an overflow arm that raises
+    // within its first few accumulated rows.
+    val exempt = Set("q_fz19_error_fuzz")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exempt)
+      .flatMap { n =>
+        SparkEntry.queries(n)(spark, sf0001).queryExecution.optimizedPlan.collect {
+          case w: logical.Window =>
+            w.windowExpressions.collect {
+              case Alias(WindowExpression(fn, WindowSpecDefinition(_, _,
+                  SpecifiedWindowFrame(_, lower, UnboundedFollowing))), _)
+                  if lower != UnboundedPreceding =>
+                s"$n :: $fn OVER (… $lower AND UNBOUNDED FOLLOWING)"
+            }
+        }.flatten
+      }
+    assert(offenders.isEmpty,
+      s"quadratic tail frames in gate plans:\n${offenders.mkString("\n")}")
+  }
 }
