@@ -39,6 +39,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT extract_sites('ACGT', array(1, 3, 9)) AS s")
         .head().getSeq[String](0)
       assert(sites == Seq("A", "G", ""))
+
+      // the optimizer rules ride the same plugin entry point — assert
+      // both fire in THIS session (every other spec exercises them via
+      // GraftSession's programmatic injection only)
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.LongType
+      spark.range(0, 500)
+        .select(col("id"), (col("id") % 7).as("g"), (col("id") % 50).cast("int").as("v"))
+        .createOrReplaceTempView("__ext_t")
+      val hazardPlan = spark.sql("""SELECT id, sum(v) OVER (PARTITION BY g
+        ORDER BY id ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING) AS s
+        FROM __ext_t""").queryExecution.executedPlan.toString.toLowerCase
+      assert(!hazardPlan.contains("unboundedfollowing"),
+        s"TailFrameRewrite must fire through the plugin path:\n$hazardPlan")
+      val sk = nullif(col("g"), lit(2))
+      val topkPlan = spark.table("__ext_t")
+        .orderBy(sk.asc_nulls_first, col("id").asc)
+        .select(col("id").as("o_0"), sk.cast(LongType).as("o_1"))
+        .limit(5).queryExecution.executedPlan.toString
+      assert(topkPlan.contains("TakeOrderedAndProject"),
+        s"TopKProjectInline must fire through the plugin path:\n$topkPlan")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

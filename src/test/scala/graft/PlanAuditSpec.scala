@@ -630,5 +630,25 @@ class PlanAuditSpec extends SparkSpec {
       }
     assert(offenders.isEmpty,
       s"quadratic tail frames in gate plans:\n${offenders.mkString("\n")}")
+
+    // would-catch control: the same collector MUST flag a planted
+    // hazard (a Long-sum tail frame the ANSI guard correctly refuses
+    // to rewrite) — proving the audit has teeth, not a vacuous match
+    import org.apache.spark.sql.functions._
+    val planted = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"),
+        sum(col("o_custkey")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+          .rowsBetween(-3, org.apache.spark.sql.expressions.Window.unboundedFollowing))
+          .as("s"))
+    val caught = planted.queryExecution.optimizedPlan.collect {
+      case w: logical.Window =>
+        w.windowExpressions.collect {
+          case Alias(WindowExpression(_, WindowSpecDefinition(_, _,
+              SpecifiedWindowFrame(_, lower, UnboundedFollowing))), _)
+              if lower != UnboundedPreceding => 1
+        }
+    }.flatten
+    assert(caught.nonEmpty, "the audit collector failed to flag a planted hazard frame")
   }
 }
