@@ -37,7 +37,9 @@ import org.apache.spark.sql.types._
   *  - the aggregate is order-insensitive INCLUDING its error
   *    behavior: min/max/count over any type; sum over exact types
   *    with overflow headroom (Byte/Short/Int always, decimal p ≤ 28;
-  *    LONG only with ANSI off — under ANSI, overflow DETECTION is
+  *    LONG only when the expression's OWN eval mode is LEGACY —
+  *    under ANSI or TRY (`try_sum`, mode-tagged at analysis time in
+  *    any session), overflow DETECTION is
   *    order-dependent even though wraparound addition is not, and a
   *    double-typed sum is never rewritten: bitwise-different results
   *    would be a silent semantics change); avg over DECIMAL only
@@ -89,23 +91,33 @@ object TailFrameRewrite extends Rule[LogicalPlan] {
     * associative+commutative, so any accumulation order yields the
     * same 64-bit result.
     *
-    * Sum over LONG is safe only with ANSI OFF (the wraparound
-    * argument). Under ANSI (this Spark build's default) a Long child
-    * leaves NO buffer headroom: overflow DETECTION is order-dependent
-    * even though wraparound addition is not — over
+    * Sum over LONG is safe only in LEGACY eval mode (the wraparound
+    * argument). The mode is read from the EXPRESSION
+    * (`Sum.evalContext.evalMode`), not from `conf.ansiEnabled`: the
+    * mode is captured at analysis time, and `try_sum` is
+    * `Sum(child, TRY)` in ANY session — under the earlier conf-keyed
+    * guard, `try_sum(bigint)` over a tail frame with ANSI off
+    * rewrote and silently answered `Long.MaxValue` where vanilla
+    * Spark returns NULL (live repro over `[Long.MaxValue, 1, -1]`,
+    * pinned in FramesSpec). In ANSI and TRY modes a Long child
+    * leaves NO buffer headroom: overflow DETECTION is
+    * order-dependent even though wraparound addition is not — over
     * `[Long.MaxValue, 1, -1]` the tail frame `CURRENT ROW ..
     * UNBOUNDED FOLLOWING` accumulates `MaxValue+1` forward (the
-    * mandated ARITHMETIC_OVERFLOW) but `-1+1+MaxValue` backward
-    * (silently fine) — the round-11 judge's CONFIRMED repro, pinned
-    * as a FramesSpec negative test. The failure direction is
+    * mandated ARITHMETIC_OVERFLOW, or TRY's NULL) but `-1+1+MaxValue`
+    * backward (silently fine) — the round-11 judge's CONFIRMED repro,
+    * pinned as a FramesSpec negative test. The failure direction is
     * SUPPRESSION only: every backward partial is a suffix total,
     * i.e. the final partial of some forward frame, so the backward
     * partial set is a subset of the forward one — the rewrite can
-    * silently answer where vanilla Spark must error, never the
-    * reverse (for untied keys; ties make the obligation itself
-    * tie-order-dependent). Suppressing a mandatory error is a silent
-    * semantics change, so Long sums keep their original frame when
-    * `conf.ansiEnabled`.
+    * silently answer where vanilla Spark must error (or NULL), never
+    * the reverse (for untied keys; ties make the obligation itself
+    * tie-order-dependent). Byte/Short/Int children are mode-immune
+    * (the ≥2^32 Long-buffer headroom above), and a DecimalType
+    * child's overflow — ANSI error or TRY/LEGACY null — is checked
+    * against the EXACT final sum (intermediate headroom +10 digits
+    * for p ≤ 28), which is orientation-independent, so those arms
+    * stay mode-unconditional.
     *
     * Average over integral is NOT safe: Spark's `Average` picks a
     * DoubleType sum buffer for every non-decimal child, and
@@ -137,7 +149,7 @@ object TailFrameRewrite extends Rule[LogicalPlan] {
       case _: Min | _: Max | _: Count => true
       case s: Sum => s.child.dataType match {
         case ByteType | ShortType | IntegerType => true // ≥2^32 Long-buffer headroom
-        case LongType => !conf.ansiEnabled // no headroom: ANSI detection is order-dependent
+        case LongType => s.evalContext.evalMode == EvalMode.LEGACY // no headroom: ANSI/TRY detection is order-dependent
         case d: DecimalType => d.precision <= 28
         case _ => false
       }

@@ -465,6 +465,50 @@ class FramesSpec extends SparkSpec {
       s"an INT-child sum must still rewrite under ANSI:\n$planInt")
   }
 
+  test("rule: TRY — try_sum(bigint) tail frames do NOT rewrite in ANY session mode") {
+    // try_sum is Sum(child, EvalMode.TRY), mode-tagged at ANALYSIS
+    // time: its NULL-on-overflow is decided per PARTIAL sum, so which
+    // partials occur — exactly what the reversal changes — decides
+    // NULL vs value. Live repro (pre-fix): with ANSI OFF, rule-OFF
+    // returns NULL for the full frame over [Long.MaxValue, 1, -1]
+    // (forward accumulation overflows at MaxValue+1) while the
+    // rewritten plan silently answered Long.MaxValue (backward
+    // -1+1+MaxValue never overflows). The guard must consult the
+    // EXPRESSION's own eval mode — the earlier conf.ansiEnabled-keyed
+    // guard admitted exactly this with ANSI off.
+    import spark.implicits._
+    Seq((1L, Long.MaxValue), (2L, 1L), (3L, -1L)).toDF("o", "v")
+      .createOrReplaceTempView("__fr_try")
+    val q = """SELECT o, try_sum(v) OVER (ORDER BY o
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s FROM __fr_try"""
+    def runAll(label: String): Unit = {
+      val plan = spark.sql(q).queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("unboundedfollowing"),
+        s"$label: a TRY-mode Long sum must keep its original frame:\n$plan")
+      val on = spark.sql(q).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+      val off = withoutRule(spark.sql(q).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1))
+      assert(on.sameElements(off), s"$label: rule ON must equal rule OFF")
+      assert(on.map(_._2).toSeq == Seq(None, Some(0L), Some(-1L)),
+        s"$label: forward accumulation must NULL exactly the full frame")
+    }
+    runAll("ansi on (session default)")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try runAll("ansi off — the hole the conf-keyed guard left open")
+    finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // try_sum over INT (Long buffer, mode-immune headroom) and over
+    // DECIMAL p<=28 (overflow checked on the EXACT final sum) still
+    // rewrite — the guard is per-type+mode, not a blanket TRY ban
+    for (child <- Seq("CAST(v % 100 AS INT)", "CAST(v % 100 AS DECIMAL(20,0))")) {
+      val p = spark.sql(s"""SELECT o, try_sum($child) OVER (ORDER BY o
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s FROM __fr_try""")
+        .queryExecution.executedPlan.toString.toLowerCase
+      assert(!p.contains("unboundedfollowing"),
+        s"a TRY-mode $child sum must still rewrite:\n$p")
+    }
+  }
+
   test("rule: an order-sensitive or inexact RANGE sibling vetoes the split") {
     orders.createOrReplaceTempView("__fr_orders")
     // a RANGE frame's SET is tie-insensitive, but first_value reads
