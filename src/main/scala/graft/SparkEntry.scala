@@ -19,7 +19,7 @@ object SparkEntry {
     GroupingFuzzQueries, SubqueryFuzzQueries, ArrayFuzzQueries, JsonFuzzQueries,
     NumericFuzzQueries, DateArithFuzzQueries, FloatFuzzQueries, TsArithFuzzQueries,
     CastFuzzQueries, RegexFuzzQueries, StructFuzzQueries, MapFuzzQueries,
-    ComposedFuzzQueries, LimitFuzzQueries, ErrorFuzzQueries,
+    ComposedFuzzQueries, LimitFuzzQueries, ErrorFuzzQueries, TryFuzzQueries,
     UnigramLmQueries, ExpectationsQueries, KCenterQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
