@@ -308,7 +308,13 @@ object TryFuzz {
           tail = true)
       case 4 | 5 =>
         // table running arms: v4 overflows (per-row NULL from the
-        // first OOR prefix on — monotone ⟺ sticky), v5 answers
+        // first OOR prefix on — monotone ⟺ sticky), v5 answers. The
+        // order appends the TERM residue (the fz19 pattern): the
+        // synthetic lineitem's key TIES (its (orderkey, linenumber)
+        // pairs collide — measured), and with the term a function of
+        // every order column, tied rows carry EQUAL contributions, so
+        // the per-row prefix multiset — and the monotone NULL
+        // boundary — is tie-order-invariant in both engines
         val t = t0
         val c = t.nums(rnd.nextInt(t.nums.size))
         val g = t.nums(rnd.nextInt(t.nums.size))
@@ -316,15 +322,16 @@ object TryFuzz {
         val k = if (ovf) KBig else (1 + rnd.nextInt(1000)).toString
         val term = s"($c % 50) * $k"
         val part = s"$g % 4"
+        val ord = s"${t.key} ASC, $c % 50 ASC"
         TQuery(id,
           s"SELECT CAST(${t.key} AS BIGINT) AS k, try_sum($term) OVER " +
-            s"(PARTITION BY $part ORDER BY ${t.key} ASC " +
+            s"(PARTITION BY $part ORDER BY $ord " +
             s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_0 " +
             s"FROM ${sparkView(t.name)}",
           s"SELECT k, CAST(CASE WHEN ${oor("s")} THEN NULL ELSE s END AS BIGINT) AS a_0 " +
             s"FROM (SELECT CAST(${t.key} AS BIGINT) AS k, " +
             s"CAST(sum(CAST($term AS HUGEINT)) OVER (PARTITION BY $part " +
-            s"ORDER BY ${t.key} ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+            s"ORDER BY $ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
             s"AS HUGEINT) AS s FROM ${t.name}) __w",
           Seq("k", "a_0"))
       case 6 =>
@@ -336,15 +343,17 @@ object TryFuzz {
         val g = t.nums(rnd.nextInt(t.nums.size))
         val term = s"CAST($c % 50 AS INT) * 1000"
         val part = s"$g % 4"
+        // term-residue tiebreak: see v4 (tie-order-invariant multisets)
+        val ord = s"${t.key} ASC, $c % 50 ASC"
         TQuery(id,
           s"SELECT CAST(${t.key} AS BIGINT) AS k, try_sum($term) OVER " +
-            s"(PARTITION BY $part ORDER BY ${t.key} ASC " +
+            s"(PARTITION BY $part ORDER BY $ord " +
             s"ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS a_0 " +
             s"FROM ${sparkView(t.name)}",
           s"SELECT k, CAST(s AS BIGINT) AS a_0 FROM " +
             s"(SELECT CAST(${t.key} AS BIGINT) AS k, " +
             s"sum(CAST($term AS HUGEINT)) OVER (PARTITION BY $part " +
-            s"ORDER BY ${t.key} ASC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) " +
+            s"ORDER BY $ord ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) " +
             s"AS s FROM ${t.name}) __w",
           Seq("k", "a_0"))
       case _ =>
