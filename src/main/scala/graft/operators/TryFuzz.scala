@@ -352,9 +352,9 @@ object TryFuzz {
             s"FROM ${sparkView(t.name)}",
           s"SELECT k, CAST(s AS BIGINT) AS a_0 FROM " +
             s"(SELECT CAST(${t.key} AS BIGINT) AS k, " +
-            s"sum(CAST($term AS HUGEINT)) OVER (PARTITION BY $part " +
+            s"CAST(sum(CAST($term AS HUGEINT)) OVER (PARTITION BY $part " +
             s"ORDER BY $ord ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) " +
-            s"AS s FROM ${t.name}) __w",
+            s"AS HUGEINT) AS s FROM ${t.name}) __w",
           Seq("k", "a_0"))
       case _ =>
         // Long-child tail arms: the rewrite must NOT fire (TRY), so
