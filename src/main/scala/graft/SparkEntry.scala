@@ -20,7 +20,7 @@ object SparkEntry {
     NumericFuzzQueries, DateArithFuzzQueries, FloatFuzzQueries, TsArithFuzzQueries,
     CastFuzzQueries, RegexFuzzQueries, StructFuzzQueries, MapFuzzQueries,
     ComposedFuzzQueries, LimitFuzzQueries, ErrorFuzzQueries, TryFuzzQueries,
-    WindowNullsFuzzQueries, LateralFuzzQueries,
+    WindowNullsFuzzQueries, LateralFuzzQueries, RecursiveFuzzQueries,
     UnigramLmQueries, ExpectationsQueries, KCenterQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
