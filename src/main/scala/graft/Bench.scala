@@ -140,9 +140,18 @@ object Bench {
     }
     val ladder = Seq(("ms", 1000.0, true), ("cs", 100.0, true), ("ds", 10.0, true),
       ("ds", 10.0, false), ("s", 1.0, false))
+    // Terminal rung: above ~210 gates even integer-second entries can
+    // exceed the capture window, and a line the capture TRUNCATES is
+    // worse than a line without the map (the BENCH_r07 failure mode:
+    // invalid JSON, nothing parseable). Drop `queries` and say so —
+    // the total survives, and per-query timings live at full
+    // precision in the BENCH_SELF artifact.
+    def renderEnvelope: String =
+      s"""{"metric":"total","value":${f1(total)},"unit":"sec","q_dropped":${results.size},""" +
+        s""""sf":"$sfShort"}"""
     (Iterator(renderSeconds) ++ ladder.iterator.map { case (u, m, c) => render(u, m, c) })
       .find(_.length <= CaptureBudget)
-      .getOrElse(render("s", 1.0, withContention = false))
+      .getOrElse(renderEnvelope)
   }
 
   /** Map each gate name to its unique short code: the first token
