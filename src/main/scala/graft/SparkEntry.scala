@@ -21,7 +21,7 @@ object SparkEntry {
     CastFuzzQueries, RegexFuzzQueries, StructFuzzQueries, MapFuzzQueries,
     ComposedFuzzQueries, LimitFuzzQueries, ErrorFuzzQueries, TryFuzzQueries,
     WindowNullsFuzzQueries, LateralFuzzQueries, RecursiveFuzzQueries,
-    BitwiseFuzzQueries, OrderedAggFuzzQueries,
+    BitwiseFuzzQueries, OrderedAggFuzzQueries, VariantFuzzQueries,
     UnigramLmQueries, ExpectationsQueries, KCenterQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
