@@ -23,9 +23,11 @@ import scala.util.Random
   *  - Shift counts stay literal in 1..31: DuckDB raises Out of Range
   *    at shift ≥ 64 where Spark (Java semantics) masks the count —
   *    a true divergence, excluded by construction and documented
-  *    here. Operands are residue-bounded (< 2^8 before shifts) so no
-  *    shift can overflow 64 bits in either engine; arithmetic right
-  *    shift on negatives agrees (probed `-64 >> 3 = -8` both).
+  *    here. Left-shift OPERANDS are masked `(expr) & 255` in both
+  *    renderings (DuckDB also hard-errors on left-shifting a
+  *    negative — e.g. any ~-subtree — and on 64-bit overflow, where
+  *    Spark wraps silently); arithmetic right shift on negatives
+  *    agrees (probed `-64 >> 3 = -8` both) and stays unmasked.
   *  - Empty FILTER sets: count → 0, sum/max/min → NULL — identical
   *    (probed); every aggregate output is CAST-wrapped per the
   *    HUGEINT oracle lint.
@@ -82,7 +84,16 @@ object BitwiseFuzz {
       case 4 =>
         val (ls, ld) = bitExpr(t, rnd, depth - 1)
         val n = 1 + rnd.nextInt(31) // DuckDB errors at >= 64; Spark masks
-        if (rnd.nextBoolean()) (s"($ls << $n)", s"($ld << $n)")
+        // << operands are masked non-negative BY CONSTRUCTION (both
+        // renderings — engines agree on & and the masked shift can
+        // never overflow 64 bits or go negative): an unmasked subtree
+        // can contain ~ (always negative here) or a prior <<, and
+        // DuckDB 1.0 hard-errors on BOTH ('Cannot left-shift negative
+        // number', 'Overflow in left shift') where Spark wraps
+        // silently — a reseed away from killing the whole UNION ALL
+        // oracle (the r12 ADVICE medium). >> stays unrestricted:
+        // arithmetic right shift on negatives agrees (probed).
+        if (rnd.nextBoolean()) (s"((($ls) & 255) << $n)", s"((($ld) & 255) << $n)")
         else (s"($ls >> $n)", s"($ld >> $n)")
       case _ =>
         val (ls, ld) = bitExpr(t, rnd, depth - 1)

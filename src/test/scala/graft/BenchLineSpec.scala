@@ -29,9 +29,10 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("compact line fits the ~2000-char capture window for a pessimistic full-suite run") {
     // pessimistic shape: EVERY gate present, realistic mixed digits,
-    // 7 fork groups. Preference is the driver contract's exact shape
-    // (float seconds, no extra fields); the line may step down to the
-    // integer-unit ladder only when that cannot fit.
+    // 7 fork groups. The line may step down the integer-unit ladder
+    // when the float-seconds rung cannot fit, but the contention
+    // block must survive the step-down (the r12 lesson: the driver
+    // run WAS contended and the line carried no evidence).
     val results = gateNames.zipWithIndex.map { case (n, i) =>
       n -> (if (i % 4 == 0) 4.321 else 0.543)
     }
@@ -40,6 +41,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length < 2000, s"driver line too long: ${line.length} chars")
     assert(line.contains("\"unit\":\"sec\""))
     assert(line.contains("\"queries\":{"))
+    assert(line.contains("\"contention\":{\"load\":[6.15,1.97]"), line.take(200))
     // every gate key present, whatever the unit
     val short = Bench.shortNames(gateNames)
     assert(gateNames.forall(n => line.contains("\"" + short(n) + "\":")))
@@ -49,14 +51,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.count(_ == '{') == line.count(_ == '}'))
   }
 
-  test("a moderate suite emits the driver contract's exact shape: float seconds, no extras") {
-    // 120 gates easily fit the budget — the line must be the contract
-    // sample's shape (queries valued in seconds, no q_unit/contention)
-    val results = gateNames.take(120).map(n => n -> 0.543)
-    val line = Bench.compactLine(results, 0, 0, 5, 24, Seq.fill(5)((24, 1, false)), "sf0.1")
-    assert(!line.contains("q_unit"), line.take(160))
-    assert(!line.contains("contention"), line.take(160))
-    assert(line.contains("\"unit\":\"sec\"") && line.contains(":0.5"), line.take(160))
+  test("every ladder rung retains the contention block; detail degrades first") {
+    // the r12 what's-wrong: the ladder dropped contention before
+    // per-query detail, and the one contended driver run of the round
+    // shipped no evidence to adjudicate its ten ≥1.5× artifacts. Walk
+    // suite sizes from moderate to past-the-envelope: whatever rung
+    // renders, the contention block must be on it (the contention-less
+    // terminal backstop is reachable only via a pathological
+    // forks-triple list, exercised separately below).
+    for (n <- Seq(60, 120, 180, gateNames.size)) {
+      val results = gateNames.take(n).map(m => m -> 99.123)
+      val line = Bench.compactLine(results, 3.78, 2.12, 5, 24,
+        Seq.fill(7)((24, 1, false)), "sf0.1")
+      assert(line.length < 2000, s"n=$n line too long: ${line.length}")
+      assert(line.contains("\"contention\":{\"load\":[3.78,2.12]"),
+        s"n=$n rung dropped contention: ${line.take(160)}")
+    }
   }
 
   test("pathological digit inflation self-downgrades the unit rather than overflow the window") {
@@ -64,12 +74,14 @@ class BenchLineSpec extends AnyFunSuite {
     // switches q_unit (ms -> cs/ds/s), and beyond ~210 gates — where
     // even integer seconds cannot fit — it drops the map and says so
     // (q_dropped) rather than emit a line the capture would truncate
-    // into invalid JSON (the BENCH_r07 failure mode). The total must
-    // survive either way; per-query timings live in BENCH_SELF.
+    // into invalid JSON (the BENCH_r07 failure mode). The total AND
+    // the contention block must survive either way; per-query timings
+    // live in BENCH_SELF.
     val results = gateNames.map(n => n -> 99.123)
     val line = Bench.compactLine(results, 0, 0, 5, 24, Seq.fill(7)((24, 1, false)), "sf0.1")
     assert(line.length < 2000, s"driver line too long: ${line.length} chars")
     assert(line.contains("\"value\":"))
+    assert(line.contains("\"contention\":{"), line.take(160))
     if (line.contains("\"queries\":{")) {
       assert("\"q_unit\":\"(cs|ds|s)\"".r.findFirstIn(line).nonEmpty, line.take(120))
       assert(gateNames.forall(n => line.contains("\"" + Bench.shortNames(gateNames)(n) + "\":")),
@@ -78,6 +90,18 @@ class BenchLineSpec extends AnyFunSuite {
       assert(line.contains(s""""q_dropped":${gateNames.size}"""), line)
     }
     assert(line.sliding(5).count(_ == "\":-1,") == 0)
+  }
+
+  test("a pathological forks-triple list falls to the bounded contention-less backstop") {
+    // hundreds of retried fork groups inflate the contention block
+    // itself past the budget; the terminal rung drops it rather than
+    // emit a truncatable line, and stays inside the same budget check
+    // (the ADVICE r12 low: no unchecked getOrElse escape)
+    val results = gateNames.map(n => n -> 99.123)
+    val manyRetries = Seq.fill(400)((1, 2, true))
+    val line = Bench.compactLine(results, 9.99, 9.99, 5, 1, manyRetries, "sf0.1")
+    assert(line.length < 2000, s"driver line too long: ${line.length} chars")
+    assert(line.contains(s""""q_dropped":${gateNames.size}"""), line.take(200))
   }
 
   test("failed queries record -1; total excludes them") {
@@ -98,7 +122,11 @@ class BenchLineSpec extends AnyFunSuite {
         1.5, 0.7, 1, 24, Seq((2, 1, false)), "/root/testdata/sf0.1")
       assert(line.contains("\"value\":1.3"), line)
       assert(line.contains("\"a1\":1.2"), line)
-      assert(!line.matches("(?s).*\\d,\\d.*"), s"comma decimal leaked: $line")
+      // the contention load array legitimately separates two
+      // DOT-decimal floats with a comma — scrub that exact shape
+      // first; a locale leak renders '1,50' inside it and survives
+      val scrubbed = line.replaceAll("\\[\\d+\\.\\d+,\\d+\\.\\d+\\]", "[]")
+      assert(!scrubbed.matches("(?s).*\\d,\\d.*"), s"comma decimal leaked: $line")
     } finally java.util.Locale.setDefault(prev)
   }
 }

@@ -45,6 +45,22 @@ class BitwiseFuzzSpec extends SparkSpec {
         assert(m.group(1).toInt < 64, s"q${q.id} shift count ${m.group(1)} >= 64")
       }
     }
+    // every LEFT-shift operand is masked non-negative by construction
+    // (the r12 ADVICE medium: an unmasked ~-subtree or nested << makes
+    // DuckDB hard-error — 'Cannot left-shift negative number' /
+    // 'Overflow in left shift' — where Spark wraps silently, one
+    // reseed away from killing the whole UNION ALL oracle). The mask
+    // must appear in BOTH renderings; >> stays unmasked (agrees on
+    // negatives).
+    for (q <- qs; s <- Seq(q.sparkSql, q.duckSql)) {
+      var i = s.indexOf("<<")
+      while (i >= 0) {
+        assert(i >= 7 && s.substring(i - 7, i) == "& 255) ",
+          s"q${q.id} unmasked left shift at $i: ...${s.substring(math.max(0, i - 30), i + 6)}...")
+        i = s.indexOf("<<", i + 2)
+      }
+    }
+    assert(sql.contains("& 255) <<"), "population never generated a masked left shift")
   }
 
   test(s"property: all ${BitwiseFuzz.NQueries} queries — rule-ON ≡ rule-OFF values") {
