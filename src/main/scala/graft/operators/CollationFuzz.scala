@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import scala.util.Random
+
+/** Differential fuzz over STRING COLLATIONS — the twenty-eighth
+  * population, closing the round-12 "what's missing #1": Spark 4's
+  * collated strings (`COLLATE UTF8_LCASE`) appeared in no population,
+  * spec or gate, which is exactly where half of the round-12 CONFIRMED
+  * rewrite hole lived. This gate exercises case-insensitive equality
+  * through every relational shape that consumes it: GROUP BY, JOIN,
+  * DISTINCT, comparison predicates, and ORDER (via rank over a
+  * collated sort).
+  *
+  * Oracle mapping (probed first): Spark `UTF8_LCASE` compares
+  * lowercase-then-binary; DuckDB `COLLATE NOCASE` matched it on every
+  * ASCII probe, including the non-alpha orderings a naive ICU mapping
+  * would break (`'Z' < '_'` is FALSE both — lower('Z')=0x7A > 0x5F;
+  * `'a b' < 'a-b'` TRUE both — 0x20 < 0x2D; digit/letter mixes
+  * agree). The testdata is ASCII, so the dialects align:
+  * `CAST(e AS STRING COLLATE UTF8_LCASE)` ↔ `e COLLATE NOCASE`.
+  *
+  * Representative discipline: which case-variant a collated GROUP BY
+  * key or min/max keeps is accumulation-order-dependent in BOTH
+  * engines (the same coarser-than-bit-identity equality the round-12
+  * TailFrameRewrite fix guards — see fz27 for the signed-zero twin).
+  * Every string exit is therefore `lower(...)`-normalized: the gate
+  * pins the case-insensitive SEMANTICS (which groups exist, which
+  * rows join, which rows pass a predicate, where a collated sort
+  * places rows) without betting on either engine's representative
+  * choice. Case diversity is PLANTED — `upper()`/`lower()` mangling
+  * keyed on a numeric residue guarantees every source string appears
+  * in multiple casings, so a binary-equality bug (grouping 'URGENT'
+  * apart from 'urgent') flips counts, not just representatives. */
+object CollationFuzz {
+
+  val NQueries = 24
+  val GateSeed = 20261301L
+
+  private final case class CTable(name: String, key: String, num: String,
+      strs: Seq[String])
+  private def tables = Seq(
+    CTable("orders", "o_orderkey", "o_custkey",
+      Seq("o_orderpriority", "substring(o_orderpriority, 3, 4)", "o_orderstatus")),
+    CTable("customer", "c_custkey", "c_nationkey",
+      Seq("c_mktsegment", "substring(c_name, 1, 12)")))
+
+  private def sparkView(t: String) = s"__fz28_$t"
+
+  final case class CQuery(id: Int, sparkSql: String, duckSql: String,
+      outCols: Seq[String])
+
+  def queries(seed: Long = GateSeed, n: Int = NQueries): Seq[CQuery] =
+    (0 until n).map(i => gen(i, new Random(seed * 733 + i)))
+
+  /** The dialect split: Spark types the collation onto the value,
+    * DuckDB attaches it to the comparison site. */
+  private def collSpark(e: String) = s"CAST($e AS STRING COLLATE UTF8_LCASE)"
+  private def collDuck(e: String) = s"($e COLLATE NOCASE)"
+
+  /** Case-mangled string source: the residue guarantees the same
+    * logical value appears uppercased, lowercased and verbatim. */
+  private def mangled(t: CTable, rnd: Random): String = {
+    val s = t.strs(rnd.nextInt(t.strs.size))
+    s"CASE WHEN ${t.num} % 3 = 0 THEN upper($s) " +
+      s"WHEN ${t.num} % 3 = 1 THEN lower($s) ELSE $s END"
+  }
+
+  private def gen(id: Int, rnd: Random): CQuery = {
+    val t = tables(rnd.nextInt(tables.size))
+    val k = s"CAST(${t.key} AS BIGINT)"
+    val v = mangled(t, rnd)
+    (id % 4) match {
+      case 0 =>
+        // collated GROUP BY: the groups themselves are the assertion
+        // (a binary-equality bug splits every case-variant apart);
+        // key exit lower-normalized, value exits numeric
+        val spark = s"SELECT lower(min(${collSpark(v)})) AS g, " +
+          s"CAST(count(*) AS BIGINT) AS a_0, " +
+          s"CAST(min(${t.num}) AS BIGINT) AS a_1 " +
+          s"FROM ${sparkView(t.name)} GROUP BY ${collSpark(v)}"
+        val duck = s"SELECT lower(min(${collDuck(v)})) AS g, " +
+          s"CAST(count(*) AS BIGINT) AS a_0, " +
+          s"CAST(min(${t.num}) AS BIGINT) AS a_1 " +
+          s"FROM ${t.name} GROUP BY ${collDuck(v)}"
+        CQuery(id, spark, duck, Seq("g", "a_0", "a_1"))
+      case 1 =>
+        // collated JOIN: the left side is uppercased, the right side
+        // lowercased — ZERO rows match under binary equality, all
+        // case-equal pairs match under the collation
+        val p = 1 + rnd.nextInt(5)
+        val sub = t.strs(rnd.nextInt(t.strs.size))
+        val spark =
+          s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
+            s"CAST(coalesce(sum(a.k % 10007), 0) AS BIGINT) AS a_1, " +
+            s"CAST(coalesce(sum(b.k % 10007), 0) AS BIGINT) AS a_2 FROM " +
+            s"(SELECT $k AS k, upper($sub) AS v FROM ${sparkView(t.name)} WHERE ${t.key} % $p = 0) a JOIN " +
+            s"(SELECT $k AS k, lower($sub) AS v FROM ${sparkView(t.name)} WHERE ${t.key} % ${p + 1} = 0) b " +
+            // Spark rejects one-sided explicit collation in a
+            // comparison (INDETERMINATE_COLLATION) — collate both
+            s"ON ${collSpark("a.v")} = ${collSpark("b.v")}"
+        val duck =
+          s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
+            s"CAST(coalesce(sum(a.k % 10007), 0) AS BIGINT) AS a_1, " +
+            s"CAST(coalesce(sum(b.k % 10007), 0) AS BIGINT) AS a_2 FROM " +
+            s"(SELECT $k AS k, upper($sub) AS v FROM ${t.name} WHERE ${t.key} % $p = 0) a JOIN " +
+            s"(SELECT $k AS k, lower($sub) AS v FROM ${t.name} WHERE ${t.key} % ${p + 1} = 0) b " +
+            s"ON a.v COLLATE NOCASE = b.v"
+        CQuery(id, spark, duck, Seq("a_0", "a_1", "a_2"))
+      case 2 =>
+        // rank over a collated ORDER: pins WHERE the collated sort
+        // places rows (rank is tie-insensitive; the unique key
+        // tiebreak makes it position-exact), partition-bounded
+        val spark = s"SELECT $k AS key, " +
+          s"CAST(rank() OVER (PARTITION BY ${t.num} % 64 " +
+          s"ORDER BY ${collSpark(v)}, $k) AS BIGINT) AS a_0, " +
+          s"lower($v) AS a_1 FROM ${sparkView(t.name)}"
+        val duck = s"SELECT $k AS key, " +
+          s"CAST(rank() OVER (PARTITION BY ${t.num} % 64 " +
+          s"ORDER BY ${collDuck(v)}, $k) AS BIGINT) AS a_0, " +
+          s"lower($v) AS a_1 FROM ${t.name}"
+        CQuery(id, spark, duck, Seq("key", "a_0", "a_1"))
+      case _ =>
+        // collated predicates + DISTINCT: a mixed-case literal must
+        // fold before comparing; DISTINCT must merge case-variants.
+        // DuckDB 1.0 QUIRK (probed, compensated): the AGGREGATE form
+        // `count(DISTINCT v COLLATE NOCASE)` silently ignores the
+        // collation — 3 over ['a','A','b'] — while `SELECT DISTINCT`
+        // respects it (2). The oracle therefore counts
+        // `DISTINCT lower(v)`, which equals case-insensitive DISTINCT
+        // on ASCII (NOCASE ≡ lower-then-binary, the probe above);
+        // Spark keeps the true collated DISTINCT under test.
+        val lit = Seq("'M'", "'c'", "'2-HIGH'", "'building'", "'p'")(rnd.nextInt(5))
+        val op = Seq("<", ">=", "=")(rnd.nextInt(3))
+        val spark = s"SELECT CAST(count(DISTINCT ${collSpark(v)}) AS BIGINT) AS a_0, " +
+          s"CAST(count(*) AS BIGINT) AS a_1, " +
+          s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_2 " +
+          s"FROM ${sparkView(t.name)} WHERE ${collSpark(v)} $op $lit"
+        val duck = s"SELECT CAST(count(DISTINCT lower($v)) AS BIGINT) AS a_0, " +
+          s"CAST(count(*) AS BIGINT) AS a_1, " +
+          s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_2 " +
+          s"FROM ${t.name} WHERE ${collDuck(v)} $op $lit"
+        CQuery(id, spark, duck, Seq("a_0", "a_1", "a_2"))
+    }
+  }
+
+  // ---- fingerprint reduction (the RelFuzz discipline) ----
+
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    for (t <- tables)
+      spark.read.parquet(s"$dir/${t.name}.parquet")
+        .createOrReplaceTempView(sparkView(t.name))
+
+  def fingerprint(spark: SparkSession, q: CQuery): (Long, Long) = {
+    import org.apache.spark.sql.types.StringType
+    val canon = concat_ws("|", q.outCols.map(c =>
+      coalesce(col(c).cast(StringType), lit(RelFuzz.NullSentinel))): _*)
+    val r = spark.sql(q.sparkSql).select(canon.as("__c"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        coalesce(sum(Sketches.md5Long56(col("__c")) % RelFuzz.ModP), lit(0L)).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  def fingerprintAll(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    import scala.collection.parallel.CollectionConverters._
+    val pool = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(8))
+    val par = queries().par
+    par.tasksupport = pool
+    val rows =
+      try par.map { q =>
+        val (n, h) = fingerprint(spark, q)
+        (q.id.toLong, n, h)
+      }.toList.sortBy(_._1)
+      finally pool.environment.shutdown()
+    import spark.implicits._
+    rows.toDF("qid", "n_rows", "checksum")
+  }
+
+  def duckOracleSql: String = {
+    val branches = queries().map { q =>
+      val canon = "concat_ws('|', " + q.outCols.map(c =>
+        s"coalesce(CAST($c AS VARCHAR), '${RelFuzz.NullSentinel}')").mkString(", ") + ")"
+      s"""SELECT ${q.id} AS qid, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(sum(${Sketches.md5Long56Sql("__c")} % ${RelFuzz.ModP}), 0) AS BIGINT) AS checksum
+         |FROM (SELECT $canon AS __c FROM (${q.duckSql}) __q) __cq""".stripMargin
+    }
+    s"SELECT qid, n_rows, checksum FROM (\n${branches.mkString("\nUNION ALL\n")}\n) ORDER BY qid"
+  }
+}
+
+/** q_fz28 — the collation differential gate. */
+object CollationFuzzQueries extends QueryModule {
+  private val fz28 = Q(
+    "q_fz28_collation",
+    s"collation fuzz: ${CollationFuzz.NQueries} seeded queries over " +
+      "case-mangled strings under UTF8_LCASE (DuckDB COLLATE NOCASE, " +
+      "probed lowercase-then-binary-equivalent on ASCII): collated " +
+      "GROUP BY / JOIN / DISTINCT / predicates / rank-over-collated-" +
+      "order, every string exit lower()-normalized (representative " +
+      "choice is engine-internal — the same coarser-than-bit equality " +
+      "the r12 rewrite fix guards)",
+    (s, d) => CollationFuzz.fingerprintAll(s, d),
+    Some(CollationFuzz.duckOracleSql))
+
+  override val all: Seq[Q] = Seq(fz28)
+}

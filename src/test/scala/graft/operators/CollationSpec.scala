@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Collation rule-safety sweep (round-12 "what's missing #1"): every
+  * library operator that assumes equality ⇒ interchangeability,
+  * audited against collated string columns. The cross-engine surface
+  * lives in q_fz28 (CollationFuzz); this spec pins the Spark-side
+  * semantics of the operators a differential oracle can't reach —
+  * key-joined merges, window best-per-group, and the dedup family's
+  * DELIBERATE binary-equality scope.
+  *
+  * Scope decision, documented once: operators that equate rows via a
+  * HASH of the string (md5/xxhash fingerprints — exact dedup, LSH,
+  * SimHash) operate on the string's BYTES and ignore any collation on
+  * the column. That is by design: their case-insensitivity comes from
+  * their own canonicalization (lower + punctuation strip) applied
+  * BEFORE hashing, which is both collation-independent and stronger
+  * (it also folds whitespace/punct). A collated input column neither
+  * changes nor breaks them — pinned below. Operators that equate rows
+  * via Spark COMPARISONS (joins, groupBy, window partitions, distinct)
+  * follow the column's collation automatically, because the engine's
+  * equality is collation-aware end to end — also pinned below. */
+class CollationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def lcase(c: String) = s"CAST($c AS STRING COLLATE UTF8_LCASE)"
+
+  /** A small keyed frame whose key column carries UTF8_LCASE. */
+  private def collatedExisting: DataFrame =
+    Seq(("Alpha", 1L, "old-a"), ("BETA", 2L, "old-b"), ("gamma", 3L, "old-g"))
+      .toDF("k", "n", "v")
+      .selectExpr(s"${lcase("k")} AS k", "n", "v")
+
+  test("upsert joins follow the key collation: case-variant keys MATCH") {
+    // 'ALPHA' must update the 'Alpha' row, not insert a second one —
+    // the join condition compares collated-ly because the column does
+    val updates = Seq(("ALPHA", 10L, "new-a"), ("delta", 4L, "new-d"))
+      .toDF("k", "n", "v")
+      .selectExpr(s"${lcase("k")} AS k", "n", "v")
+    val out = Upsert.upsert(collatedExisting, updates, Seq("k"))
+    assert(out.count() == 4, "case-variant key must merge, not duplicate")
+    val byK = out.collect().map(r => (r.getString(0).toLowerCase, r.getString(2))).toMap
+    assert(byK("alpha") == "new-a", "update wins on the case-matched key")
+    assert(byK("beta") == "old-b")
+    assert(byK("delta") == "new-d")
+  }
+
+  test("upsertKeepExisting fills holes across case-variant keys") {
+    val existing = Seq(("Alpha", 1L, null: String), ("BETA", 2L, "keep"))
+      .toDF("k", "n", "v").selectExpr(s"${lcase("k")} AS k", "n", "v")
+    val updates = Seq(("ALPHA", 9L, "fill"), ("beta", 9L, "lose"))
+      .toDF("k", "n", "v").selectExpr(s"${lcase("k")} AS k", "n", "v")
+    val out = Upsert.upsertKeepExisting(existing, updates, Seq("k"))
+    val byK = out.collect().map(r => (r.getString(0).toLowerCase, r.getString(2))).toMap
+    assert(out.count() == 2)
+    assert(byK("alpha") == "fill", "null hole fills through the case-variant key")
+    assert(byK("beta") == "keep", "existing non-null value wins")
+  }
+
+  test("groupBy / dropDuplicates / window partitions merge case-variants on collated columns") {
+    val df = Seq("Apple", "APPLE", "apple", "Pear", "PEAR", "plum")
+      .toDF("s").selectExpr(s"${lcase("s")} AS s")
+    assert(df.groupBy("s").count().count() == 3,
+      "collated groupBy must merge case-variants")
+    assert(df.dropDuplicates("s").count() == 3,
+      "collated dropDuplicates must merge case-variants")
+    // best-per-group over a collated partition key: one winner per
+    // case-insensitive group (the q_j6b shape on a collated key)
+    val keyed = Seq(("Apple", 5L), ("APPLE", 9L), ("Pear", 3L), ("PEAR", 1L))
+      .toDF("s", "score").selectExpr(s"${lcase("s")} AS s", "score")
+    val best = keyed.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s")).orderBy(col("score").desc)))
+      .filter(col("rn") === 1)
+    val winners = best.collect().map(r => (r.getString(0).toLowerCase, r.getLong(1))).toMap
+    assert(winners == Map("apple" -> 9L, "pear" -> 3L),
+      "window partition must be collation-aware; best row per logical group")
+  }
+
+  test("collated ORDER places case-variants as peers (rank ties)") {
+    val df = Seq(("a", "zebra"), ("b", "ZEBRA"), ("c", "apple"))
+      .toDF("id", "s").selectExpr("id", s"${lcase("s")} AS s")
+    val ranked = df.select(col("id"),
+        rank().over(org.apache.spark.sql.expressions.Window.orderBy(col("s")))
+          .as("r"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(ranked("a") == ranked("b"), "case-variants must tie under collated rank")
+    assert(ranked("c") == 1)
+  }
+
+  test("hash-fingerprint dedup is binary-scoped BY DESIGN: collation on the column changes nothing") {
+    // the exact-dedup canonicalization (lower + strip) already folds
+    // case before md5 — so a collated input column must neither change
+    // the result nor error; and a RAW md5 over the column ignores the
+    // collation entirely (bytes in, bytes out)
+    val docs = Seq(("d1", "The Quick Fox"), ("d2", "the quick fox"), ("d3", "other text"))
+      .toDF("doc_id", "text")
+    val collated = docs.selectExpr("doc_id", s"${lcase("text")} AS text")
+    def canonGroups(df: DataFrame): Long = df.selectExpr(
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))) AS fp")
+      .groupBy("fp").count().count()
+    assert(canonGroups(docs) == 2, "canonicalization folds case pre-hash")
+    assert(canonGroups(collated) == 2, "collated input: same result, no error")
+    // raw md5 is byte-equality regardless of collation — the scope
+    // boundary, stated and pinned rather than silently assumed
+    val rawGroups = collated.selectExpr("md5(text) AS fp").groupBy("fp").count().count()
+    assert(rawGroups == 3,
+      "raw hashes see bytes, not collations — 'The Quick Fox' != 'the quick fox'")
+  }
+
+  test("TailFrameRewrite refuses collated min/max (cross-reference: FramesSpec pins the repro)") {
+    // the one injected rule with an equality ⇒ interchangeability
+    // assumption; its collated guard is pinned in depth in FramesSpec —
+    // this is the sweep's cross-reference that the audit covered it
+    val df = Seq((1L, "apple"), (2L, "APPLE"), (3L, "zebra")).toDF("o", "v")
+    df.createOrReplaceTempView("__coll_sweep")
+    val plan = spark.sql(s"""SELECT min(${lcase("v")}) OVER (ORDER BY o
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM __coll_sweep""")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("unboundedfollowing"),
+      "collated min hazard frame must keep its original frame")
+  }
+}
