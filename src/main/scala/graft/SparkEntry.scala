@@ -22,7 +22,7 @@ object SparkEntry {
     ComposedFuzzQueries, LimitFuzzQueries, ErrorFuzzQueries, TryFuzzQueries,
     WindowNullsFuzzQueries, LateralFuzzQueries, RecursiveFuzzQueries,
     BitwiseFuzzQueries, OrderedAggFuzzQueries, VariantFuzzQueries,
-    SignedZeroFuzzQueries, CollationFuzzQueries,
+    SignedZeroFuzzQueries, CollationFuzzQueries, IntervalFuzzQueries,
     UnigramLmQueries, ExpectationsQueries, KCenterQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
