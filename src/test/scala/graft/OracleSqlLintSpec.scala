@@ -74,7 +74,13 @@ class OracleSqlLintSpec extends AnyFunSuite {
     // encoder CASE whose every branch is BIGINT, so the output schema
     // is integral. The 4 sum sites × 4 encoder references + fingerprint
     // shape pin at 20.
-    "q_fz11_float_fuzz" -> 20
+    "q_fz11_float_fuzz" -> 20,
+    // the must-it-error predicates: sums DELIBERATELY over HUGEINT
+    // (the oracle needs INT128 headroom to decide whether Spark's
+    // Long-micros interval sum overflows), consumed inside a CASE
+    // whose output is BIGINT-cast (`err` 0/1) — never an output-schema
+    // sum. 4 error arms + 2 safe-control arms.
+    "q_fz29_interval" -> 6
   )
 
   test("every oracle sum() is CAST-wrapped, DECIMAL, or count-pinned allowlisted") {
