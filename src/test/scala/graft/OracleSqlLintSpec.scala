@@ -80,7 +80,15 @@ class OracleSqlLintSpec extends AnyFunSuite {
     // Long-micros interval sum overflows), consumed inside a CASE
     // whose output is BIGINT-cast (`err` 0/1) — never an output-schema
     // sum. 4 error arms + 2 safe-control arms.
-    "q_fz29_interval" -> 6
+    "q_fz29_interval" -> 6,
+    // the exact-rational reference terms of the epsilon-identity arms
+    // (sum(x), sum(x·x), sum(x·y) inside `(n·Σx² − (Σx)²)/…`):
+    // HUGEINT widening is the POINT (exact int headroom for the
+    // reference), and every one is consumed inside an abs()-compare
+    // whose output is a VARCHAR boolean — never an output-schema sum.
+    // The count is seed-stable; a generator change re-pins it here,
+    // which is this lint's contract.
+    "q_fz31_stats_agg" -> 468
   )
 
   test("every oracle sum() is CAST-wrapped, DECIMAL, or count-pinned allowlisted") {
