@@ -112,6 +112,41 @@ class CollationSpec extends SparkSpec {
       "raw hashes see bytes, not collations — 'The Quick Fox' != 'the quick fox'")
   }
 
+  test("TopKProjectInline preserves collated ordering through the CSE-split collapse") {
+    // the other injected rule touched by collations: it collapses
+    // stacked Projects above a global Sort to restore the bounded-heap
+    // top-k plan, and must carry the SortOrder — collation included —
+    // verbatim. Drive the CSE-split shape (a shared subexpression in
+    // both the sort key and the projection) over a collated key and
+    // pin plan + values against rule-OFF.
+    val df = Seq(("x", "zebra"), ("y", "APPLE"), ("z", "apple"), ("w", "Mango"))
+      .toDF("id", "s")
+      .selectExpr("id", s"${lcase("s")} AS s")
+    df.createOrReplaceTempView("__coll_topk")
+    // sharp edge, pinned by construction: even a LITERAL beside a
+    // collated column inside nullif is INDETERMINATE_COLLATION in
+    // Spark 4 — the literal must be collated explicitly
+    val none = lcase("'none'")
+    val q = s"""SELECT id, nullif(s, $none) AS k FROM __coll_topk
+      ORDER BY nullif(s, $none), id LIMIT 2"""
+    val fast = spark.sql(q)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the collated CSE-split top-k must recover the bounded heap:\n$plan")
+    val a = fast.collect().map(r => (r.getString(0), r.getString(1).toLowerCase))
+    val off = {
+      spark.conf.set(graft.plans.TopKProjectInline.ConfKey, "false")
+      try spark.sql(q).collect().map(r => (r.getString(0), r.getString(1).toLowerCase))
+      finally spark.conf.set(graft.plans.TopKProjectInline.ConfKey, "true")
+    }
+    assert(a.sameElements(off), "rule ON must equal rule OFF under collated order")
+    // the collation actually decided the order: case-insensitively
+    // 'APPLE'/'apple' sort before 'Mango' before 'zebra' (binary
+    // order would put 'APPLE' and 'Mango' before 'apple')
+    assert(a.map(_._2).forall(_ == "apple"),
+      s"top-2 under UTF8_LCASE must be the two apples, got ${a.toSeq}")
+  }
+
   test("TailFrameRewrite refuses collated min/max (cross-reference: FramesSpec pins the repro)") {
     // the one injected rule with an equality ⇒ interchangeability
     // assumption; its collated guard is pinned in depth in FramesSpec —
