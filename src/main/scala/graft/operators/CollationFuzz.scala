@@ -38,7 +38,13 @@ import scala.util.Random
   * apart from 'urgent') flips counts, not just representatives. */
 object CollationFuzz {
 
-  val NQueries = 24
+  /** 0–23: the UTF8_LCASE ↔ NOCASE half; 24–29: the
+    * UTF8_BINARY_RTRIM half (trailing-space-insensitive equality —
+    * DuckDB has no RTRIM collation, so the oracle compensates
+    * analytically with `rtrim()`: `x = y` under the RTRIM collation
+    * ⟺ `rtrim(x) = rtrim(y)` binary, probed). Ids are seeded
+    * per-query, so extending the population left 0–23 byte-identical. */
+  val NQueries = 30
   val GateSeed = 20261301L
 
   private final case class CTable(name: String, key: String, num: String,
@@ -70,7 +76,18 @@ object CollationFuzz {
       s"WHEN ${t.num} % 3 = 1 THEN lower($s) ELSE $s END"
   }
 
+  /** Trailing-space mangling for the RTRIM half: the residue
+    * guarantees the same logical value appears with 0/1/2 trailing
+    * spaces. */
+  private def padded(t: CTable, rnd: Random): String = {
+    val s = t.strs(rnd.nextInt(t.strs.size))
+    s"CASE WHEN ${t.num} % 3 = 0 THEN $s || '  ' " +
+      s"WHEN ${t.num} % 3 = 1 THEN $s || ' ' ELSE $s END"
+  }
+  private def rtrimSpark(e: String) = s"CAST($e AS STRING COLLATE UTF8_BINARY_RTRIM)"
+
   private def gen(id: Int, rnd: Random): CQuery = {
+    if (id >= 24) return genRtrim(id, rnd)
     val t = tables(rnd.nextInt(tables.size))
     val k = s"CAST(${t.key} AS BIGINT)"
     val v = mangled(t, rnd)
@@ -148,6 +165,68 @@ object CollationFuzz {
     }
   }
 
+  /** The RTRIM half (ids 24–29): UTF8_BINARY_RTRIM equality ignores
+    * TRAILING spaces only. DuckDB has no RTRIM collation — the oracle
+    * compensates analytically: every collated site renders as binary
+    * equality over `rtrim(x)`, which is the collation's definition.
+    * String exits are rtrim()-normalized (which padded variant a
+    * group key or min keeps is engine-internal — the fz27/fz28
+    * representative discipline). */
+  private def genRtrim(id: Int, rnd: Random): CQuery = {
+    val t = tables(rnd.nextInt(tables.size))
+    val k = s"CAST(${t.key} AS BIGINT)"
+    val v = padded(t, rnd)
+    ((id - 24) % 3) match {
+      case 0 =>
+        // RTRIM GROUP BY: padding variants must land in ONE group
+        val spark = s"SELECT rtrim(min(${rtrimSpark(v)})) AS g, " +
+          s"CAST(count(*) AS BIGINT) AS a_0, " +
+          s"CAST(min(${t.num}) AS BIGINT) AS a_1 " +
+          s"FROM ${sparkView(t.name)} GROUP BY ${rtrimSpark(v)}"
+        val duck = s"SELECT rtrim($v) AS g, " +
+          s"CAST(count(*) AS BIGINT) AS a_0, " +
+          s"CAST(min(${t.num}) AS BIGINT) AS a_1 " +
+          s"FROM ${t.name} GROUP BY rtrim($v)"
+        CQuery(id, spark, duck, Seq("g", "a_0", "a_1"))
+      case 1 =>
+        // RTRIM JOIN: the left side carries two trailing spaces, the
+        // right none — zero binary matches, all matches under RTRIM
+        val p = 1 + rnd.nextInt(5)
+        val sub = t.strs(rnd.nextInt(t.strs.size))
+        def side(alias: String, pad: String, filt: Int, src: String) =
+          s"(SELECT $k AS k, $sub || '$pad' AS v FROM $src WHERE ${t.key} % $filt = 0) $alias"
+        val spark =
+          s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
+            s"CAST(coalesce(sum(a.k % 10007), 0) AS BIGINT) AS a_1, " +
+            s"CAST(coalesce(sum(b.k % 10007), 0) AS BIGINT) AS a_2 FROM " +
+            s"${side("a", "  ", p, sparkView(t.name))} JOIN ${side("b", "", p + 1, sparkView(t.name))} " +
+            s"ON ${rtrimSpark("a.v")} = ${rtrimSpark("b.v")}"
+        val duck =
+          s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
+            s"CAST(coalesce(sum(a.k % 10007), 0) AS BIGINT) AS a_1, " +
+            s"CAST(coalesce(sum(b.k % 10007), 0) AS BIGINT) AS a_2 FROM " +
+            s"${side("a", "  ", p, t.name)} JOIN ${side("b", "", p + 1, t.name)} " +
+            s"ON rtrim(a.v) = rtrim(b.v)"
+        CQuery(id, spark, duck, Seq("a_0", "a_1", "a_2"))
+      case _ =>
+        // RTRIM DISTINCT + a literal predicate whose trailing spaces
+        // must be ignored on BOTH sides of the comparison
+        val (src, lit) =
+          if (t.name == "orders") ("o_orderstatus", "O ") else ("c_mktsegment", "BUILDING  ")
+        val pv = s"CASE WHEN ${t.num} % 3 = 0 THEN $src || '  ' " +
+          s"WHEN ${t.num} % 3 = 1 THEN $src || ' ' ELSE $src END"
+        val spark = s"SELECT CAST(count(DISTINCT ${rtrimSpark(pv)}) AS BIGINT) AS a_0, " +
+          s"CAST(count(*) AS BIGINT) AS a_1, " +
+          s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_2 " +
+          s"FROM ${sparkView(t.name)} WHERE ${rtrimSpark(pv)} = ${rtrimSpark(s"'$lit'")}"
+        val duck = s"SELECT CAST(count(DISTINCT rtrim($pv)) AS BIGINT) AS a_0, " +
+          s"CAST(count(*) AS BIGINT) AS a_1, " +
+          s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_2 " +
+          s"FROM ${t.name} WHERE rtrim($pv) = rtrim('$lit')"
+        CQuery(id, spark, duck, Seq("a_0", "a_1", "a_2"))
+    }
+  }
+
   // ---- fingerprint reduction (the RelFuzz discipline) ----
 
   def registerViews(spark: SparkSession, dir: String): Unit =
@@ -199,13 +278,14 @@ object CollationFuzz {
 object CollationFuzzQueries extends QueryModule {
   private val fz28 = Q(
     "q_fz28_collation",
-    s"collation fuzz: ${CollationFuzz.NQueries} seeded queries over " +
+    s"collation fuzz: ${CollationFuzz.NQueries} seeded queries — " +
       "case-mangled strings under UTF8_LCASE (DuckDB COLLATE NOCASE, " +
-      "probed lowercase-then-binary-equivalent on ASCII): collated " +
-      "GROUP BY / JOIN / DISTINCT / predicates / rank-over-collated-" +
-      "order, every string exit lower()-normalized (representative " +
-      "choice is engine-internal — the same coarser-than-bit equality " +
-      "the r12 rewrite fix guards)",
+      "probed lowercase-then-binary-equivalent on ASCII) through " +
+      "collated GROUP BY / JOIN / DISTINCT / predicates / rank, plus " +
+      "an UTF8_BINARY_RTRIM half (trailing-space-insensitive; DuckDB " +
+      "has no RTRIM collation, oracle compensates with rtrim()); " +
+      "string exits lower()/rtrim()-normalized (representative choice " +
+      "is engine-internal)",
     (s, d) => CollationFuzz.fingerprintAll(s, d),
     Some(CollationFuzz.duckOracleSql))
 

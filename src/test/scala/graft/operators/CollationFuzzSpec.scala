@@ -36,17 +36,33 @@ class CollationFuzzSpec extends SparkSpec {
     ).foreach { op =>
       assert(sql.contains(op), s"population never generated: $op")
     }
-    // the dialect split: every Spark COLLATE UTF8_LCASE site has a
-    // DuckDB COLLATE NOCASE twin
+    // the dialect split, per half: the LCASE half (ids 0–23) pairs
+    // COLLATE UTF8_LCASE with DuckDB COLLATE NOCASE; the RTRIM half
+    // (24–29) pairs COLLATE UTF8_BINARY_RTRIM with the analytic
+    // rtrim() compensation (DuckDB has no RTRIM collation)
     qs.foreach { q =>
-      assert(q.sparkSql.contains("COLLATE UTF8_LCASE"), s"q${q.id} uncollated")
-      assert(q.duckSql.contains("COLLATE NOCASE"), s"q${q.id} oracle uncollated")
+      if (q.id < 24) {
+        assert(q.sparkSql.contains("COLLATE UTF8_LCASE"), s"q${q.id} uncollated")
+        assert(q.duckSql.contains("COLLATE NOCASE"), s"q${q.id} oracle uncollated")
+      } else {
+        assert(q.sparkSql.contains("COLLATE UTF8_BINARY_RTRIM"), s"q${q.id} uncollated")
+        assert(q.duckSql.contains("rtrim(") && !q.duckSql.contains("COLLATE"),
+          s"q${q.id} oracle must compensate with rtrim(), not a collation")
+      }
     }
-    // every string exit is lower()-normalized (representative choice
-    // is engine-internal for case-equal strings)
-    qs.filter(_.outCols.exists(c => c == "g" || c == "a_1")).foreach { q =>
-      if (q.sparkSql.contains("AS g,"))
-        assert(q.sparkSql.contains("lower(min(CAST("), s"q${q.id} unnormalized group key")
+    // the RTRIM half plants all three padding variants and covers all
+    // three shapes
+    val rtrimSql = qs.filter(_.id >= 24).map(_.sparkSql).mkString("\n")
+    Seq("|| '  '", "|| ' '", "GROUP BY CAST(", "JOIN", "count(DISTINCT CAST(")
+      .foreach { op =>
+        assert(rtrimSql.contains(op), s"RTRIM half never generated: $op")
+      }
+    // every string exit is normalized — lower() in the LCASE half,
+    // rtrim() in the RTRIM half (representative choice is
+    // engine-internal for collation-equal strings)
+    qs.filter(_.sparkSql.contains("AS g,")).foreach { q =>
+      val norm = if (q.id < 24) "lower(min(CAST(" else "rtrim(min(CAST("
+      assert(q.sparkSql.contains(norm), s"q${q.id} unnormalized group key")
     }
   }
 
