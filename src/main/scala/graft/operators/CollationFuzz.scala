@@ -190,11 +190,19 @@ object CollationFuzz {
         CQuery(id, spark, duck, Seq("g", "a_0", "a_1"))
       case 1 =>
         // RTRIM JOIN: the left side carries two trailing spaces, the
-        // right none — zero binary matches, all matches under RTRIM
+        // right none — zero binary matches, all matches under RTRIM.
+        // The join value carries a key residue (#k%499) BEFORE the
+        // padding: the source strings alone have 3–5 distinct values,
+        // and joining 150k×75k rows on a 5-value key is a
+        // near-cartesian ~10⁹-row blowup (measured: +10 s at sf0.1 in
+        // the first cut) — the residue widens the key to ~2,500
+        // distinct values while the pad stays TRAILING, which is the
+        // property under test
         val p = 1 + rnd.nextInt(5)
         val sub = t.strs(rnd.nextInt(t.strs.size))
         def side(alias: String, pad: String, filt: Int, src: String) =
-          s"(SELECT $k AS k, $sub || '$pad' AS v FROM $src WHERE ${t.key} % $filt = 0) $alias"
+          s"(SELECT $k AS k, $sub || '#' || CAST(${t.key} % 499 AS STRING) || '$pad' AS v " +
+            s"FROM $src WHERE ${t.key} % $filt = 0) $alias"
         val spark =
           s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
             s"CAST(coalesce(sum(a.k % 10007), 0) AS BIGINT) AS a_1, " +
