@@ -35,6 +35,15 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val isChild = sys.env.contains("SPARK_GRAFT_FORK_CHILD")
+    // the equi-join fanout audit (graft.plans.JoinFanoutAudit) rides
+    // every bench run: children append violations to one shared file
+    // (inherited env), the parent clears it first and reads it back
+    // after the last group — so the committed bench can never again
+    // carry a silent near-cartesian the way the fz28 first cut did
+    if (!isChild)
+      try java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(fanoutPath))
+      catch { case _: Exception => () }
 
     // contention telemetry rides INSIDE the single driver-facing JSON
     // line: the round-6 outlier adjudication needed a judge re-run
@@ -51,6 +60,11 @@ object Bench {
         }
       else runInProcess(names, sfDir, passes)
     val loadPost = loadavg()
+    // merged fanout-audit report — parent only: children contribute
+    // lines to the shared file as they run, and embedding the
+    // accumulated file in a child's record would double-count its
+    // predecessors' findings
+    val fanoutLines = if (isChild) Seq.empty else readFanoutLines()
 
     // FULL record (complete query names, float seconds, verbose
     // contention) goes to the on-disk self-record: it is what the fork
@@ -63,8 +77,14 @@ object Bench {
       .mkString("[", ",", "]")
     val contention = s"""{"loadavg_pre":$loadPre,"loadavg_post":$loadPost,""" +
       s""""passes":$passes,"fork_every":$forkEvery,"forks":$forksVerbose}"""
+    // full violation records in the self-artifact (capped — a
+    // pathological run must not balloon the file); the driver line
+    // carries only the count
+    val fanoutFull =
+      if (fanoutLines.isEmpty) ""
+      else s""""fanout":[${fanoutLines.take(20).mkString(",")}],"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""contention":$contention,"sf":"$sfDir"}"""
+      s"""$fanoutFull"contention":$contention,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_self.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
@@ -76,8 +96,21 @@ object Bench {
     // record for debuggability; only the parent emits the compact line.
     println(if (isChild) json
       else compactLine(results, loadPre, loadPost, passes, forkEvery,
-        forkStats.toSeq, sfDir))
+        forkStats.toSeq, sfDir, fanoutLines.size))
   }
+
+  /** Shared (parent-cleared, child-appended) fanout-violation file. */
+  private def fanoutPath: String =
+    sys.env.getOrElse("SPARK_GRAFT_FANOUT_OUT", "/tmp/bench_fanout.jsonl")
+
+  private def readFanoutLines(): Seq[String] =
+    try {
+      val p = java.nio.file.Paths.get(fanoutPath)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+      } else Seq.empty
+    } catch { case _: Exception => Seq.empty }
 
   /** The driver's log capture keeps ~2000 tail chars of the line —
     * the budget the compact form must fit with every gate present.
@@ -97,7 +130,8 @@ object Bench {
     * unchanged). */
   private[graft] def compactLine(results: Seq[(String, Double)],
       loadPre: Double, loadPost: Double, passes: Int, forkEvery: Int,
-      forkStats: Seq[(Int, Int, Boolean)], sfDir: String): String = {
+      forkStats: Seq[(Int, Int, Boolean)], sfDir: String,
+      fanoutBad: Int = 0): String = {
     val short = shortNames(results.map(_._1))
     val total = results.map(_._2).filter(_ >= 0).sum
     // forks are noise when every group forked cleanly on attempt 1 —
@@ -122,8 +156,12 @@ object Bench {
     // BENCH_SELF record regardless). The compact `forks` form is a
     // plain count when every group forked cleanly, so the block is
     // ~60 chars in the common case.
+    // the fanout audit's verdict rides the driver line only when it
+    // found something (zero is the steady state and budget is tight);
+    // full records live in the BENCH_SELF artifact
+    val fanout = if (fanoutBad > 0) s""""fanout_bad":$fanoutBad,""" else ""
     val contention =
-      s""""contention":{"load":[${f2(loadPre)},${f2(loadPost)}],"passes":$passes,""" +
+      s"""$fanout"contention":{"load":[${f2(loadPre)},${f2(loadPost)}],"passes":$passes,""" +
         s""""forks":$forks}"""
     // Preferred rung: float-second per-query values (the driver
     // contract's `queries` value shape). The ladder then trades one
@@ -200,7 +238,24 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
 
+    // equi-join fanout audit: a session listener sees EVERY execution
+    // — including the fuzz harnesses' inner spark.sql frames, where
+    // the fz28 first-cut near-cartesian actually lived and where a
+    // frame-level audit on the gate's outer fingerprint can't look.
+    // Bound/floor are env-tunable; bound <= 0 disables.
+    val fanoutBound = sys.env.getOrElse("SPARK_GRAFT_FANOUT_BOUND",
+      plans.JoinFanoutAudit.DefaultRatioBound.toString).toDouble
+    val fanoutMinRows = sys.env.getOrElse("SPARK_GRAFT_FANOUT_MINROWS",
+      plans.JoinFanoutAudit.DefaultMinRows.toString).toLong
+    val fanoutListener =
+      if (fanoutBound > 0) {
+        val l = new plans.JoinFanoutAudit.Listener(fanoutBound, fanoutMinRows)
+        spark.listenerManager.register(l)
+        Some(l)
+      } else None
+
     def exec(name: String): Double = {
+      fanoutListener.foreach(_.gate = name)
       val t0 = System.nanoTime()
       val t = try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -222,7 +277,26 @@ object Bench {
 
     names.foreach(exec) // warmup
     val results = names.map(n => n -> median((1 to passes).map(_ => exec(n))))
+    // stop() drains the listener bus, so the snapshot read after it is
+    // complete; violations append to the shared run file as JSON lines
     spark.stop()
+    fanoutListener.foreach { l =>
+      val lines = l.snapshot.map { case (gate, f) =>
+        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"gate":"${esc(gate)}","node":"${esc(f.node)}","keys":"${esc(f.keys)}",""" +
+          s""""join":"${esc(f.joinType)}","out":${f.outputRows},""" +
+          s""""max_in":${f.maxInputRows},"ratio":${math.round(f.ratio * 10) / 10.0}}"""
+      }
+      if (lines.nonEmpty) {
+        lines.foreach(ln => System.err.println(s"[bench] FANOUT VIOLATION $ln"))
+        try java.nio.file.Files.write(java.nio.file.Paths.get(fanoutPath),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        catch { case e: Exception =>
+          System.err.println(s"[bench] fanout record failed: $e") }
+      }
+    }
     results
   }
 

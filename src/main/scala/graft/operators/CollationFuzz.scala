@@ -108,15 +108,27 @@ object CollationFuzz {
       case 1 =>
         // collated JOIN: the left side is uppercased, the right side
         // lowercased — ZERO rows match under binary equality, all
-        // case-equal pairs match under the collation
+        // case-equal pairs match under the collation. The join value
+        // carries a key residue (#k%499) INSIDE the case mangling:
+        // the source strings alone have 1–5 distinct values (the
+        // c_name substring is near-constant), and at sf0.1 the
+        // unwidened key multiplied 50k×37.5k rows into a ~3.7e8-row
+        // near-cartesian — the same class as the RTRIM arm's r13
+        // first cut, LATENT here until the round-14 fanout audit
+        // (graft.plans.JoinFanoutAudit) flagged it at ratio 5,000–
+        // 7,500. The residue widens the key ~500× while upper/lower
+        // still flip every letter (digits and '#' are case-inert),
+        // so case-insensitive equality stays the property under test
         val p = 1 + rnd.nextInt(5)
         val sub = t.strs(rnd.nextInt(t.strs.size))
+        def wv(t0: CTable, s0: String) =
+          s"$s0 || '#' || CAST(${t0.key} % 499 AS STRING)"
         val spark =
           s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
             s"CAST(coalesce(sum(a.k % 10007), 0) AS BIGINT) AS a_1, " +
             s"CAST(coalesce(sum(b.k % 10007), 0) AS BIGINT) AS a_2 FROM " +
-            s"(SELECT $k AS k, upper($sub) AS v FROM ${sparkView(t.name)} WHERE ${t.key} % $p = 0) a JOIN " +
-            s"(SELECT $k AS k, lower($sub) AS v FROM ${sparkView(t.name)} WHERE ${t.key} % ${p + 1} = 0) b " +
+            s"(SELECT $k AS k, upper(${wv(t, sub)}) AS v FROM ${sparkView(t.name)} WHERE ${t.key} % $p = 0) a JOIN " +
+            s"(SELECT $k AS k, lower(${wv(t, sub)}) AS v FROM ${sparkView(t.name)} WHERE ${t.key} % ${p + 1} = 0) b " +
             // Spark rejects one-sided explicit collation in a
             // comparison (INDETERMINATE_COLLATION) — collate both
             s"ON ${collSpark("a.v")} = ${collSpark("b.v")}"
@@ -124,8 +136,8 @@ object CollationFuzz {
           s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
             s"CAST(coalesce(sum(a.k % 10007), 0) AS BIGINT) AS a_1, " +
             s"CAST(coalesce(sum(b.k % 10007), 0) AS BIGINT) AS a_2 FROM " +
-            s"(SELECT $k AS k, upper($sub) AS v FROM ${t.name} WHERE ${t.key} % $p = 0) a JOIN " +
-            s"(SELECT $k AS k, lower($sub) AS v FROM ${t.name} WHERE ${t.key} % ${p + 1} = 0) b " +
+            s"(SELECT $k AS k, upper(${wv(t, sub)}) AS v FROM ${t.name} WHERE ${t.key} % $p = 0) a JOIN " +
+            s"(SELECT $k AS k, lower(${wv(t, sub)}) AS v FROM ${t.name} WHERE ${t.key} % ${p + 1} = 0) b " +
             s"ON a.v COLLATE NOCASE = b.v"
         CQuery(id, spark, duck, Seq("a_0", "a_1", "a_2"))
       case 2 =>

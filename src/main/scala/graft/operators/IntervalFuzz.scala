@@ -81,7 +81,19 @@ object IntervalFuzz {
     (id % 4) match {
       case 0 =>
         // DT + YM aggregates: sum/min/max seconds, sum months — the
-        // oracle is the same arithmetic over plain integers
+        // oracle is the same arithmetic over plain integers.
+        // HEADROOM BOUND (the sf-stability argument here is weaker
+        // than the must-error arms' any-sf one): each row contributes
+        // up to ~24h ≈ 8.64e10 µs, and Spark's interval-sum
+        // accumulator is Long micros, so this arm itself raises
+        // INTERVAL_ARITHMETIC_OVERFLOW above ~1.0e8 orders rows
+        // (~sf70) while the DuckDB HUGEINT integer oracle still
+        // answers — the gate is exact for every shipped sf and any
+        // plausible bench sf, but NOT for arbitrary sf the way the
+        // non-negative must-error predicate is. Kept at hour scale
+        // deliberately: shrinking to minutes only moves the cliff to
+        // ~sf1700, it cannot remove it, and hour-scale keeps the
+        // seconds/minutes/hours fields all non-trivial.
         val secs = s"(($c % 24) * 3600 + (${t.key} % 60) * 60 + ($c % 60))"
         val months = s"(($c % 7) * 12 + (${t.key} % 12))"
         val mkDt = s"make_dt_interval(0, CAST($c % 24 AS INT), " +

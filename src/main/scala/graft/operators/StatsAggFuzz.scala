@@ -29,8 +29,10 @@ import scala.util.Random
   *    EACH engine compares ITS OWN aggregate against the EXACT
   *    RATIONAL reference computed from ITS OWN integer sums —
   *    `var_samp = (n·Σx² − (Σx)²)/(n(n−1))` etc., numerators exact in
-  *    BIGINT (Spark, magnitudes bounded by construction) / HUGEINT
-  *    (DuckDB), divided once in DOUBLE — and emits
+  *    DECIMAL(18,0) factors in BOTH engines (the sums fit to
+  *    n ≈ 1.3e14 rows ≈ sf2e7 — sf-stable, not just
+  *    small-sf-bounded; see the case-2 comment for the bind-width
+  *    argument), divided once in DOUBLE — and emits
   *    `|agg − ref| ≤ 1e-9·max(1,|ref|)` as a string boolean. The gate
   *    then demands both engines say 'true': an implementation that
   *    drifts from its defining formula flips its own row. corr's
@@ -117,10 +119,22 @@ object StatsAggFuzz {
           s"SELECT $sel FROM ${t.name}$gGrp",
           gCol ++ Seq("a_0", "a_1"))
       case 2 =>
-        // variance family vs exact rationals — epsilon booleans
-        val n = "count(*)"
-        val sx = s"sum($x)"
-        val sxx = s"sum(($x) * ($x))"
+        // variance family vs exact rationals — epsilon booleans. The
+        // reference factors are the SUM RESULTS cast to DECIMAL(18,0)
+        // before the n·Σx² − (Σx)² products: in BIGINT those products
+        // overflow above ~3.5e7 rows (x ≤ 87 ⇒ Σx² ≤ 7.6e3·n, so
+        // n·Σx² > 2⁶³ at an ungrouped lineitem arm around sf6 — ANSI
+        // errors, legacy silently flips the epsilon boolean). As
+        // DECIMAL(18,0) factors the products stay exact and bindable
+        // in BOTH engines (Spark 18+19+1 = 38; DuckDB widths add,
+        // 18+19 = 37 ≤ 38 — DECIMAL(38,0)² would be REJECTED there)
+        // up to factors of 1e18, i.e. n ≈ 1.3e14 rows (~sf2e7). The
+        // remaining Long in the chain is Spark's inner BIGINT sum,
+        // exact to n ≈ 1.2e15 rows — both bounds far beyond any
+        // plausible sf, making the gate sf-stable like fz29's.
+        val n = "CAST(count(*) AS DECIMAL(18,0))"
+        val sx = s"CAST(sum($x) AS DECIMAL(18,0))"
+        val sxx = s"CAST(sum(($x) * ($x)) AS DECIMAL(18,0))"
         val refPop = s"CAST($n * $sxx - $sx * $sx AS DOUBLE) / CAST($n * $n AS DOUBLE)"
         val refSamp = s"CAST($n * $sxx - $sx * $sx AS DOUBLE) / CAST($n * ($n - 1) AS DOUBLE)"
         def sel(vc: Boolean) = s"$gSel" +
@@ -134,11 +148,15 @@ object StatsAggFuzz {
           s"SELECT ${sel(vc = true)} FROM ${t.name}$gGrp",
           gCol ++ Seq("a_0", "a_1", "a_2", "a_3", "a_4"))
       case _ =>
-        // covariance / correlation / regression vs exact rationals
-        val n = "count(*)"
-        val sx = s"sum($x)"; val sy = s"sum($y)"
-        val sxy = s"sum(($x) * ($y))"
-        val sxx = s"sum(($x) * ($x))"; val syy = s"sum(($y) * ($y))"
+        // covariance / correlation / regression vs exact rationals —
+        // factors DECIMAL(18,0)-cast for the same overflow headroom
+        // as the variance arm (see case 2)
+        val n = "CAST(count(*) AS DECIMAL(18,0))"
+        val sx = s"CAST(sum($x) AS DECIMAL(18,0))"
+        val sy = s"CAST(sum($y) AS DECIMAL(18,0))"
+        val sxy = s"CAST(sum(($x) * ($y)) AS DECIMAL(18,0))"
+        val sxx = s"CAST(sum(($x) * ($x)) AS DECIMAL(18,0))"
+        val syy = s"CAST(sum(($y) * ($y)) AS DECIMAL(18,0))"
         val num = s"($n * $sxy - $sx * $sy)"
         val dx = s"($n * $sxx - $sx * $sx)"
         val dy = s"($n * $syy - $sy * $sy)"
