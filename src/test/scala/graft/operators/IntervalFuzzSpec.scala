@@ -78,6 +78,42 @@ class IntervalFuzzSpec extends SparkSpec {
     // below)
   }
 
+  test("negative-operand interval division: HALF_UP away from zero, pinned one-engine") {
+    // The fz29 gate EXCLUDES negative operands by construction (the
+    // HALF_UP direction is engine-ambiguous cross-engine), which left
+    // Spark's OWN behavior unpinned — a Spark upgrade could silently
+    // flip it. Probed 2026-08-16 on 4.1.2: division rounds HALF_UP ON
+    // THE MAGNITUDE (ties away from zero), symmetric in sign, at
+    // micros for day-time and months for year-month; avg inherits it.
+    val micros = Seq(
+      // (numerator micros, divisor, expected micros)
+      (-5L, 2, -3L), // -2.5 µs → -3 (tie away from zero)
+      (-7L, 2, -4L),
+      (-2L, 3, -1L), // plain nearest
+      (5L, -2, -3L), // negative divisor, same rule
+      (-5L, -2, 3L)) // double negative
+    for ((n, d, want) <- micros) {
+      val got = spark.sql(
+        s"""SELECT unix_micros(TIMESTAMP '1970-01-01 00:00:00' +
+           |  (make_dt_interval(0, 0, 0, CAST($n AS DECIMAL(10,6)) / 1000000)) / $d)
+           |""".stripMargin).head().getLong(0)
+      assert(got == want, s"${n}us / $d: got $got, want $want")
+    }
+    val months = Seq((-5, 2, -3), (5, -2, -3), (-5, -2, 3))
+    for ((n, d, want) <- months) {
+      val got = spark.sql(
+        s"SELECT CAST(make_ym_interval(0, $n) / $d AS INT)").head().getInt(0)
+      assert(got == want, s"${n}mo / $d: got $got, want $want")
+    }
+    // avg over a negative set: (-5 + -2)/2 = -3.5 µs → -4
+    val avg = spark.sql(
+      """SELECT unix_micros(TIMESTAMP '1970-01-01 00:00:00' + avg(iv)) FROM
+        |(SELECT make_dt_interval(0, 0, 0, -0.000005) AS iv
+        | UNION ALL SELECT make_dt_interval(0, 0, 0, -0.000002))
+        |""".stripMargin).head().getLong(0)
+    assert(avg == -4L, s"avg(-5µs, -2µs): got $avg, want -4")
+  }
+
   test(s"property: all ${IntervalFuzz.NQueries} queries — rule-ON ≡ rule-OFF outcomes") {
     IntervalFuzz.registerViews(spark, sf0001)
     for (q <- IntervalFuzz.queries()) {
