@@ -42,9 +42,15 @@ object CollationFuzz {
     * UTF8_BINARY_RTRIM half (trailing-space-insensitive equality —
     * DuckDB has no RTRIM collation, so the oracle compensates
     * analytically with `rtrim()`: `x = y` under the RTRIM collation
-    * ⟺ `rtrim(x) = rtrim(y)` binary, probed). Ids are seeded
-    * per-query, so extending the population left 0–23 byte-identical. */
-  val NQueries = 30
+    * ⟺ `rtrim(x) = rtrim(y)` binary, probed); 30–41: the
+    * UNICODE / UNICODE_CI (ICU) half — see [[genUnicode]] for the
+    * probe-backed ICU-free oracle mapping (the driver's DuckDB
+    * cannot LOAD the icu extension from inside a single oracle
+    * statement, so locale-collation oracles are out; on the ASCII
+    * testdata the ICU semantics reduce analytically). Ids are seeded
+    * per-query, so extending the population leaves earlier ids'
+    * generation untouched. */
+  val NQueries = 42
   val GateSeed = 20261301L
 
   private final case class CTable(name: String, key: String, num: String,
@@ -87,6 +93,7 @@ object CollationFuzz {
   private def rtrimSpark(e: String) = s"CAST($e AS STRING COLLATE UTF8_BINARY_RTRIM)"
 
   private def gen(id: Int, rnd: Random): CQuery = {
+    if (id >= 30) return genUnicode(id, rnd)
     if (id >= 24) return genRtrim(id, rnd)
     val t = tables(rnd.nextInt(tables.size))
     val k = s"CAST(${t.key} AS BIGINT)"
@@ -247,6 +254,115 @@ object CollationFuzz {
     }
   }
 
+  /** The UNICODE / UNICODE_CI half (ids 30–41) — the ICU root
+    * collations, closing the round-13 "what's missing #1". Oracle
+    * problem: the driver's DuckDB evaluates ONE SQL statement, so its
+    * `icu` extension locale collations (which DID probe available in
+    * a session that can `LOAD icu`) are unreachable from the gate —
+    * the oracle must be ICU-FREE, which the ASCII testdata makes
+    * analytic (every mapping below probed on 4.1.2 vs DuckDB 1.0
+    * `COLLATE en`, 2026-08-16):
+    *
+    *  - UNICODE_CI EQUALITY on ASCII ⟺ `lower()` binary equality
+    *    (ICU secondary strength folds exactly case there; probed
+    *    incl. digit/punct mixes).
+    *  - UNICODE (case-sensitive) ORDER on ASCII case-variants of one
+    *    template: ICU root sorts lowercase-first at the FIRST
+    *    DIFFERING CASE POSITION ('a' < 'A' probed both engines),
+    *    which for equal-length case variants is exactly the first
+    *    differing byte — binary DESCENDING order. Oracle:
+    *    `ORDER BY lower(v) ASC, v DESC` ⟺ Spark `ORDER BY
+    *    CAST(v AS STRING COLLATE UNICODE)`.
+    *  - Inequality predicates vs literals are EXCLUDED: ICU root and
+    *    byte order disagree on punctuation ('-' < '#' under ICU,
+    *    '#' < '-' in bytes — probed), and a literal comparison can
+    *    hit such a position. The rank arms stay sound because each
+    *    query's values share one column template (differences
+    *    resolve at a letter/digit, where the orders agree — and the
+    *    whole claim is re-verified concretely by the cross-engine
+    *    hash at every gate run).
+    *
+    * Accent folding, canonical equivalence, and locale tailoring are
+    * off-ASCII and therefore NOT gateable against this testdata —
+    * they are spec-pinned one-engine in CollationSpec §UNICODE. */
+  private def genUnicode(id: Int, rnd: Random): CQuery = {
+    val t = tables(rnd.nextInt(tables.size))
+    val k = s"CAST(${t.key} AS BIGINT)"
+    val v = mangled(t, rnd)
+    def uni(e: String) = s"CAST($e AS STRING COLLATE UNICODE)"
+    def uniCi(e: String) = s"CAST($e AS STRING COLLATE UNICODE_CI)"
+    ((id - 30) % 4) match {
+      case 0 =>
+        // UNICODE_CI GROUP BY: case variants must land in ONE group
+        // through the ICU collation-key path; exits lower-normalized
+        // (representative is engine-internal, the fz27/28 discipline)
+        val spark = s"SELECT lower(min(${uniCi(v)})) AS g, " +
+          s"CAST(count(*) AS BIGINT) AS a_0, " +
+          s"CAST(min(${t.num}) AS BIGINT) AS a_1 " +
+          s"FROM ${sparkView(t.name)} GROUP BY ${uniCi(v)}"
+        val duck = s"SELECT lower($v) AS g, " +
+          s"CAST(count(*) AS BIGINT) AS a_0, " +
+          s"CAST(min(${t.num}) AS BIGINT) AS a_1 " +
+          s"FROM ${t.name} GROUP BY lower($v)"
+        CQuery(id, spark, duck, Seq("g", "a_0", "a_1"))
+      case 1 =>
+        // UNICODE_CI JOIN, upper side vs lower side — zero binary
+        // matches, all matches under ICU case-insensitivity. Key
+        // carries the #key%499 residue (the fanout-audit lesson:
+        // 1–5-distinct keys near-cartesian at scale)
+        val p = 1 + rnd.nextInt(5)
+        val sub = t.strs(rnd.nextInt(t.strs.size))
+        val w = s"$sub || '#' || CAST(${t.key} % 499 AS STRING)"
+        val spark =
+          s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
+            s"CAST(coalesce(sum(a.k % 10007), 0) AS BIGINT) AS a_1, " +
+            s"CAST(coalesce(sum(b.k % 10007), 0) AS BIGINT) AS a_2 FROM " +
+            s"(SELECT $k AS k, upper($w) AS v FROM ${sparkView(t.name)} WHERE ${t.key} % $p = 0) a JOIN " +
+            s"(SELECT $k AS k, lower($w) AS v FROM ${sparkView(t.name)} WHERE ${t.key} % ${p + 1} = 0) b " +
+            s"ON ${uniCi("a.v")} = ${uniCi("b.v")}"
+        val duck =
+          s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
+            s"CAST(coalesce(sum(a.k % 10007), 0) AS BIGINT) AS a_1, " +
+            s"CAST(coalesce(sum(b.k % 10007), 0) AS BIGINT) AS a_2 FROM " +
+            s"(SELECT $k AS k, upper($w) AS v FROM ${t.name} WHERE ${t.key} % $p = 0) a JOIN " +
+            s"(SELECT $k AS k, lower($w) AS v FROM ${t.name} WHERE ${t.key} % ${p + 1} = 0) b " +
+            s"ON lower(a.v) = b.v"
+        CQuery(id, spark, duck, Seq("a_0", "a_1", "a_2"))
+      case 2 =>
+        // rank over the ICU order, case-SENSITIVE and case-
+        // insensitive variants alternating; unique-key tiebreak makes
+        // rank position-exact (values non-null by construction, so
+        // the engines' ASC-nulls default divergence never bites)
+        val ci = rnd.nextBoolean()
+        val (sparkOrd, duckOrd) =
+          if (ci) (s"${uniCi(v)}, $k", s"lower($v), $k")
+          else (s"${uni(v)}, $k", s"lower($v) ASC, ($v) DESC, $k")
+        val spark = s"SELECT $k AS key, " +
+          s"CAST(rank() OVER (PARTITION BY ${t.num} % 64 " +
+          s"ORDER BY $sparkOrd) AS BIGINT) AS a_0, " +
+          s"lower($v) AS a_1 FROM ${sparkView(t.name)}"
+        val duck = s"SELECT $k AS key, " +
+          s"CAST(rank() OVER (PARTITION BY ${t.num} % 64 " +
+          s"ORDER BY $duckOrd) AS BIGINT) AS a_0, " +
+          s"lower($v) AS a_1 FROM ${t.name}"
+        CQuery(id, spark, duck, Seq("key", "a_0", "a_1"))
+      case _ =>
+        // UNICODE_CI DISTINCT + an EQUALITY predicate on a mixed-case
+        // literal (inequality literals excluded — see the scaladoc)
+        val lit = Seq("'1-Urgent'", "'Building'", "'o'", "'Machinery'",
+          "'f'")(rnd.nextInt(5))
+        val spark = s"SELECT CAST(count(DISTINCT ${uniCi(v)}) AS BIGINT) AS a_0, " +
+          s"CAST(count(*) AS BIGINT) AS a_1, " +
+          s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_2 " +
+          s"FROM ${sparkView(t.name)} WHERE ${uniCi(v)} = ${uniCi(lit)}"
+        val duck = s"SELECT CAST(count(DISTINCT lower($v)) AS BIGINT) AS a_0, " +
+          s"CAST(count(*) AS BIGINT) AS a_1, " +
+          s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_2 " +
+          s"FROM ${t.name} WHERE lower($v) = lower($lit)"
+        CQuery(id, spark, duck, Seq("a_0", "a_1", "a_2"))
+    }
+  }
+
   // ---- fingerprint reduction (the RelFuzz discipline) ----
 
   def registerViews(spark: SparkSession, dir: String): Unit =
@@ -301,11 +417,15 @@ object CollationFuzzQueries extends QueryModule {
     s"collation fuzz: ${CollationFuzz.NQueries} seeded queries — " +
       "case-mangled strings under UTF8_LCASE (DuckDB COLLATE NOCASE, " +
       "probed lowercase-then-binary-equivalent on ASCII) through " +
-      "collated GROUP BY / JOIN / DISTINCT / predicates / rank, plus " +
-      "an UTF8_BINARY_RTRIM half (trailing-space-insensitive; DuckDB " +
-      "has no RTRIM collation, oracle compensates with rtrim()); " +
-      "string exits lower()/rtrim()-normalized (representative choice " +
-      "is engine-internal)",
+      "collated GROUP BY / JOIN / DISTINCT / predicates / rank, an " +
+      "UTF8_BINARY_RTRIM half (trailing-space-insensitive; DuckDB " +
+      "has no RTRIM collation, oracle compensates with rtrim()), and " +
+      "a UNICODE/UNICODE_CI (ICU root) half — CI equality ≡ lower() " +
+      "on ASCII and the case-sensitive ICU order ≡ (lower ASC, raw " +
+      "DESC) on per-template case variants, both probed vs DuckDB's " +
+      "icu 'en' before being compensated ICU-free; string exits " +
+      "lower()/rtrim()-normalized (representative choice is " +
+      "engine-internal)",
     (s, d) => CollationFuzz.fingerprintAll(s, d),
     Some(CollationFuzz.duckOracleSql))
 

@@ -36,32 +36,52 @@ class CollationFuzzSpec extends SparkSpec {
     ).foreach { op =>
       assert(sql.contains(op), s"population never generated: $op")
     }
-    // the dialect split, per half: the LCASE half (ids 0–23) pairs
-    // COLLATE UTF8_LCASE with DuckDB COLLATE NOCASE; the RTRIM half
+    // the dialect split, per third: the LCASE third (ids 0–23) pairs
+    // COLLATE UTF8_LCASE with DuckDB COLLATE NOCASE; the RTRIM third
     // (24–29) pairs COLLATE UTF8_BINARY_RTRIM with the analytic
-    // rtrim() compensation (DuckDB has no RTRIM collation)
+    // rtrim() compensation (DuckDB has no RTRIM collation); the
+    // UNICODE third (30–41) pairs the ICU collations with the probed
+    // ICU-FREE lower()/binary-DESC compensations (the driver's DuckDB
+    // can't LOAD the icu extension inside one oracle statement)
     qs.foreach { q =>
       if (q.id < 24) {
         assert(q.sparkSql.contains("COLLATE UTF8_LCASE"), s"q${q.id} uncollated")
         assert(q.duckSql.contains("COLLATE NOCASE"), s"q${q.id} oracle uncollated")
-      } else {
+      } else if (q.id < 30) {
         assert(q.sparkSql.contains("COLLATE UTF8_BINARY_RTRIM"), s"q${q.id} uncollated")
         assert(q.duckSql.contains("rtrim(") && !q.duckSql.contains("COLLATE"),
           s"q${q.id} oracle must compensate with rtrim(), not a collation")
+      } else {
+        assert(q.sparkSql.contains("COLLATE UNICODE"), s"q${q.id} uncollated")
+        assert(q.duckSql.contains("lower(") && !q.duckSql.contains("COLLATE"),
+          s"q${q.id} oracle must compensate ICU-free via lower()")
       }
     }
     // the RTRIM half plants all three padding variants and covers all
     // three shapes
-    val rtrimSql = qs.filter(_.id >= 24).map(_.sparkSql).mkString("\n")
+    val rtrimSql = qs.filter(q => q.id >= 24 && q.id < 30).map(_.sparkSql).mkString("\n")
     Seq("|| '  '", "|| ' '", "GROUP BY CAST(", "JOIN", "count(DISTINCT CAST(")
       .foreach { op =>
         assert(rtrimSql.contains(op), s"RTRIM half never generated: $op")
       }
-    // every string exit is normalized — lower() in the LCASE half,
-    // rtrim() in the RTRIM half (representative choice is
+    // the UNICODE third covers all four shapes, both ICU collations,
+    // the widened join key (the fanout-audit lesson), and the
+    // case-SENSITIVE rank emulation (lower ASC, raw DESC) in at
+    // least one oracle
+    val uniSql = qs.filter(_.id >= 30).map(_.sparkSql).mkString("\n")
+    Seq("GROUP BY CAST(", "JOIN", "rank() OVER", "count(DISTINCT CAST(",
+      "COLLATE UNICODE_CI", "% 499").foreach { op =>
+      assert(uniSql.contains(op), s"UNICODE third never generated: $op")
+    }
+    assert(qs.exists(q => q.id >= 30 &&
+      q.sparkSql.contains("COLLATE UNICODE)") &&
+      q.duckSql.contains(") DESC")),
+      "no case-sensitive ICU rank arm with the binary-DESC oracle emulation")
+    // every string exit is normalized — lower() in the LCASE/UNICODE
+    // thirds, rtrim() in the RTRIM third (representative choice is
     // engine-internal for collation-equal strings)
     qs.filter(_.sparkSql.contains("AS g,")).foreach { q =>
-      val norm = if (q.id < 24) "lower(min(CAST(" else "rtrim(min(CAST("
+      val norm = if (q.id >= 24 && q.id < 30) "rtrim(min(CAST(" else "lower(min(CAST("
       assert(q.sparkSql.contains(norm), s"q${q.id} unnormalized group key")
     }
   }
@@ -80,6 +100,17 @@ class CollationFuzzSpec extends SparkSpec {
     assert(r.getLong(1) < r.getLong(0),
       s"collation merged nothing: binary=${r.getLong(0)} collated=${r.getLong(1)}")
     assert(r.getLong(1) == 5, "priorities collapse to the 5 logical values")
+    // same non-vacuity for the ICU half: UNICODE_CI merges the planted
+    // case-variants on real data too
+    val u = spark.sql("""SELECT
+      count(DISTINCT CASE WHEN o_custkey % 3 = 0 THEN upper(o_orderpriority)
+        WHEN o_custkey % 3 = 1 THEN lower(o_orderpriority) ELSE o_orderpriority END) AS bin,
+      count(DISTINCT CAST(CASE WHEN o_custkey % 3 = 0 THEN upper(o_orderpriority)
+        WHEN o_custkey % 3 = 1 THEN lower(o_orderpriority) ELSE o_orderpriority END
+        AS STRING COLLATE UNICODE_CI)) AS coll
+      FROM __fz28_orders""").head()
+    assert(u.getLong(1) == 5 && u.getLong(1) < u.getLong(0),
+      s"UNICODE_CI merged nothing: binary=${u.getLong(0)} collated=${u.getLong(1)}")
   }
 
   test(s"property: all ${CollationFuzz.NQueries} queries — rule-ON ≡ rule-OFF values") {

@@ -147,6 +147,87 @@ class CollationSpec extends SparkSpec {
       s"top-2 under UTF8_LCASE must be the two apples, got ${a.toSeq}")
   }
 
+  // ---- §UNICODE: the ICU root collations (round-14) -------------------
+  //
+  // The cross-engine-gateable slice of UNICODE/UNICODE_CI (equality
+  // shapes + ASCII ordering) lives in q_fz28 ids 30–41 with a probed
+  // ICU-free oracle; what CANNOT be gated against the ASCII testdata —
+  // accent behavior, canonical equivalence, the ICU-vs-bytes ordering
+  // divergences — is pinned here ONE-ENGINE (probed on 4.1.2,
+  // 2026-08-16, cross-checked against DuckDB icu 'en' in a session
+  // that can LOAD icu), so a Spark/ICU upgrade can't silently shift
+  // the semantics the library sweep relies on.
+
+  private def uniCi(c: String) = s"CAST($c AS STRING COLLATE UNICODE_CI)"
+
+  test("§UNICODE library sweep: upsert / groupBy / dedup / best-per-group follow UNICODE_CI") {
+    val existing = Seq(("Alpha", 1L, "old-a"), ("BETA", 2L, "old-b"))
+      .toDF("k", "n", "v").selectExpr(s"${uniCi("k")} AS k", "n", "v")
+    val updates = Seq(("ALPHA", 10L, "new-a"), ("delta", 4L, "new-d"))
+      .toDF("k", "n", "v").selectExpr(s"${uniCi("k")} AS k", "n", "v")
+    val out = Upsert.upsert(existing, updates, Seq("k"))
+    assert(out.count() == 3, "ICU case-variant key must merge, not duplicate")
+    val byK = out.collect().map(r => (r.getString(0).toLowerCase, r.getString(2))).toMap
+    assert(byK("alpha") == "new-a" && byK("beta") == "old-b" && byK("delta") == "new-d")
+
+    val df = Seq("Apple", "APPLE", "apple", "Pear", "PEAR", "plum")
+      .toDF("s").selectExpr(s"${uniCi("s")} AS s")
+    assert(df.groupBy("s").count().count() == 3)
+    assert(df.dropDuplicates("s").count() == 3)
+    val keyed = Seq(("Apple", 5L), ("APPLE", 9L), ("Pear", 3L))
+      .toDF("s", "score").selectExpr(s"${uniCi("s")} AS s", "score")
+    val best = keyed.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s")).orderBy(col("score").desc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getString(0).toLowerCase, r.getLong(1))).toMap
+    assert(best == Map("apple" -> 9L, "pear" -> 3L))
+  }
+
+  test("§UNICODE_CI is case-insensitive but ACCENT-SENSITIVE: café = CAFÉ ≠ cafe") {
+    // ICU secondary strength folds case, keeps accents — the boundary
+    // that separates UNICODE_CI from a lower()-and-strip normalizer
+    def eq(a: String, b: String): Boolean =
+      spark.sql(s"SELECT ${uniCi(s"'$a'")} = ${uniCi(s"'$b'")}").head().getBoolean(0)
+    assert(eq("café", "CAFÉ"), "case folds under CI")
+    assert(!eq("café", "cafe"), "accents do NOT fold under CI")
+    assert(!eq("résumé", "resume"))
+  }
+
+  test("§UNICODE equality is canonical equivalence: composed é = decomposed e+´") {
+    // even the case-SENSITIVE ICU collation equates canonically
+    // equivalent sequences — precisely why TailFrameRewrite's guard
+    // refuses it (FramesSpec pins the plan): equal strings with
+    // different bytes make min/max representatives engine-internal
+    val composed = "café"
+    val decomposed = "café"
+    val r = spark.sql(
+      s"""SELECT CAST('$composed' AS STRING COLLATE UNICODE) =
+         |       CAST('$decomposed' AS STRING COLLATE UNICODE),
+         |       '$composed' = '$decomposed'""".stripMargin).head()
+    assert(r.getBoolean(0), "UNICODE: NFC ≡ NFD")
+    assert(!r.getBoolean(1), "binary: different bytes stay different")
+    // and grouping merges them — 2 logical values from 3 byte-strings
+    val g = Seq(composed, decomposed, "other").toDF("s")
+      .selectExpr("CAST(s AS STRING COLLATE UNICODE) AS s")
+      .groupBy("s").count().count()
+    assert(g == 2, "UNICODE groupBy must merge canonical equivalents")
+  }
+
+  test("§UNICODE root ordering diverges from bytes: lowercase-first, punctuation reordered") {
+    // the facts the fz28 UNICODE rank-arm oracle is built on, pinned
+    // one-engine: ICU root sorts 'a' BEFORE 'A' (bytes: after) and
+    // '-' BEFORE '#' (bytes: after); letters/digits keep byte order
+    def lt(a: String, b: String): Boolean =
+      spark.sql(s"SELECT CAST('$a' AS STRING COLLATE UNICODE) < " +
+        s"CAST('$b' AS STRING COLLATE UNICODE)").head().getBoolean(0)
+    assert(lt("a", "A") && !lt("A", "a"), "ICU tertiary: lowercase first")
+    assert(lt("-", "#"), "ICU root: hyphen before hash (bytes say the opposite)")
+    assert(lt("_", "a") && !lt("Z", "_"),
+      "ICU root: punctuation before letters on BOTH cases (bytes split them)")
+    assert(lt("9", "A") && lt("m", "z"), "digits before letters; letters in order")
+  }
+
   test("TailFrameRewrite refuses collated min/max (cross-reference: FramesSpec pins the repro)") {
     // the one injected rule with an equality ⇒ interchangeability
     // assumption; its collated guard is pinned in depth in FramesSpec —

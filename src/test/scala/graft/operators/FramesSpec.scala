@@ -716,6 +716,47 @@ class FramesSpec extends SparkSpec {
       s"a collated min RANGE sibling must veto the split:\n$plan")
   }
 
+  test("rule: ICU collations (UNICODE / UNICODE_CI) refuse; CAST-to-binary mitigation rewrites") {
+    // The round-14 family extension: ICU root collations lose binary
+    // equality two ways — UNICODE_CI folds case (the LCASE hazard) and
+    // even case-sensitive UNICODE equates canonically-equivalent
+    // sequences (composed vs decomposed 'é'), so BOTH must hit the
+    // guard's any-non-default-collation arm. The documented mitigation
+    // (CAST back to a binary-collated STRING) must keep firing so the
+    // SCALING.md paragraph stays true for the new family.
+    import spark.implicits._
+    Seq((1L, "apple"), (2L, "APPLE"), (3L, "zebra")).toDF("o", "v")
+      .createOrReplaceTempView("__fr_icu")
+    for (coll <- Seq("UNICODE", "UNICODE_CI")) {
+      val plan = spark.sql(s"""SELECT min(CAST(v AS STRING COLLATE $coll))
+        OVER (ORDER BY o ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        FROM __fr_icu""").queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("unboundedfollowing"),
+        s"min under $coll must keep its original frame:\n$plan")
+    }
+    // the refusal is value-correct: ON ≡ OFF, first-encountered kept
+    val q = """SELECT o, min(CAST(v AS STRING COLLATE UNICODE_CI)) OVER (ORDER BY o
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m FROM __fr_icu"""
+    val a = spark.sql(q).collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val b = withoutRule(spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1))
+    assert(a.sameElements(b))
+    assert(a.map(_._2).toSeq == Seq("apple", "APPLE", "zebra"))
+    // mitigation positive control: CAST(x AS STRING) re-types to
+    // UTF8_BINARY — bit-stable equality, rewrite fires, values exact
+    val qMit = """SELECT o, min(CAST(CAST(v AS STRING COLLATE UNICODE_CI) AS STRING))
+      OVER (ORDER BY o ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+      FROM __fr_icu"""
+    val fast = spark.sql(qMit)
+    assert(!fast.queryExecution.executedPlan.toString.toLowerCase
+      .contains("unboundedfollowing"),
+      "the CAST-to-binary mitigation must re-enable the rewrite")
+    val c = fast.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val d = withoutRule(spark.sql(qMit).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1))
+    assert(c.sameElements(d))
+  }
+
   test("rule: DataFrame tailForm now executes the incremental frame automatically") {
     val ord = Seq(Ord(col("o_custkey")), Ord(col("o_orderkey")))
     val df = orders.select(col("o_orderkey"),
