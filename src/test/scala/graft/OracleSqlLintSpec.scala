@@ -81,14 +81,11 @@ class OracleSqlLintSpec extends AnyFunSuite {
     // whose output is BIGINT-cast (`err` 0/1) — never an output-schema
     // sum. 4 error arms + 2 safe-control arms.
     "q_fz29_interval" -> 6,
-    // the exact-rational reference terms of the epsilon-identity arms
-    // (sum(x), sum(x·x), sum(x·y) inside `(n·Σx² − (Σx)²)/…`):
-    // HUGEINT widening is the POINT (exact int headroom for the
-    // reference), and every one is consumed inside an abs()-compare
-    // whose output is a VARCHAR boolean — never an output-schema sum.
-    // The count is seed-stable; a generator change re-pins it here,
-    // which is this lint's contract.
-    "q_fz31_stats_agg" -> 468
+    // (round-14 note: fz31's epsilon-identity reference sums — 468
+    // bare occurrences in round 13 — are now all
+    // CAST(sum(…) AS DECIMAL(18,0)) for the sf-stability ADVICE fix,
+    // so the family needs no pin anymore; the DECIMAL cast is exactly
+    // the wrapping this lint demands)
   )
 
   test("every oracle sum() is CAST-wrapped, DECIMAL, or count-pinned allowlisted") {
