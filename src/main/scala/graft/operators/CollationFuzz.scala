@@ -47,10 +47,15 @@ object CollationFuzz {
     * probe-backed ICU-free oracle mapping (the driver's DuckDB
     * cannot LOAD the icu extension from inside a single oracle
     * statement, so locale-collation oracles are out; on the ASCII
-    * testdata the ICU semantics reduce analytically). Ids are seeded
-    * per-query, so extending the population leaves earlier ids'
-    * generation untouched. */
-  val NQueries = 42
+    * testdata the ICU semantics reduce analytically); 42–47: the
+    * COMPOSITE collations (UTF8_LCASE_RTRIM / UNICODE_CI_RTRIM) —
+    * both insensitivity axes at once, case AND trailing-pad variance
+    * planted on independent residues, oracle `lower(rtrim(x))`
+    * binary equality (probed: 'Apple  ' = 'apple' under both, inner
+    * spaces still significant, DISTINCT over ['A ','a','a  ','B']
+    * is 2). Ids are seeded per-query, so extending the population
+    * leaves earlier ids' generation untouched. */
+  val NQueries = 48
   val GateSeed = 20261301L
 
   private final case class CTable(name: String, key: String, num: String,
@@ -93,6 +98,7 @@ object CollationFuzz {
   private def rtrimSpark(e: String) = s"CAST($e AS STRING COLLATE UTF8_BINARY_RTRIM)"
 
   private def gen(id: Int, rnd: Random): CQuery = {
+    if (id >= 42) return genComposite(id, rnd)
     if (id >= 30) return genUnicode(id, rnd)
     if (id >= 24) return genRtrim(id, rnd)
     val t = tables(rnd.nextInt(tables.size))
@@ -359,6 +365,86 @@ object CollationFuzz {
           s"CAST(count(*) AS BIGINT) AS a_1, " +
           s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_2 " +
           s"FROM ${t.name} WHERE lower($v) = lower($lit)"
+        CQuery(id, spark, duck, Seq("a_0", "a_1", "a_2"))
+    }
+  }
+
+  /** The COMPOSITE-collation quarter (ids 42–47): Spark 4 composes
+    * case-insensitivity with trailing-space-insensitivity
+    * (`UTF8_LCASE_RTRIM`, `UNICODE_CI_RTRIM`). Probed: equality under
+    * both ⟺ `lower(rtrim(x))` binary equality on ASCII ('Apple  ' =
+    * 'apple' TRUE, inner spaces significant, neither axis leaks into
+    * the other) — so the oracle compensates with exactly that
+    * composition. Case and padding are planted on INDEPENDENT
+    * residues (num%3 × key%3), so all nine case×pad combinations
+    * appear and a bug on either axis — or in their composition —
+    * splits groups / drops join rows. */
+  private def genComposite(id: Int, rnd: Random): CQuery = {
+    val t = tables(rnd.nextInt(tables.size))
+    val k = s"CAST(${t.key} AS BIGINT)"
+    val coll = if (rnd.nextBoolean()) "UTF8_LCASE_RTRIM" else "UNICODE_CI_RTRIM"
+    def cc(e: String) = s"CAST($e AS STRING COLLATE $coll)"
+    def norm(e: String) = s"lower(rtrim($e))"
+    // case (num residue) × padding (key residue), independently
+    def cpMangled(rnd0: Random): String = {
+      val s = t.strs(rnd0.nextInt(t.strs.size))
+      val cased = s"CASE WHEN ${t.num} % 3 = 0 THEN upper($s) " +
+        s"WHEN ${t.num} % 3 = 1 THEN lower($s) ELSE $s END"
+      s"(($cased) || CASE WHEN ${t.key} % 3 = 0 THEN '  ' " +
+        s"WHEN ${t.key} % 3 = 1 THEN ' ' ELSE '' END)"
+    }
+    val v = cpMangled(rnd)
+    ((id - 42) % 3) match {
+      case 0 =>
+        // composite GROUP BY: all nine case×pad variants → ONE group
+        val spark = s"SELECT ${norm(s"min(${cc(v)})")} AS g, " +
+          s"CAST(count(*) AS BIGINT) AS a_0, " +
+          s"CAST(min(${t.num}) AS BIGINT) AS a_1 " +
+          s"FROM ${sparkView(t.name)} GROUP BY ${cc(v)}"
+        val duck = s"SELECT ${norm(v)} AS g, " +
+          s"CAST(count(*) AS BIGINT) AS a_0, " +
+          s"CAST(min(${t.num}) AS BIGINT) AS a_1 " +
+          s"FROM ${t.name} GROUP BY ${norm(v)}"
+        CQuery(id, spark, duck, Seq("g", "a_0", "a_1"))
+      case 1 =>
+        // composite JOIN: upper+double-pad left vs lower+bare right —
+        // zero binary matches, all matches under the composition; the
+        // #key%499 residue keeps the key wide (the fanout-audit rule)
+        val p = 1 + rnd.nextInt(5)
+        val sub = t.strs(rnd.nextInt(t.strs.size))
+        val w = s"$sub || '#' || CAST(${t.key} % 499 AS STRING)"
+        val spark =
+          s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
+            s"CAST(coalesce(sum(a.k % 10007), 0) AS BIGINT) AS a_1, " +
+            s"CAST(coalesce(sum(b.k % 10007), 0) AS BIGINT) AS a_2 FROM " +
+            s"(SELECT $k AS k, upper($w) || '  ' AS v FROM ${sparkView(t.name)} WHERE ${t.key} % $p = 0) a JOIN " +
+            s"(SELECT $k AS k, lower($w) AS v FROM ${sparkView(t.name)} WHERE ${t.key} % ${p + 1} = 0) b " +
+            s"ON ${cc("a.v")} = ${cc("b.v")}"
+        val duck =
+          s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
+            s"CAST(coalesce(sum(a.k % 10007), 0) AS BIGINT) AS a_1, " +
+            s"CAST(coalesce(sum(b.k % 10007), 0) AS BIGINT) AS a_2 FROM " +
+            s"(SELECT $k AS k, upper($w) || '  ' AS v FROM ${t.name} WHERE ${t.key} % $p = 0) a JOIN " +
+            s"(SELECT $k AS k, lower($w) AS v FROM ${t.name} WHERE ${t.key} % ${p + 1} = 0) b " +
+            s"ON ${norm("a.v")} = b.v"
+        CQuery(id, spark, duck, Seq("a_0", "a_1", "a_2"))
+      case _ =>
+        // composite DISTINCT + a padded MIXED-CASE literal equality:
+        // both axes must fold on both comparison sides
+        val (src, lit) =
+          if (t.name == "orders") ("o_orderstatus", "o ") else ("c_mktsegment", "Building  ")
+        val pv = s"(CASE WHEN ${t.num} % 3 = 0 THEN upper($src) " +
+          s"WHEN ${t.num} % 3 = 1 THEN lower($src) ELSE $src END || " +
+          s"CASE WHEN ${t.key} % 3 = 0 THEN '  ' " +
+          s"WHEN ${t.key} % 3 = 1 THEN ' ' ELSE '' END)"
+        val spark = s"SELECT CAST(count(DISTINCT ${cc(pv)}) AS BIGINT) AS a_0, " +
+          s"CAST(count(*) AS BIGINT) AS a_1, " +
+          s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_2 " +
+          s"FROM ${sparkView(t.name)} WHERE ${cc(pv)} = ${cc(s"'$lit'")}"
+        val duck = s"SELECT CAST(count(DISTINCT ${norm(pv)}) AS BIGINT) AS a_0, " +
+          s"CAST(count(*) AS BIGINT) AS a_1, " +
+          s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_2 " +
+          s"FROM ${t.name} WHERE ${norm(pv)} = ${norm(s"'$lit'")}"
         CQuery(id, spark, duck, Seq("a_0", "a_1", "a_2"))
     }
   }

@@ -51,10 +51,16 @@ class CollationFuzzSpec extends SparkSpec {
         assert(q.sparkSql.contains("COLLATE UTF8_BINARY_RTRIM"), s"q${q.id} uncollated")
         assert(q.duckSql.contains("rtrim(") && !q.duckSql.contains("COLLATE"),
           s"q${q.id} oracle must compensate with rtrim(), not a collation")
-      } else {
+      } else if (q.id < 42) {
         assert(q.sparkSql.contains("COLLATE UNICODE"), s"q${q.id} uncollated")
         assert(q.duckSql.contains("lower(") && !q.duckSql.contains("COLLATE"),
           s"q${q.id} oracle must compensate ICU-free via lower()")
+      } else {
+        // composite quarter: both axes, lower(rtrim()) compensation
+        assert(q.sparkSql.contains("COLLATE UTF8_LCASE_RTRIM") ||
+          q.sparkSql.contains("COLLATE UNICODE_CI_RTRIM"), s"q${q.id} uncollated")
+        assert(q.duckSql.contains("lower(rtrim(") && !q.duckSql.contains("COLLATE"),
+          s"q${q.id} oracle must compensate with lower(rtrim())")
       }
     }
     // the RTRIM half plants all three padding variants and covers all
@@ -78,12 +84,23 @@ class CollationFuzzSpec extends SparkSpec {
       q.duckSql.contains(") DESC")),
       "no case-sensitive ICU rank arm with the binary-DESC oracle emulation")
     // every string exit is normalized — lower() in the LCASE/UNICODE
-    // thirds, rtrim() in the RTRIM third (representative choice is
-    // engine-internal for collation-equal strings)
+    // families, rtrim() in the RTRIM family, lower(rtrim()) in the
+    // composite quarter (representative choice is engine-internal
+    // for collation-equal strings)
     qs.filter(_.sparkSql.contains("AS g,")).foreach { q =>
-      val norm = if (q.id >= 24 && q.id < 30) "rtrim(min(CAST(" else "lower(min(CAST("
+      val norm =
+        if (q.id >= 42) "lower(rtrim(min(CAST("
+        else if (q.id >= 24 && q.id < 30) "rtrim(min(CAST("
+        else "lower(min(CAST("
       assert(q.sparkSql.contains(norm), s"q${q.id} unnormalized group key")
     }
+    // the composite quarter exercises BOTH collation spellings
+    val compSql = qs.filter(_.id >= 42).map(_.sparkSql).mkString("\n")
+    Seq("COLLATE UTF8_LCASE_RTRIM", "COLLATE UNICODE_CI_RTRIM",
+      "GROUP BY CAST(", "JOIN", "count(DISTINCT CAST(", "% 499")
+      .foreach { op =>
+        assert(compSql.contains(op), s"composite quarter never generated: $op")
+      }
   }
 
   test("the mangling actually plants case-collisions (not vacuous)") {
