@@ -10,12 +10,19 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
     new java.io.File(outDir).mkdirs()
+    // the equi-join fanout audit rides the correctness dump too (same
+    // listener the bench registers — it sees the fuzz harnesses' inner
+    // executions); violations go to stderr + /tmp, NEVER into outDir,
+    // which the driver enumerates as query outputs
+    val fanout = new plans.JoinFanoutAudit.Listener()
+    spark.listenerManager.register(fanout)
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the dump for targeted iteration
     // (same contract as Bench); the driver sets nothing and runs all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      fanout.gate = name
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -38,6 +45,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    spark.stop() // drains the listener bus — the snapshot below is complete
+    val bad = fanout.snapshot
+    if (bad.nonEmpty) {
+      bad.foreach { case (g, f) =>
+        System.err.println(s"[verify] FANOUT VIOLATION ($g) ${f.render}") }
+      try Files.writeString(Paths.get("/tmp/verify_fanout.jsonl"),
+        bad.map { case (g, f) => s"""{"gate":"$g","detail":"${f.render}"}""" }
+          .mkString("", "\n", "\n"))
+      catch { case _: Exception => () }
+    }
   }
 }
