@@ -23,7 +23,7 @@ object SparkEntry {
     WindowNullsFuzzQueries, LateralFuzzQueries, RecursiveFuzzQueries,
     BitwiseFuzzQueries, OrderedAggFuzzQueries, VariantFuzzQueries,
     SignedZeroFuzzQueries, CollationFuzzQueries, IntervalFuzzQueries,
-    NtzFuzzQueries, StatsAggFuzzQueries,
+    NtzFuzzQueries, StatsAggFuzzQueries, StringCollationFuzzQueries,
     UnigramLmQueries, ExpectationsQueries, KCenterQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -74,7 +74,8 @@ class RuleIdentitySpec extends SparkSpec {
     * named here so the scope stays auditable against SURVEY growth. */
   private val outOfScope = Seq("q_fz2", "q_fz3", "q_fz5", "q_fz6", "q_fz7",
     "q_fz8", "q_fz9", "q_fz10", "q_fz11", "q_fz12", "q_fz13", "q_fz14",
-    "q_fz15", "q_fz16", "q_fz23", "q_fz24", "q_fz25", "q_fz26", "q_fz31")
+    "q_fz15", "q_fz16", "q_fz23", "q_fz24", "q_fz25", "q_fz26", "q_fz31",
+    "q_fz32")
 
   test("sweep scope covers every fuzz family exactly once") {
     val fuzz = SparkEntry.queries.keys.filter(_.startsWith("q_fz")).toSeq
