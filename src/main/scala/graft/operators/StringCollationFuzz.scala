@@ -37,10 +37,21 @@ import scala.util.Random
   * Case diversity is PLANTED two ways: the haystack is case-mangled
   * on a numeric residue (fz28's discipline), and the needle literals
   * flip case independently — a binary-match bug flips counts /
-  * positions / rewrite outputs on every arm. */
+  * positions / rewrite outputs on every arm.
+  *
+  * Ids 24–29: REGEXP under collation — Spark compiles the pattern
+  * case-insensitively under UTF8_LCASE (probed: `'apple' RLIKE 'APP'`
+  * true, `regexp_count('aAbA', 'a')` = 3, `regexp_replace` rewrites
+  * ALL ci occurrences), and REJECTS regexp on every other collation
+  * family (UNICODE_CI and any RTRIM variant: DATATYPE_MISMATCH —
+  * boundary pinned in the spec). Patterns generate all-lowercase, so
+  * the lowered-operand oracle is literal: `regexp_matches(lower(v),
+  * pat)` / `len(regexp_extract_all(...))` / `regexp_extract` /
+  * `regexp_replace(..., 'g')` — DuckDB's replace is first-match-only
+  * without the 'g' flag, Spark's is global. */
 object StringCollationFuzz {
 
-  val NQueries = 24
+  val NQueries = 30
   val GateSeed = 20261701L
 
   private final case class STable(name: String, key: String, num: String,
@@ -74,6 +85,7 @@ object StringCollationFuzz {
   }
 
   private def gen(id: Int, rnd: Random): SQuery = {
+    if (id >= 24) return genRegexp(id, rnd)
     val t = tables(rnd.nextInt(tables.size))
     val k = s"CAST(${t.key} AS BIGINT)"
     val v = mangled(t, rnd)
@@ -161,6 +173,50 @@ object StringCollationFuzz {
           s"CAST(list_position([lower('$needle'), lower($v)], lower($v)) AS BIGINT) AS a_3 " +
           s"FROM ${t.name}"
         SQuery(id, spark, duck, Seq("key", "a_0", "a_1", "a_2", "a_3"))
+    }
+  }
+
+  /** The regexp quarter (ids 24–29): UTF8_LCASE only — the one
+    * collation family whose regexp Spark accepts (see the scaladoc).
+    * All-lowercase patterns make the lowered oracle literal. */
+  private def genRegexp(id: Int, rnd: Random): SQuery = {
+    val t = tables(rnd.nextInt(tables.size))
+    val k = s"CAST(${t.key} AS BIGINT)"
+    val v = mangled(t, rnd)
+    def c(e: String) = s"CAST($e AS STRING COLLATE UTF8_LCASE)"
+    val pats = Seq("urg", "ent$", "^[0-9]-", "[aeiou]+", "ing", "er",
+      "cust[a-z]*", "[a-z]#?[0-9]*")
+    val pat = pats(rnd.nextInt(pats.size))
+    ((id - 24) % 3) match {
+      case 0 =>
+        // rlike predicate: the ci match SET is the assertion
+        val spark = s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
+          s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_1 " +
+          s"FROM ${sparkView(t.name)} WHERE ${c(v)} RLIKE '$pat'"
+        val duck = s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
+          s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_1 " +
+          s"FROM ${t.name} WHERE regexp_matches(lower($v), '$pat')"
+        SQuery(id, spark, duck, Seq("a_0", "a_1"))
+      case 1 =>
+        // regexp_count + regexp_extract per row
+        val spark = s"SELECT $k AS key, " +
+          s"CAST(regexp_count(${c(v)}, '$pat') AS BIGINT) AS a_0, " +
+          s"lower(regexp_extract(${c(v)}, '($pat)', 1)) AS a_1 " +
+          s"FROM ${sparkView(t.name)}"
+        val duck = s"SELECT $k AS key, " +
+          s"CAST(len(regexp_extract_all(lower($v), '$pat')) AS BIGINT) AS a_0, " +
+          s"regexp_extract(lower($v), '($pat)', 1) AS a_1 " +
+          s"FROM ${t.name}"
+        SQuery(id, spark, duck, Seq("key", "a_0", "a_1"))
+      case _ =>
+        // global ci regexp_replace, exits lower-normalized both sides
+        val spark = s"SELECT $k AS key, " +
+          s"lower(regexp_replace(${c(v)}, '$pat', 'Qz')) AS a_0 " +
+          s"FROM ${sparkView(t.name)}"
+        val duck = s"SELECT $k AS key, " +
+          s"regexp_replace(lower($v), '$pat', 'qz', 'g') AS a_0 " +
+          s"FROM ${t.name}"
+        SQuery(id, spark, duck, Seq("key", "a_0"))
     }
   }
 

@@ -228,6 +228,27 @@ class CollationSpec extends SparkSpec {
     assert(lt("9", "A") && lt("m", "z"), "digits before letters; letters in order")
   }
 
+  test("collation PROPAGATES through string functions: derived columns stay collated") {
+    // substring/concat/upper/rtrim of a collated column return the
+    // SAME collation (typeof pinned), so grouping by a derived key is
+    // still case-insensitive — the q_fz32 search gate and every
+    // library operator over derived string keys rely on this
+    val ty = spark.sql(
+      s"SELECT typeof(substring(${lcase("'Apple'")}, 1, 3))").head().getString(0)
+    assert(ty == "string collate UTF8_LCASE", s"propagation lost: $ty")
+    for (expr <- Seq(
+        s"substring(${lcase("'Apple'")}, 1, 3) = substring(${lcase("'APPLE'")}, 1, 3)",
+        s"concat(${lcase("'Ap'")}, 'X') = concat(${lcase("'aP'")}, 'x')",
+        s"upper(${lcase("'apple'")}) = upper(${lcase("'APPLE'")})",
+        s"rtrim(${lcase("'Apple  '")}) = rtrim(${lcase("'APPLE'")})"))
+      assert(spark.sql(s"SELECT $expr").head().getBoolean(0), expr)
+    import spark.implicits._
+    val g = Seq("Apple", "APPLE", "apricot").toDF("s")
+      .selectExpr(s"${lcase("s")} AS s")
+      .selectExpr("substring(s, 1, 3) AS p").groupBy("p").count().count()
+    assert(g == 2, "grouping by a DERIVED collated key must stay case-insensitive")
+  }
+
   test("TailFrameRewrite refuses collated min/max (cross-reference: FramesSpec pins the repro)") {
     // the one injected rule with an equality ⇒ interchangeability
     // assumption; its collated guard is pinned in depth in FramesSpec —

@@ -41,13 +41,45 @@ class StringCollationFuzzSpec extends SparkSpec {
     }
     // rewrite exits lower-normalize BOTH dialects (replacement case
     // is the one engine freedom there)
-    qs.filter(_.id % 4 == 2).foreach { q =>
+    qs.filter(q => q.id < 24 && q.id % 4 == 2).foreach { q =>
       assert(q.sparkSql.contains("lower(replace(") &&
         q.duckSql.contains("replace(lower("), s"q${q.id} unnormalized rewrite")
     }
     // the oracle never names a collation — ICU-free by construction
     qs.foreach(q => assert(!q.duckSql.contains("COLLATE"),
       s"q${q.id}: oracle must stay ICU/collation-free"))
+    // the regexp quarter: all three shapes, UTF8_LCASE only (Spark
+    // rejects regexp on every other collation family), global-flag
+    // compensation on the DuckDB replace
+    val re = qs.filter(_.id >= 24)
+    assert(re.nonEmpty && re.forall(q =>
+      q.sparkSql.contains("UTF8_LCASE") && !q.sparkSql.contains("UNICODE")))
+    Seq(" RLIKE ", "regexp_count(", "regexp_extract(", "regexp_replace(")
+      .foreach { op =>
+        assert(re.map(_.sparkSql).mkString.contains(op),
+          s"regexp quarter never generated: $op")
+      }
+    re.filter(q => (q.id - 24) % 3 == 2).foreach { q =>
+      assert(q.duckSql.contains("'qz', 'g')"),
+        s"q${q.id}: DuckDB replace needs the global flag (Spark's is global)")
+    }
+  }
+
+  test("regexp × collation boundary: only UTF8_LCASE compiles; ICU and RTRIM reject") {
+    // pinned one-engine so an upgrade that starts ACCEPTING these
+    // (presumably via ICU regex) fails here and prompts a gate
+    // extension rather than silently leaving the new path untested
+    def err(coll: String): String =
+      intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(s"SELECT CAST('x' AS STRING COLLATE $coll) RLIKE 'x'").collect()
+      ).getCondition
+    for (coll <- Seq("UNICODE_CI", "UTF8_LCASE_RTRIM", "UNICODE"))
+      assert(err(coll).startsWith("DATATYPE_MISMATCH"),
+        s"regexp under $coll should be rejected today")
+    // and the accepted family is genuinely case-insensitive
+    assert(spark.sql(
+      "SELECT CAST('apple' AS STRING COLLATE UTF8_LCASE) RLIKE 'APP'")
+      .head().getBoolean(0))
   }
 
   test("collated search actually widens the match set (not vacuous)") {
