@@ -249,6 +249,33 @@ class CollationSpec extends SparkSpec {
     assert(g == 2, "grouping by a DERIVED collated key must stay case-insensitive")
   }
 
+  test("representative-class aggregates over collated ties: membership invariant, not identity") {
+    // mode/min_by/max_by over collation-equal ties surface SOME member
+    // of the tied class — which one is engine-internal (the fz27/fz28
+    // representative discipline), so the pin is the INVARIANT every
+    // consumer may rely on: (a) ties are recognized (the collation
+    // decided the grouping/ordering), (b) the surfaced value is a
+    // MEMBER of the tied class. An upgrade may legally change the
+    // member; it may not leave the class.
+    val df = Seq(("Apple", 1L), ("APPLE", 2L), ("apple", 3L), ("pear", 9L))
+      .toDF("s", "n").selectExpr(s"${lcase("s")} AS s", "n")
+    df.createOrReplaceTempView("__coll_repr")
+    // mode: the three case-variants of 'apple' are ONE mode class
+    // (frequency 3 beats 'pear' at 1); the representative is a member
+    val m = spark.sql("SELECT mode(s) FROM __coll_repr").head().getString(0)
+    assert(m.toLowerCase == "apple", s"mode must surface the ci-majority class, got $m")
+    // min_by / max_by with a collated ORDERING value: 'apple*' ties
+    // as the minimum class — the surfaced n must belong to it
+    val minN = spark.sql("SELECT min_by(n, s) FROM __coll_repr").head().getLong(0)
+    assert(Set(1L, 2L, 3L).contains(minN),
+      s"min_by must pick from the tied minimum class, got $minN")
+    val maxN = spark.sql("SELECT max_by(n, s) FROM __coll_repr").head().getLong(0)
+    assert(maxN == 9L, "pear is the unique collated maximum")
+    // and the min/max aggregates themselves: member-of-class
+    val mn = spark.sql("SELECT min(s) FROM __coll_repr").head().getString(0)
+    assert(mn.toLowerCase == "apple", s"min must be in the ci-minimum class, got $mn")
+  }
+
   test("TailFrameRewrite refuses collated min/max (cross-reference: FramesSpec pins the repro)") {
     // the one injected rule with an equality ⇒ interchangeability
     // assumption; its collated guard is pinned in depth in FramesSpec —
