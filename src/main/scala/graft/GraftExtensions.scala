@@ -32,12 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // the O(n²) ROWS … UNBOUNDED FOLLOWING frame class rewrites to its
-    // O(n) running twin (graft.plans.TailFrameRewrite scaladoc)
-    ext.injectOptimizerRule(_ => graft.plans.TailFrameRewrite)
-    // CSE-split top-k projections re-inline so SpecialLimits keeps
-    // planning bounded heaps instead of a global sort
-    ext.injectOptimizerRule(_ => graft.plans.TopKProjectInline)
+    // every registered optimizer rule (the O(n²) tail-frame → O(n)
+    // running-twin rewrite; the bounded-heap top-k re-inliner) — one
+    // registry shared with GraftSession, swept by RuleIdentitySpec
+    for ((_, rule) <- graft.plans.GraftRules.injected)
+      ext.injectOptimizerRule(_ => rule)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),

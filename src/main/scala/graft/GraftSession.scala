@@ -25,16 +25,14 @@ object GraftSession {
       .config("spark.sql.legacy.javaCharsets", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // the O(n²) tail-frame class rewrites to its O(n) running twin
-    // automatically (value-preserving matches only — see the rule)
-    if (!s.experimental.extraOptimizations.contains(plans.TailFrameRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ plans.TailFrameRewrite
-    // CSE-split top-k projections re-inline so SpecialLimits keeps
-    // planning bounded heaps instead of a global sort (see the rule)
-    if (!s.experimental.extraOptimizations.contains(plans.TopKProjectInline))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ plans.TopKProjectInline
+    // inject every registered optimizer rule (TailFrameRewrite's O(n²)
+    // tail-frame → O(n) running twin; TopKProjectInline's bounded-heap
+    // top-k preservation) — the registry is the one list both this
+    // path and GraftExtensions draw from, and RuleIdentitySpec sweeps
+    for ((_, rule) <- plans.GraftRules.injected)
+      if (!s.experimental.extraOptimizations.contains(rule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ rule
     // SQL surface for the sketch aggregator (native expressions are
     // injected by GraftExtensions; a typed Aggregator registers
     // per-session): SELECT kmv_sketch(hash_col) ... GROUP BY g

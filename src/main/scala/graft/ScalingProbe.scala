@@ -60,7 +60,11 @@ object ScalingProbe {
     "q_ev8_session_window", "q_cc9_cooccurrence", "q_m5_scd2",
     "q_qa1_expectations", "q_qa2_profile_drift", "q_w6_range_frame",
     "q_fz4_window_setop_fuzz", "q_sp12_quantile_registers",
-    "q_sp13_quantile_merge", "q_cc10_communities")
+    "q_sp13_quantile_merge", "q_cc10_communities",
+    // round-15: the r14/r15 collation populations (fz28 grew to 48
+    // queries, fz32 is new at 42) get decade rows like the older
+    // families — orders/customer are the real sf0.01→sf0.1 step
+    "q_fz28_collation", "q_fz32_collated_strfuncs")
 
   val Shards = 10
   private val IdOffset = 10000000L

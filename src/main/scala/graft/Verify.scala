@@ -10,11 +10,12 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
     new java.io.File(outDir).mkdirs()
-    // the equi-join fanout audit rides the correctness dump too (same
-    // listener the bench registers — it sees the fuzz harnesses' inner
-    // executions); violations go to stderr + /tmp, NEVER into outDir,
-    // which the driver enumerates as query outputs
-    val fanout = new plans.JoinFanoutAudit.Listener()
+    // the runtime cardinality audit (join/generate fanout + exchange
+    // skew) rides the correctness dump too (same listener the bench
+    // registers — it sees the fuzz harnesses' inner executions);
+    // violations go to stderr + /tmp, NEVER into outDir, which the
+    // driver enumerates as query outputs
+    val fanout = new plans.CardinalityAudit.Listener()
     spark.listenerManager.register(fanout)
     // SPARK_GRAFT_ONLY=q_a,q_b narrows the dump for targeted iteration
     // (same contract as Bench); the driver sets nothing and runs all
@@ -49,9 +50,13 @@ object Verify {
     val bad = fanout.snapshot
     if (bad.nonEmpty) {
       bad.foreach { case (g, f) =>
-        System.err.println(s"[verify] FANOUT VIOLATION ($g) ${f.render}") }
+        System.err.println(s"[verify] CARDINALITY VIOLATION ($g) ${f.render}") }
+      // the same escape q() applies: a gate tag can be null (violation
+      // landed outside any gate window) and a rendered detail can carry
+      // quotes from a generated expression — both must stay valid JSON
       try Files.writeString(Paths.get("/tmp/verify_fanout.jsonl"),
-        bad.map { case (g, f) => s"""{"gate":"$g","detail":"${f.render}"}""" }
+        bad.map { case (g, f) =>
+          s"""{"gate":${q(Option(g).getOrElse(""))},"detail":${q(f.render)}}""" }
           .mkString("", "\n", "\n"))
       catch { case _: Exception => () }
     }

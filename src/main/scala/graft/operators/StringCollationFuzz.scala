@@ -48,10 +48,41 @@ import scala.util.Random
   * the lowered-operand oracle is literal: `regexp_matches(lower(v),
   * pat)` / `len(regexp_extract_all(...))` / `regexp_extract` /
   * `regexp_replace(..., 'g')` — DuckDB's replace is first-match-only
-  * without the 'g' flag, Spark's is global. */
+  * without the 'g' flag, Spark's is global.
+  *
+  * Ids 30–41: the COMPOSITE collations (`UTF8_LCASE_RTRIM` /
+  * `UNICODE_CI_RTRIM`) on the search surface — fz28 gates them only
+  * on comparison (GROUP/JOIN/DISTINCT, ids 42–47). Probed semantics
+  * on 4.1.2 (every claim pinned one-engine in the spec):
+  *  - `contains`/`startswith`/`endswith`/`instr`/`locate` rtrim BOTH
+  *    operands as whole strings, then search case-insensitively:
+  *    `startswith('  ab','a')` = false (leading spaces kept),
+  *    `endswith('ab  ','b')` = true and `instr('aBc  ','c')` = 3
+  *    (haystack trimmed), `instr('abc','c ')` = 3 (needle trimmed).
+  *    Oracle: the function over `rtrim(lower(x))` on both sides —
+  *    positions align because trimming and ASCII case changes are
+  *    both length-preserving left of the match.
+  *  - equality / `IN` / `array_contains` / `array_position` are
+  *    rtrim+ci whole-string: oracle `rtrim(lower(x))`.
+  *  - `replace` does NOT trim (probed: needle `'xb '` matches
+  *    nothing in `'aXBcd'` while contains trims it) — it is plain ci
+  *    occurrence rewrite; generated needles are pad-free, so the
+  *    base-family lowered-operand oracle carries over unchanged.
+  *  - `trim(chars FROM x)` and `split_part` interact with trailing
+  *    pads in ways no DuckDB one-liner mirrors (probed: composite
+  *    set-trim removes set chars BENEATH trailing spaces and keeps
+  *    the spaces), so their composite arms generate the PAD-FREE
+  *    case-mangled subject — the composite ci path is exercised, the
+  *    murky pad interaction deliberately stays out of the oracle.
+  *  - `LIKE` and all regexp functions are DATATYPE_MISMATCH under
+  *    BOTH composites (boundary pinned one-engine like the base
+  *    families').
+  * Pad diversity is planted on a residue of the key INDEPENDENT of
+  * the case-mangling residue, so all nine case×pad combinations
+  * appear (the fz28 composite discipline). */
 object StringCollationFuzz {
 
-  val NQueries = 30
+  val NQueries = 42
   val GateSeed = 20261701L
 
   private final case class STable(name: String, key: String, num: String,
@@ -84,7 +115,14 @@ object StringCollationFuzz {
       s"WHEN ${t.num} % 3 = 1 THEN lower($s) ELSE $s END"
   }
 
+  /** Trailing-pad mangling on a key residue INDEPENDENT of the case
+    * residue (which keys on the num column): nine case×pad combos. */
+  private def padded(t: STable, inner: String): String =
+    s"CASE WHEN ${t.key} % 3 = 0 THEN $inner || '  ' " +
+      s"WHEN ${t.key} % 3 = 1 THEN $inner || ' ' ELSE $inner END"
+
   private def gen(id: Int, rnd: Random): SQuery = {
+    if (id >= 30) return genComposite(id, rnd)
     if (id >= 24) return genRegexp(id, rnd)
     val t = tables(rnd.nextInt(tables.size))
     val k = s"CAST(${t.key} AS BIGINT)"
@@ -119,22 +157,26 @@ object StringCollationFuzz {
           s"FROM ${t.name} WHERE $duckPred"
         SQuery(id, spark, duck, Seq("a_0", "a_1"))
       case 1 =>
-        // position arm: instr + boolean search exits per row (ASCII
-        // case variants are equal-length, so ci positions equal
-        // positions in the lowered twin)
+        // position arm: instr + locate + boolean search exits per row
+        // (ASCII case variants are equal-length, so ci positions equal
+        // positions in the lowered twin; locate's reversed argument
+        // order compensates to the same strpos)
         val needle = t.needles(rnd.nextInt(t.needles.size))
+        val needle2 = t.needles(rnd.nextInt(t.needles.size))
         val prefix = t.prefixes(rnd.nextInt(t.prefixes.size))
         val spark = s"SELECT $k AS key, " +
           s"CAST(instr(${c(v)}, ${c(s"'$needle'")}) AS BIGINT) AS a_0, " +
           s"CAST(CAST(startswith(${c(v)}, ${c(s"'$prefix'")}) AS INT) AS BIGINT) AS a_1, " +
-          s"CAST(length(${c(v)}) AS BIGINT) AS a_2 " +
+          s"CAST(length(${c(v)}) AS BIGINT) AS a_2, " +
+          s"CAST(locate(${c(s"'$needle2'")}, ${c(v)}) AS BIGINT) AS a_3 " +
           s"FROM ${sparkView(t.name)}"
         val duck = s"SELECT $k AS key, " +
           s"CAST(strpos(lower($v), lower('$needle')) AS BIGINT) AS a_0, " +
           s"CAST(CAST(starts_with(lower($v), lower('$prefix')) AS INT) AS BIGINT) AS a_1, " +
-          s"CAST(length($v) AS BIGINT) AS a_2 " +
+          s"CAST(length($v) AS BIGINT) AS a_2, " +
+          s"CAST(strpos(lower($v), lower('$needle2')) AS BIGINT) AS a_3 " +
           s"FROM ${t.name}"
-        SQuery(id, spark, duck, Seq("key", "a_0", "a_1", "a_2"))
+        SQuery(id, spark, duck, Seq("key", "a_0", "a_1", "a_2", "a_3"))
       case 2 =>
         // rewrite arm: replace + split_part, outputs lower-normalized
         // on BOTH sides (the replacement's case survives in Spark's
@@ -220,6 +262,136 @@ object StringCollationFuzz {
     }
   }
 
+  /** The composite quarter (ids 30–41): UTF8_LCASE_RTRIM /
+    * UNICODE_CI_RTRIM over the search surface, with the probed
+    * rtrim-both-operands oracle for search/equality, the base ci
+    * oracle for replace (needles pad-free by construction), and the
+    * pad-free subject for trim-set/split_part — see the scaladoc's
+    * semantics table. */
+  /** Per-(table, string-column) needle/prefix/suffix pools for the
+    * composite quarter: the shared table-level pools mix needles for
+    * BOTH string columns, and a needle that cannot occur in the drawn
+    * column makes the predicate arm's match set empty (the first cut
+    * generated two vacuous arms out of three — agreement on an empty
+    * set gates nothing). */
+  private def compositePools(t: STable, si: Int): (Seq[String], Seq[String], Seq[String]) =
+    (t.name, si) match {
+      case ("orders", _) => // o_orderpriority (± '/status' tail)
+        (Seq("urgent", "HIGH", "med", "LOW", "eciF"),
+          Seq("1-u", "2-H", "5-l", "4-N"),
+          if (si == 0) Seq("ENT", "gh", "IED", "ow") else Seq("/o", "/F", "ENT/P"))
+      case (_, 0) => // c_mktsegment: AUTOMOBILE BUILDING FURNITURE MACHINERY HOUSEHOLD
+        (Seq("build", "MACH", "USEH", "ile", "ur"),
+          Seq("BU", "ma", "Fu", "AUTO"),
+          Seq("ING", "ery", "olD", "ILE"))
+      case _ => // c_name: 'Customer#000000001'
+        (Seq("Customer#", "stomer", "er#0"),
+          Seq("Cust", "cUSTO"),
+          Seq("1", "5", "8"))
+    }
+
+  private def genComposite(id: Int, rnd: Random): SQuery = {
+    val t = tables(rnd.nextInt(tables.size))
+    val k = s"CAST(${t.key} AS BIGINT)"
+    val si = rnd.nextInt(t.strs.size)
+    val s0 = t.strs(si)
+    val (cNeedles, cPrefixes, cSuffixes) = compositePools(t, si)
+    // case-mangled pad-free subject over the EXPLICITLY drawn column
+    // (mangled() hides the draw, and the pools must match it)
+    val vPlain = s"CASE WHEN ${t.num} % 3 = 0 THEN upper($s0) " +
+      s"WHEN ${t.num} % 3 = 1 THEN lower($s0) ELSE $s0 END"
+    val v = padded(t, vPlain) // nine case×pad combinations
+    val coll = if (rnd.nextBoolean()) "UTF8_LCASE_RTRIM" else "UNICODE_CI_RTRIM"
+    def c(e: String) = s"CAST($e AS STRING COLLATE $coll)"
+    // rtrim+lower both sides: the probed whole-string-trim-then-ci
+    // semantics of search and equality under the composites
+    def o(e: String) = s"rtrim(lower($e))"
+    // planted pad variants for needles/literals — the composite must
+    // erase them; a binary or ci-only path flips the fingerprint
+    def pad(s: String) = rnd.nextInt(3) match {
+      case 0 => s + "  "
+      case 1 => s + " "
+      case _ => s
+    }
+    ((id - 30) % 4) match {
+      case 0 =>
+        // predicate arm: composite contains/startswith/endswith
+        val needle = pad(cNeedles(rnd.nextInt(cNeedles.size)))
+        val prefix = pad(cPrefixes(rnd.nextInt(cPrefixes.size)))
+        val suffix = pad(cSuffixes(rnd.nextInt(cSuffixes.size)))
+        val (sparkPred, duckPred) = rnd.nextInt(3) match {
+          case 0 => (s"contains(${c(v)}, ${c(s"'$needle'")})",
+            s"contains(${o(v)}, ${o(s"'$needle'")})")
+          case 1 => (s"startswith(${c(v)}, ${c(s"'$prefix'")})",
+            s"starts_with(${o(v)}, ${o(s"'$prefix'")})")
+          case _ => (s"endswith(${c(v)}, ${c(s"'$suffix'")})",
+            s"ends_with(${o(v)}, ${o(s"'$suffix'")})")
+        }
+        val spark = s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
+          s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_1 " +
+          s"FROM ${sparkView(t.name)} WHERE $sparkPred"
+        val duck = s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
+          s"CAST(coalesce(sum($k % 10007), 0) AS BIGINT) AS a_1 " +
+          s"FROM ${t.name} WHERE $duckPred"
+        SQuery(id, spark, duck, Seq("a_0", "a_1"))
+      case 1 =>
+        // position arm: instr + locate on the trimmed haystack (the
+        // probed position base); length stays on the RAW expression —
+        // composite length is untested territory the oracle can't pin
+        val needle = pad(cNeedles(rnd.nextInt(cNeedles.size)))
+        val needle2 = cNeedles(rnd.nextInt(cNeedles.size))
+        val spark = s"SELECT $k AS key, " +
+          s"CAST(instr(${c(v)}, ${c(s"'$needle'")}) AS BIGINT) AS a_0, " +
+          s"CAST(locate(${c(s"'$needle2'")}, ${c(v)}) AS BIGINT) AS a_1, " +
+          s"CAST(length($v) AS BIGINT) AS a_2 " +
+          s"FROM ${sparkView(t.name)}"
+        val duck = s"SELECT $k AS key, " +
+          s"CAST(strpos(${o(v)}, ${o(s"'$needle'")}) AS BIGINT) AS a_0, " +
+          s"CAST(strpos(${o(v)}, ${o(s"'$needle2'")}) AS BIGINT) AS a_1, " +
+          s"CAST(length($v) AS BIGINT) AS a_2 " +
+          s"FROM ${t.name}"
+        SQuery(id, spark, duck, Seq("key", "a_0", "a_1", "a_2"))
+      case 2 =>
+        // equality/membership arm: IN over padded mixed-case literals,
+        // array membership + position — all rtrim+ci whole-string
+        val (l1, l2) =
+          if (t.name == "orders") ("1-URGENT ", "5-low  ") else ("BUILDING ", "machinery")
+        val needle = pad(cNeedles(rnd.nextInt(cNeedles.size)))
+        val spark = s"SELECT $k AS key, " +
+          s"CAST(CAST(${c(v)} IN (${c(s"'$l1'")}, ${c(s"'$l2'")}) AS INT) AS BIGINT) AS a_0, " +
+          s"CAST(CAST(array_contains(array(${c(v)}, ${c(s"'$needle'")}), ${c(s"'$l1'")}) AS INT) AS BIGINT) AS a_1, " +
+          s"CAST(array_position(array(${c(s"'$needle'")}, ${c(v)}), ${c(v)}) AS BIGINT) AS a_2 " +
+          s"FROM ${sparkView(t.name)}"
+        val duck = s"SELECT $k AS key, " +
+          s"CAST(CAST(${o(v)} IN (${o(s"'$l1'")}, ${o(s"'$l2'")}) AS INT) AS BIGINT) AS a_0, " +
+          s"CAST(CAST(list_contains([${o(v)}, ${o(s"'$needle'")}], ${o(s"'$l1'")}) AS INT) AS BIGINT) AS a_1, " +
+          s"CAST(list_position([${o(s"'$needle'")}, ${o(v)}], ${o(v)}) AS BIGINT) AS a_2 " +
+          s"FROM ${t.name}"
+        SQuery(id, spark, duck, Seq("key", "a_0", "a_1", "a_2"))
+      case _ =>
+        // rewrite arm: ci replace over the PADDED haystack with a
+        // pad-free needle (probed: composite replace never trims, so
+        // the base lowered-operand oracle holds; haystack pads ride
+        // through both engines identically); trim-set and split_part
+        // on the PAD-FREE subject (see the scaladoc)
+        val needle = cNeedles(rnd.nextInt(cNeedles.size))
+        val chars = Seq("oF", "Bg", "dE", "m1")(rnd.nextInt(4))
+        val delim = Seq("e", "N", "i", "R", "o")(rnd.nextInt(5))
+        val part = 1 + rnd.nextInt(3)
+        val spark = s"SELECT $k AS key, " +
+          s"lower(replace(${c(v)}, ${c(s"'$needle'")}, 'Qz')) AS a_0, " +
+          s"lower(trim(${c(s"'$chars'")} FROM ${c(vPlain)})) AS a_1, " +
+          s"lower(split_part(${c(vPlain)}, ${c(s"'$delim'")}, $part)) AS a_2 " +
+          s"FROM ${sparkView(t.name)}"
+        val duck = s"SELECT $k AS key, " +
+          s"replace(lower($v), lower('$needle'), 'qz') AS a_0, " +
+          s"trim(lower($vPlain), lower('$chars')) AS a_1, " +
+          s"split_part(lower($vPlain), lower('$delim'), $part) AS a_2 " +
+          s"FROM ${t.name}"
+        SQuery(id, spark, duck, Seq("key", "a_0", "a_1", "a_2"))
+    }
+  }
+
   // ---- fingerprint reduction (the RelFuzz discipline) ----
 
   def registerViews(spark: SparkSession, dir: String): Unit =
@@ -273,12 +445,17 @@ object StringCollationFuzzQueries extends QueryModule {
     "q_fz32_collated_strfuncs",
     s"collated string-function fuzz: ${StringCollationFuzz.NQueries} " +
       "seeded queries — contains/startswith/endswith/LIKE predicates, " +
-      "instr positions, replace/split_part rewrites, trim-set/IN/array " +
-      "membership, all matching through UTF8_LCASE or UNICODE_CI (ICU " +
-      "StringSearch); oracle is each function over lower()ed operands " +
-      "(probed position/occurrence-equivalent on ASCII), rewrite exits " +
-      "lower-normalized both sides; LIKE stays UTF8_LCASE-only (probed " +
-      "DATATYPE_MISMATCH under UNICODE_CI)",
+      "instr/locate positions, replace/split_part rewrites, trim-set/" +
+      "IN/array membership, matching through UTF8_LCASE or UNICODE_CI " +
+      "(ICU StringSearch); oracle is each function over lower()ed " +
+      "operands (probed position/occurrence-equivalent on ASCII), " +
+      "rewrite exits lower-normalized both sides; LIKE stays " +
+      "UTF8_LCASE-only (probed DATATYPE_MISMATCH under UNICODE_CI); " +
+      "ids 30-41 the composite quarter (UTF8_LCASE_RTRIM / " +
+      "UNICODE_CI_RTRIM) — search/equality rtrim BOTH operands then " +
+      "match ci (probed), oracle composes rtrim(lower()); replace " +
+      "never trims (probed), trim-set/split_part ride pad-free " +
+      "subjects; LIKE+regexp rejected under both composites (pinned)",
     (s, d) => StringCollationFuzz.fingerprintAll(s, d),
     Some(StringCollationFuzz.duckOracleSql))
 

@@ -5,7 +5,6 @@ import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.BaseJoinExec
-import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Post-execution EQUI-JOIN FANOUT audit — automating the blowup class
   * that round 13 caught only by eye: fz28's first-cut RTRIM join keyed
@@ -33,8 +32,9 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * rows) out of scope: the hazard class is big AND multiplying.
   *
   * Two consumers:
-  *  - [[Listener]] — a [[QueryExecutionListener]] the bench registers
-  *    for its whole run, so the audit sees EVERY execution, including
+  *  - [[CardinalityAudit.Listener]] — the session-wide
+  *    QueryExecutionListener the bench/verify register (this object
+  *    is its join arm), so the audit sees EVERY execution, including
   *    the fuzz harnesses' inner `spark.sql` frames where the fz28
   *    first cut actually lived (a DataFrame-level audit on the gate's
   *    outer frame sees only the collected fingerprint rows).
@@ -86,7 +86,7 @@ object JoinFanoutAudit {
   def fromExecution(qe: QueryExecution): Seq[Fanout] =
     collectJoins(qe.executedPlan).flatMap { j =>
       val out = j.metrics.get("numOutputRows").map(_.value)
-      val maxIn = j.children.flatMap(rowsOut(_)).reduceOption(_ max _)
+      val maxIn = j.children.flatMap(PlanMetrics.rowsOut(_)).reduceOption(_ max _)
       (out, maxIn) match {
         case (Some(o), Some(in)) =>
           Some(Fanout(j.nodeName, j.leftKeys.map(_.sql).mkString(", "),
@@ -104,54 +104,7 @@ object JoinFanoutAudit {
     case other => other.children.flatMap(collectJoins)
   }
 
-  /** Rows a join input produced: the nearest descendant with a row
-    * metric. Exchanges report written shuffle records; wrappers
-    * without a metric (InputAdapter, Project, Sort) pass through to
-    * their single child. Multi-child metric-less nodes return None —
-    * skipping beats guessing on a cardinality audit. */
-  private def rowsOut(p: SparkPlan): Option[Long] = p match {
-    case a: AdaptiveSparkPlanExec => rowsOut(a.executedPlan)
-    case q: QueryStageExec => rowsOut(q.plan)
-    case r: ReusedExchangeExec => rowsOut(r.child)
-    case _ =>
-      p.metrics.get("numOutputRows").map(_.value)
-        .orElse(p.metrics.get("shuffleRecordsWritten").map(_.value))
-        .orElse(if (p.children.size == 1) rowsOut(p.children.head) else None)
-  }
-
-  /** Session-wide audit hook: registered via
-    * `spark.listenerManager.register(l)`, it walks every successful
-    * execution's final plan and accumulates violations. Callbacks
-    * arrive on the listener-bus thread ASYNCHRONOUSLY, so the `gate`
-    * context tag is best-effort attribution (a violation landing in a
-    * ~ms window around a gate boundary may carry the neighbour's
-    * name) — the record's keys/cardinalities identify the culprit
-    * regardless, and entries dedupe by content so repeated bench
-    * passes don't multiply them. */
-  final class Listener(ratioBound: Double = DefaultRatioBound,
-      minRows: Long = DefaultMinRows) extends QueryExecutionListener {
-    @volatile var gate: String = ""
-    private val seen = new java.util.concurrent.ConcurrentHashMap[String, Fanout]()
-    private val gates = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-    override def onSuccess(funcName: String, qe: QueryExecution,
-        durationNs: Long): Unit =
-      try fromExecution(qe)
-        .filter(f => f.outputRows >= minRows && f.ratio > ratioBound)
-        .foreach { f =>
-          val key = s"${f.node}|${f.keys}|${f.outputRows}|${f.maxInputRows}"
-          seen.putIfAbsent(key, f)
-          gates.putIfAbsent(key, gate)
-        }
-      catch { case _: Exception => () } // an audit crash must never fail the run
-
-    override def onFailure(funcName: String, qe: QueryExecution,
-        exception: Exception): Unit = ()
-
-    /** (best-effort gate tag, record) pairs seen so far. */
-    def snapshot: Seq[(String, Fanout)] = {
-      import scala.jdk.CollectionConverters._
-      seen.asScala.toSeq.sortBy(_._1).map { case (k, f) => (gates.get(k), f) }
-    }
-  }
+  // rows-out reads for join inputs live in PlanMetrics.rowsOut, shared
+  // with the generate arm; the session-wide listener is
+  // CardinalityAudit.Listener, which carries this object as its join arm
 }

@@ -104,6 +104,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(s""""q_dropped":${gateNames.size}"""), line.take(200))
   }
 
+  test("BENCH_SELF provenance is machine-readable: git sha (+dirty marker) and gate count") {
+    // the round-14 nit: capture provenance was maintained by COVERAGE
+    // prose; now the artifact carries it itself. `unknown` is allowed
+    // only for environments without git — never silently malformed.
+    val sha = Bench.gitSha()
+    assert(sha.matches("[0-9a-f]{40}(-dirty)?") || sha == "unknown", sha)
+    val frag = Bench.provenanceJson(221)
+    assert(frag.matches(""""git_sha":"[^"]+","gates":221"""), frag)
+  }
+
   test("failed queries record -1; total excludes them") {
     val line = Bench.compactLine(
       Seq("q_a1_agg_pricing" -> 1.0, "q_a2_conditional_agg" -> -1.0),

@@ -79,8 +79,9 @@ class JoinFanoutAuditSpec extends SparkSpec {
   test("listener catches a violation inside an inner spark.sql execution") {
     // the fz28 lesson: the blowup lived inside a fuzz harness's inner
     // spark.sql call, invisible to any audit of the gate's outer
-    // frame — the session listener must see it
-    val l = new JoinFanoutAudit.Listener()
+    // frame — the session listener must see it (the unified
+    // CardinalityAudit listener carries this object as its join arm)
+    val l = new graft.plans.CardinalityAudit.Listener()
     spark.listenerManager.register(l)
     try {
       l.gate = "planted_control"
@@ -97,7 +98,7 @@ class JoinFanoutAuditSpec extends SparkSpec {
         Thread.sleep(50)
       val snap = l.snapshot
       assert(snap.nonEmpty, "listener must surface the planted violation")
-      assert(snap.exists(_._2.outputRows == 750294L),
+      assert(snap.exists(f => f._2.kind == "join" && f._2.out == 750294L),
         snap.map(_._2.render).mkString("; "))
     } finally spark.listenerManager.unregister(l)
   }
@@ -118,6 +119,4 @@ class JoinFanoutAuditSpec extends SparkSpec {
       assert(bad.isEmpty, s"$name: ${bad.map(_.render).mkString("; ")}")
     }
   }
-
-  private def lit(v: Int) = org.apache.spark.sql.functions.lit(v)
 }

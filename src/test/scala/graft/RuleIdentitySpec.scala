@@ -1,7 +1,5 @@
 package graft
 
-import graft.plans.{TailFrameRewrite, TopKProjectInline}
-
 /** Rule-ON ≡ rule-OFF identity sweep — the generalization of fz27's
   * mixed-sign spec arms into a harness. For properties with NO
   * cross-engine oracle (which equal representative a min/max keeps,
@@ -28,17 +26,29 @@ import graft.plans.{TailFrameRewrite, TopKProjectInline}
   * the same one the sf0.1 bench and any 100 TB run rely on. */
 class RuleIdentitySpec extends SparkSpec {
 
-  /** (tail, topk) — all four; head is the production default. */
-  private val combos = Seq(
-    (true, true), (false, true), (true, false), (false, false))
+  /** Conf keys from the injection registry — the matrix below is ALL
+    * 2^n on/off assignments over them, so a rule registered in
+    * GraftRules automatically enters this sweep (and a rule injected
+    * OUTSIDE the registry fails the guard test below). */
+  private val ruleKeys = graft.plans.GraftRules.injected.map(_._1)
 
-  private def withRules[A](tail: Boolean, topk: Boolean)(body: => A): A = {
-    spark.conf.set(TailFrameRewrite.ConfKey, tail.toString)
-    spark.conf.set(TopKProjectInline.ConfKey, topk.toString)
-    try body finally {
-      spark.conf.set(TailFrameRewrite.ConfKey, "true")
-      spark.conf.set(TopKProjectInline.ConfKey, "true")
-    }
+  /** Head is the all-ON production default. */
+  private val combos: Seq[Map[String, Boolean]] =
+    ruleKeys.foldLeft(Seq(Map.empty[String, Boolean]))((acc, k) =>
+      acc.flatMap(m => Seq(m + (k -> true), m + (k -> false))))
+
+  private def withRules[A](combo: Map[String, Boolean])(body: => A): A = {
+    combo.foreach { case (k, v) => spark.conf.set(k, v.toString) }
+    try body finally ruleKeys.foreach(k => spark.conf.set(k, "true"))
+  }
+
+  test("every injected rule is in the registry and therefore in this sweep") {
+    val injected = spark.experimental.extraOptimizations.toSet
+    val registered = graft.plans.GraftRules.injected.map(_._2).toSet
+    assert(injected == registered,
+      s"injection registry drifted from the session's rules: " +
+        s"session-only=${injected -- registered}, registry-only=${registered -- injected}")
+    assert(combos.size == (1 << ruleKeys.size) && combos.head.values.forall(identity))
   }
 
   /** Collected, sorted, stringified rows — Double.toString is
@@ -87,19 +97,16 @@ class RuleIdentitySpec extends SparkSpec {
   }
 
   swept.foreach { gate =>
-    test(s"$gate is bit-exact under all four rule on/off combinations") {
+    test(s"$gate is bit-exact under all registered-rule on/off combinations") {
       assert(SparkEntry.queries.contains(gate), s"gate renamed? $gate")
-      val results = combos.map { case (tail, topk) =>
-        (tail, topk) -> withRules(tail, topk)(snapshot(gate))
-      }
+      val results = combos.map(c => c -> withRules(c)(snapshot(gate)))
       val (_, base) = results.head
       info(s"$gate: ${base.size} rows swept under " +
-        s"TailFrameRewrite×TopKProjectInline")
-      for (((tail, topk), rows) <- results.tail) {
+        s"${ruleKeys.size} registered rules (${combos.size} combos)")
+      for ((combo, rows) <- results.tail) {
         val diff = rows.diff(base) ++ base.diff(rows)
         assert(rows == base,
-          s"$gate diverges at tailFrameRewrite=$tail topKInline=$topk — " +
-            s"first diffs: ${diff.take(5).mkString("; ")}")
+          s"$gate diverges at $combo — first diffs: ${diff.take(5).mkString("; ")}")
       }
     }
   }

@@ -28,8 +28,10 @@ class StringCollationFuzzSpec extends SparkSpec {
     val qs = StringCollationFuzz.queries()
     val sql = qs.map(_.sparkSql).mkString("\n")
     Seq("contains(", "startswith(", "endswith(", " LIKE ", "instr(",
-      "replace(", "split_part(", "trim(", " IN (", "array_contains(",
-      "array_position(", "COLLATE UTF8_LCASE", "COLLATE UNICODE_CI")
+      "locate(", "replace(", "split_part(", "trim(", " IN (",
+      "array_contains(", "array_position(", "COLLATE UTF8_LCASE",
+      "COLLATE UNICODE_CI", "COLLATE UTF8_LCASE_RTRIM",
+      "COLLATE UNICODE_CI_RTRIM")
       .foreach { op =>
         assert(sql.contains(op), s"population never generated: $op")
       }
@@ -51,7 +53,7 @@ class StringCollationFuzzSpec extends SparkSpec {
     // the regexp quarter: all three shapes, UTF8_LCASE only (Spark
     // rejects regexp on every other collation family), global-flag
     // compensation on the DuckDB replace
-    val re = qs.filter(_.id >= 24)
+    val re = qs.filter(q => q.id >= 24 && q.id < 30)
     assert(re.nonEmpty && re.forall(q =>
       q.sparkSql.contains("UTF8_LCASE") && !q.sparkSql.contains("UNICODE")))
     Seq(" RLIKE ", "regexp_count(", "regexp_extract(", "regexp_replace(")
@@ -62,6 +64,30 @@ class StringCollationFuzzSpec extends SparkSpec {
     re.filter(q => (q.id - 24) % 3 == 2).foreach { q =>
       assert(q.duckSql.contains("'qz', 'g')"),
         s"q${q.id}: DuckDB replace needs the global flag (Spark's is global)")
+    }
+    // the composite quarter: both composites appear, the rejected
+    // surface (LIKE/regexp) never generates there, and the oracle uses
+    // the probed rtrim(lower()) composition for search/equality
+    val comp = qs.filter(_.id >= 30)
+    assert(comp.size == 12, s"composite quarter drifted: ${comp.map(_.id)}")
+    val compSql = comp.map(_.sparkSql).mkString("\n")
+    assert(compSql.contains("UTF8_LCASE_RTRIM") &&
+      compSql.contains("UNICODE_CI_RTRIM"))
+    comp.foreach { q =>
+      assert(!q.sparkSql.contains(" LIKE ") && !q.sparkSql.contains("RLIKE") &&
+        !q.sparkSql.contains("regexp"),
+        s"q${q.id}: generated a surface Spark rejects under composites")
+    }
+    assert(comp.map(_.duckSql).mkString.contains("rtrim(lower("),
+      "composite oracle must compose rtrim over lower")
+    // composite replace arms: needle pad-free (replace never trims —
+    // a padded needle would silently match nothing and gate vacuum)
+    comp.filter(q => (q.id - 30) % 4 == 3).foreach { q =>
+      val needle = ", lower\\('([^']*)'\\), 'qz'\\)".r
+      val ms = needle.findAllMatchIn(q.duckSql).toSeq
+      assert(ms.nonEmpty, s"q${q.id}: rewrite arm lost its replace")
+      ms.foreach(m =>
+        assert(!m.group(1).endsWith(" "), s"q${q.id}: padded replace needle"))
     }
   }
 
@@ -80,6 +106,40 @@ class StringCollationFuzzSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT CAST('apple' AS STRING COLLATE UTF8_LCASE) RLIKE 'APP'")
       .head().getBoolean(0))
+  }
+
+  test("composite search/LIKE boundary and the rtrim-both-operands semantics the oracle composes") {
+    // the support boundary: LIKE is DATATYPE_MISMATCH under BOTH
+    // composites (pinned one-engine like the regexp boundary — an
+    // upgrade that starts accepting it fails here and prompts a gate
+    // extension instead of silently leaving the new path untested)
+    for (coll <- Seq("UTF8_LCASE_RTRIM", "UNICODE_CI_RTRIM")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(s"SELECT CAST('x' AS STRING COLLATE $coll) LIKE 'x'").collect())
+      assert(e.getCondition.startsWith("DATATYPE_MISMATCH"),
+        s"LIKE under $coll should be rejected today")
+    }
+    // the probed semantics every composite oracle composition rests on
+    for (coll <- Seq("UTF8_LCASE_RTRIM", "UNICODE_CI_RTRIM")) {
+      def q1(sql: String) = spark.sql(s"SELECT $sql").head()
+      def c(e: String) = s"CAST($e AS STRING COLLATE $coll)"
+      // search rtrims BOTH operands as whole strings, then matches ci:
+      assert(!q1(s"startswith(${c("'  ab'")}, ${c("'a'")})").getBoolean(0),
+        s"$coll: leading spaces must be KEPT")
+      assert(q1(s"endswith(${c("'ab  '")}, ${c("'B'")})").getBoolean(0),
+        s"$coll: haystack trailing spaces must be trimmed")
+      assert(q1(s"instr(${c("'abc'")}, ${c("'C '")})").getInt(0) == 3,
+        s"$coll: needle trailing spaces must be trimmed, position ci")
+      assert(q1(s"locate(${c("'C '")}, ${c("'abc'")})").getInt(0) == 3,
+        s"$coll: locate mirrors instr under the composite")
+      // replace never trims — a padded needle matches nothing:
+      assert(q1(s"replace(${c("'aXBcd'")}, ${c("'xb '")}, 'Q')")
+        .getString(0) == "aXBcd", s"$coll: replace must not trim the needle")
+      assert(q1(s"replace(${c("'aXBcd  '")}, ${c("'xb'")}, 'Q')")
+        .getString(0) == "aQcd  ", s"$coll: replace is plain ci over the raw string")
+      // equality is rtrim+ci whole-string:
+      assert(q1(s"${c("'aB '")} = ${c("'ab'")}").getBoolean(0), coll)
+    }
   }
 
   test("collated search actually widens the match set (not vacuous)") {
