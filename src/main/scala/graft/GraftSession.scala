@@ -13,6 +13,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the fuzz gates compile ~450 distinct whole-stage-codegen units
+      // per gate pass (150 generated queries × ~3 units); the default
+      // 100-entry JVM-wide codegen class cache therefore LRU-thrashes
+      // and every bench pass re-runs Janino on every unit. 2048 covers
+      // the largest per-gate working set with headroom; entries are
+      // compiled classes (not data, not results), so this changes no
+      // query semantics. Static conf — must be set at session build.
+      .config("spark.sql.codegen.cache.maxEntries", "2048")
       .config("spark.ui.enabled", "false")
       // some events.parquet generations store TIMESTAMP(NANOS); Spark
       // has no ns type, so read as long and convert in

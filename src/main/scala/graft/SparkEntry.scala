@@ -30,12 +30,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_j1_join_multiway")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. Built once:
+    * Bench resolves a query per timed exec and the map is a pure
+    * function of the module list. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.flatMap(_.queryMap).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     modules.flatMap(_.oracleMap).toMap
 }

@@ -338,7 +338,7 @@ object ArrayFuzz {
       s"SELECT $key AS k, sort_array(collect_list($elemSql)) AS arr FROM $table$w GROUP BY $key",
       s"SELECT $key AS k, list_sort(list($elemSql), 'ASC', 'NULLS FIRST') AS arr FROM $table$w GROUP BY $key",
       (s, d) => {
-        val raw = s.read.parquet(s"$d/$table.parquet")
+        val raw = FuzzExec.table(s, d, table)
         val f = whereSql.fold(raw)(p => raw.filter(p))
         f.groupBy(expr(key).as("k")).agg(sort_array(collect_list(expr(elemSql))).as("arr"))
       },
@@ -351,7 +351,7 @@ object ArrayFuzz {
     BaseMeta(table,
       s"SELECT $key AS k, $arrSparkSql AS arr FROM $table WHERE $whereSql",
       s"SELECT $key AS k, $arrDuckSql AS arr FROM $table WHERE $whereSql",
-      (s, d) => s.read.parquet(s"$d/$table.parquet").filter(whereSql)
+      (s, d) => FuzzExec.table(s, d, table).filter(whereSql)
         .select(expr(key).as("k"), arrDf.as("arr")),
       intElems, pos)
 
@@ -469,7 +469,7 @@ object ArrayFuzz {
       frames: AQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

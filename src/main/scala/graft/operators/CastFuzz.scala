@@ -207,7 +207,7 @@ object CastFuzz {
     val sql = s"SELECT ${outs.map(_.sql).mkString(", ")} FROM ${t.name}" +
       where.fold("")(p => s" WHERE ${p._1}")
     val dfFn = (s: SparkSession, d: String) => {
-      val raw = s.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(s, d, t.name)
       val f = where.fold(raw)(p => raw.filter(p._2))
       f.select(outs.map(_.df): _*)
     }
@@ -255,7 +255,7 @@ object CastFuzz {
     val sql = s"SELECT (${key.sql}) AS g_0, ${aggDefs.map(_._1).mkString(", ")}" +
       s" FROM ${t.name} GROUP BY 1"
     val dfFn = (s: SparkSession, d: String) => {
-      val raw = s.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(s, d, t.name)
       raw.groupBy(key.df.as("g_0"))
         .agg(aggDefs.head._2, aggDefs.tail.map(_._2): _*)
         .select(outCols.map(col): _*)
@@ -280,7 +280,7 @@ object CastFuzz {
       frames: CQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

@@ -103,7 +103,7 @@ object ComposedFuzz {
       s"CAST($gi % $gm AS BIGINT) AS g, $vSql AS v, CAST($wi % 97 AS BIGINT) AS w " +
       s"FROM ${t.name}" + where.fold("")(w => s" WHERE $w")
     val build = (sp: SparkSession, d: String) => {
-      val raw = sp.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(sp, d, t.name)
       val f = where.fold(raw)(w => raw.filter(expr(w)))
       f.select(t.uniqueKeyDf.cast(LongType).as("k"),
         (col(gi) % gm).cast(LongType).as("g"), vDf.as("v"),
@@ -361,7 +361,7 @@ object ComposedFuzz {
       frames: CQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

@@ -339,7 +339,7 @@ object DateArithFuzz {
       s"SELECT ${outs.map(render).mkString(", ")} FROM ${t.name}" +
         where.fold("")(p => s" WHERE ${renderP(p)}")
     val dfFn = (s: SparkSession, d: String) => {
-      val raw = s.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(s, d, t.name)
       val f = where.fold(raw)(p => raw.filter(p.df))
       f.select(outs.map(_.df): _*)
     }
@@ -393,7 +393,7 @@ object DateArithFuzz {
         havingGt.fold("")(k => s" HAVING count(*) > $k")
     }
     val dfFn = (s: SparkSession, d: String) => {
-      val raw = s.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(s, d, t.name)
       val f = where.fold(raw)(p => raw.filter(p.df))
       val grouped = f.groupBy(keys.zipWithIndex.map { case ((_, _, c), j) => c.as(s"g_$j") }: _*)
       val agged = grouped.agg(aggs.head.df,
@@ -422,7 +422,7 @@ object DateArithFuzz {
       frames: DQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

@@ -549,11 +549,11 @@ object ErrorFuzz {
     * against private temp views over the sf dir. */
   def outcomes(spark: SparkSession, dir: String): DataFrame = {
     for (t <- tables)
-      spark.read.parquet(s"$dir/${t.name}.parquet")
+      FuzzExec.table(spark, dir, t.name)
         .createOrReplaceTempView(sparkView(t.name))
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

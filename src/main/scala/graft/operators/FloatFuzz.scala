@@ -237,7 +237,7 @@ object FloatFuzz {
         s"${encSql(e.sql)} AS o_$j" }.mkString(", ")} FROM ${t.name}" +
       where.fold("")(p => s" WHERE ${p._1}")
     val dfFn = (s: SparkSession, d: String) => {
-      val raw = s.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(s, d, t.name)
       val f = where.fold(raw)(p => raw.filter(p._2))
       f.select(outs.zipWithIndex.map { case (e, j) => encDf(e.df).as(s"o_$j") }: _*)
     }
@@ -280,7 +280,7 @@ object FloatFuzz {
       s" FROM ($inner) __i GROUP BY v" +
       havingGt.fold("")(k => s" HAVING count(*) > $k")
     val dfFn = (s: SparkSession, d: String) => {
-      val raw = s.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(s, d, t.name)
       val f = where.fold(raw)(p => raw.filter(p._2))
       val inner0 = f.select(v.df.as("v"), w.df.as("w"))
       val agged = inner0.groupBy(col("v"))
@@ -307,10 +307,10 @@ object FloatFuzz {
         s"JOIN (SELECT DISTINCT ${bv.sql} AS v FROM ${bt.name}) b ON a.v = b.v " +
         "GROUP BY a.v"
     val dfFn = (s: SparkSession, d: String) => {
-      val raw = s.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(s, d, t.name)
       val f = where.fold(raw)(p => raw.filter(p._2))
       val a = f.select(av.df.as("v"))
-      val b = s.read.parquet(s"$d/${bt.name}.parquet")
+      val b = FuzzExec.table(s, d, bt.name)
         .select(bv.df.as("v")).distinct()
       a.join(b, Seq("v")).groupBy(col("v"))
         .agg(count(lit(1)).cast(LongType).as("a_0"))
@@ -336,7 +336,7 @@ object FloatFuzz {
       frames: FQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

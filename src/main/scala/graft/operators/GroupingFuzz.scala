@@ -174,7 +174,7 @@ object GroupingFuzz {
     }
 
     def df(spark: SparkSession, dir: String): DataFrame = {
-      val raw = spark.read.parquet(s"$dir/$table.parquet")
+      val raw = FuzzExec.table(spark, dir, table)
       val filtered = whereDf.fold(raw)(raw.filter)
       // pre-project keys to NAMED columns (see the scaladoc constraint)
       // plus the raw agg-input columns
@@ -311,7 +311,7 @@ object GroupingFuzz {
       frames: GQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

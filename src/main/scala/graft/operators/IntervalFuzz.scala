@@ -257,7 +257,7 @@ object IntervalFuzz {
 
   def registerViews(spark: SparkSession, dir: String): Unit =
     for (t <- tables)
-      spark.read.parquet(s"$dir/${t.name}.parquet")
+      FuzzExec.table(spark, dir, t.name)
         .createOrReplaceTempView(sparkView(t.name))
 
   /** Gate frame: (qid, errored, n_rows, checksum); (-1, -1) sentinels
@@ -266,7 +266,7 @@ object IntervalFuzz {
     registerViews(spark, dir)
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

@@ -64,7 +64,7 @@ object JsonFuzz {
     JBase(name,
       s"SELECT $key AS k, $docSql AS j FROM $table WHERE $whereSql",
       s"SELECT $key AS k, $docSql AS j FROM $table WHERE $whereSql",
-      (s, d) => s.read.parquet(s"$d/$table.parquet").filter(whereSql)
+      (s, d) => FuzzExec.table(s, d, table).filter(whereSql)
         .select(expr(key).as("k"), docDf.as("j")),
       paths, missing, malformed)
 
@@ -147,7 +147,7 @@ object JsonFuzz {
         "list_sort(list(concat('{\"q\":', CAST(l_linenumber AS STRING), " +
         "',\"p\":', CAST(l_partkey % 100 AS STRING), '}')), 'ASC', 'NULLS FIRST'), ','), ']}') AS j " +
         "FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY l_orderkey",
-      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+      (s, d) => FuzzExec.table(s, d, "lineitem")
         .filter("l_orderkey % 5 = 0")
         .groupBy(col("l_orderkey").as("k"))
         .agg(concat(lit("{\"lines\":["),
@@ -251,7 +251,7 @@ object JsonFuzz {
       frames: JQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

@@ -140,7 +140,7 @@ object LimitFuzz {
       where.fold("")(w => s" WHERE $w") +
       s" ORDER BY ${s1.sql}, ${s2.sql}, ${t.uk}, ${t.strs.head}$lim"
     val dfFn = (sp: SparkSession, d: String) => {
-      val raw = sp.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(sp, d, t.name)
       val f = where.fold(raw)(w => raw.filter(expr(w)))
       limDf(f.orderBy(s1.df, s2.df, t.ukDf.asc, col(t.strs.head).asc)
         .select(t.ukDf.cast(LongType).as("o_0"),
@@ -160,7 +160,7 @@ object LimitFuzz {
       s"CAST(sum($v % 1000) AS BIGINT) AS a_0, CAST(count(*) AS BIGINT) AS a_1 " +
       s"FROM ${t.name} GROUP BY 1 ORDER BY a_0 $dir NULLS FIRST, g_0$lim"
     val dfFn = (sp: SparkSession, d: String) => {
-      val raw = sp.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(sp, d, t.name)
       val agged = raw.groupBy(g.df.cast(LongType).as("g_0"))
         .agg(sum(col(v) % 1000).cast(LongType).as("a_0"),
           count(lit(1)).cast(LongType).as("a_1"))
@@ -188,7 +188,7 @@ object LimitFuzz {
       s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS o_1 " +
       s"FROM ${t.name} ORDER BY o_1 DESC NULLS LAST, o_0$lim"
     val dfFn = (sp: SparkSession, d: String) => {
-      val raw = sp.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(sp, d, t.name)
       val w = Window.partitionBy(g.df)
         .orderBy(t.ukDf.asc_nulls_first, (col(v) % 100).asc_nulls_first)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -212,7 +212,7 @@ object LimitFuzz {
     val sql = s"SELECT CAST(count(*) AS BIGINT) AS a_0, " +
       s"CAST(coalesce(sum(x), 0) AS BIGINT) AS a_1 FROM ($inner) __i"
     val dfFn = (sp: SparkSession, d: String) => {
-      val raw = sp.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(sp, d, t.name)
       val innerDf = limDf(raw.orderBy(s1.df, t.ukDf.asc, (col(v) % 1000).asc)
         .select((col(v) % 1000).cast(LongType).as("x")))
       innerDf.agg(count(lit(1)).cast(LongType).as("a_0"),
@@ -238,7 +238,7 @@ object LimitFuzz {
       frames: LQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

@@ -264,7 +264,7 @@ object MapFuzz {
     val duckSql = s"SELECT ${proj.map(p => s"${p._2} AS ${p._4}").mkString(", ")}" +
       s" FROM ${t.name}" + where.fold("")(w => s" WHERE ${w._1}")
     val dfFn = (sp: SparkSession, d: String) => {
-      val raw = sp.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(sp, d, t.name)
       val f = where.fold(raw)(w => raw.filter(w._2))
       f.select(proj.map(p => p._3.as(p._4)): _*)
     }
@@ -288,7 +288,7 @@ object MapFuzz {
       frames: MQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

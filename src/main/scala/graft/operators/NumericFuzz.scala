@@ -346,7 +346,7 @@ object NumericFuzz {
       intPair.zipWithIndex.map { case ((s, _), j) => s"$s AS i_$j" }).mkString(", ")
     val sql = s"SELECT $sel FROM ${t.name}${where.fold("")(w => s" WHERE ${w._1}")}"
     val dfFn = (s: SparkSession, d: String) => {
-      val raw = s.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(s, d, t.name)
       val f = where.fold(raw)(w => raw.filter(w._2))
       f.select((exprs.zipWithIndex.map { case (e, j) => normDf(e).as(s"c_$j") } ++
         intPair.zipWithIndex.map { case ((_, c), j) => c.as(s"i_$j") }).toIndexedSeq: _*)
@@ -405,7 +405,7 @@ object NumericFuzz {
       s" GROUP BY ${keys.indices.map(_ + 1).mkString(", ")}" +
       having.fold("")(h => s" ${h._2}")
     val dfFn = (s: SparkSession, d: String) => {
-      val raw = s.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(s, d, t.name)
       val f = where.fold(raw)(w => raw.filter(w._2))
       val grouped = f.groupBy(keys.zipWithIndex.map { case ((_, c), j) => c.as(s"g_$j") }: _*)
       val aggCols = aggs.map(_.df)
@@ -437,7 +437,7 @@ object NumericFuzz {
       frames: NQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

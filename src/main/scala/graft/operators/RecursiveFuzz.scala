@@ -148,7 +148,7 @@ object RecursiveFuzz {
 
   def registerViews(spark: SparkSession, dir: String): Unit =
     for (t <- Seq("orders", "customer"))
-      spark.read.parquet(s"$dir/$t.parquet")
+      FuzzExec.table(spark, dir, t)
         .createOrReplaceTempView(sparkView(t))
 
   def fingerprint(spark: SparkSession, q: RQuery): (Long, Long) = {
@@ -166,7 +166,7 @@ object RecursiveFuzz {
     registerViews(spark, dir)
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

@@ -191,7 +191,7 @@ object RegexFuzz {
     val duckSql = s"SELECT ${outs.map(_.duckSql).mkString(", ")} FROM ${t.name}" +
       where.fold("")(p => s" WHERE ${p._2}")
     val dfFn = (s: SparkSession, d: String) => {
-      val raw = s.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(s, d, t.name)
       val f = where.fold(raw)(p => raw.filter(p._3))
       f.select(outs.map(_.df): _*)
     }
@@ -247,7 +247,7 @@ object RegexFuzz {
     val duckSql = s"SELECT ($kDuck) AS g_0, ${aggs.map(_._2).mkString(", ")}" +
       s" FROM ${t.name} GROUP BY 1"
     val dfFn = (s: SparkSession, d: String) => {
-      val raw = s.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(s, d, t.name)
       raw.groupBy(kDf.as("g_0"))
         .agg(aggs.head._3, aggs.tail.map(_._3): _*)
         .select(outCols.map(col): _*)
@@ -272,7 +272,7 @@ object RegexFuzz {
       frames: RQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

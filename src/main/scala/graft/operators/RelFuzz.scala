@@ -203,8 +203,14 @@ object RelFuzz {
       joinEdgesFor(tables)
 
     /** Rendering 1: the DataFrame plan over parquet at `dir`. */
-    def df(spark: SparkSession, dir: String): DataFrame = {
-      def read(t: String) = spark.read.parquet(s"$dir/$t.parquet")
+    def df(spark: SparkSession, dir: String): DataFrame =
+      df(spark, (t: String) => FuzzExec.table(spark, dir, t))
+
+    /** Same plan built through a caller-supplied table resolver, so one
+      * gate invocation resolves each parquet table once (one file
+      * listing + one footer schema read) instead of once per generated
+      * query — the DataFrame is an immutable plan, safe to share. */
+    def df(spark: SparkSession, read: String => DataFrame): DataFrame = {
       val base = tables.tail.zip(joinKinds).zip(edgesUsed)
         .foldLeft(read(tables.head)) { case (acc, ((t, jk), (_, _, lk, rk))) =>
           acc.join(read(t), col(lk) === col(rk),
@@ -435,7 +441,7 @@ object RelFuzz {
       frames: FuzzQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

@@ -396,7 +396,7 @@ object StringCollationFuzz {
 
   def registerViews(spark: SparkSession, dir: String): Unit =
     for (t <- tables)
-      spark.read.parquet(s"$dir/${t.name}.parquet")
+      FuzzExec.table(spark, dir, t.name)
         .createOrReplaceTempView(sparkView(t.name))
 
   def fingerprint(spark: SparkSession, q: SQuery): (Long, Long) = {
@@ -414,7 +414,7 @@ object StringCollationFuzz {
     registerViews(spark, dir)
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

@@ -88,7 +88,7 @@ object StringFuzz {
     }
 
     def df(spark: SparkSession, dir: String): DataFrame = {
-      val base = spark.read.parquet(s"$dir/$table.parquet")
+      val base = FuzzExec.table(spark, dir, table)
       val filtered = predDf.map(base.filter).getOrElse(base)
       val proj = filtered.select(
         (Seq(col(key)) ++ exprs.map { case (a, e) => e.df.as(a) }).toIndexedSeq: _*)
@@ -168,7 +168,7 @@ object StringFuzz {
       frames: SQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

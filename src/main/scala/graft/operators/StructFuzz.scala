@@ -164,7 +164,7 @@ object StructFuzz {
     val duckSql = s"SELECT ${accessesRaw.map(a => s"${a._2} AS ${a._4}").mkString(", ")}" +
       s" FROM ${t.name}" + where.fold("")(w => s" WHERE ${w._2}")
     val dfFn = (sp: SparkSession, d: String) => {
-      val raw = sp.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(sp, d, t.name)
       val f = where.fold(raw)(w => raw.filter(w._3))
       f.select(accessesRaw.map(a => a._3.as(a._4)): _*)
     }
@@ -198,7 +198,7 @@ object StructFuzz {
     val sparkSql = render(s.sparkSql, (v, f) => s"($v).$f", _._1)
     val duckSql = render(s.duckSql, (v, f) => s"($v).$f", _._2)
     val dfFn = (sp: SparkSession, d: String) => {
-      val raw = sp.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(sp, d, t.name)
       raw.groupBy(s.df.as("s"))
         .agg(aggs.head._3, aggs.tail.map(_._3): _*)
         .select(keyOuts.map { case (nm, o) => col("s").getField(nm).as(o) } ++
@@ -230,7 +230,7 @@ object StructFuzz {
     val sparkSql = render(s.sparkSql)
     val duckSql = render(s.duckSql)
     val dfFn = (sp: SparkSession, d: String) => {
-      val raw = sp.read.parquet(s"$d/${t.name}.parquet")
+      val raw = FuzzExec.table(sp, d, t.name)
       val f = where.fold(raw)(w => raw.filter(w._2))
       val agged = f.groupBy((col(keyCol) % km).cast(LongType).as("g_0"))
         .agg((if (isMax) max(s.df) else min(s.df)).as("__m"))
@@ -257,7 +257,7 @@ object StructFuzz {
       frames: SQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

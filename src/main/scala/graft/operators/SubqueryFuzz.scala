@@ -79,7 +79,7 @@ object SubqueryFuzz {
   }
 
   private def read(spark: SparkSession, dir: String, t: String): DataFrame =
-    spark.read.parquet(s"$dir/$t.parquet")
+    FuzzExec.table(spark, dir, t)
 
   /** Correlated [NOT] EXISTS with an inner predicate, optional outer
     * predicate; output = (okey, p_0 string projection). */
@@ -202,7 +202,7 @@ object SubqueryFuzz {
       frames: SQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

@@ -91,7 +91,7 @@ object TemporalFuzz {
 
     /** DataFrame rendering over the NORMALIZED events reader. */
     def df(spark: SparkSession, dir: String): DataFrame = {
-      val e = Tables.events(spark, dir)
+      val e = FuzzExec.events(spark, dir)
       val base = predSql.map(p => e.filter(expr(p))).getOrElse(e)
       val keyCol =
         if (isExtract) (unit.stripPrefix("extract:") match {
@@ -171,7 +171,7 @@ object TemporalFuzz {
       frames: TQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

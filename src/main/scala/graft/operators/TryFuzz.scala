@@ -517,7 +517,7 @@ object TryFuzz {
 
   def registerViews(spark: SparkSession, dir: String): Unit =
     for (t <- tables)
-      spark.read.parquet(s"$dir/${t.name}.parquet")
+      FuzzExec.table(spark, dir, t.name)
         .createOrReplaceTempView(sparkView(t.name))
 
   def fingerprint(spark: SparkSession, q: TQuery): (Long, Long) = {
@@ -535,7 +535,7 @@ object TryFuzz {
     registerViews(spark, dir)
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

@@ -300,7 +300,7 @@ object TsArithFuzz {
     val duckSql = s"SELECT ${outs.map(_.duckSql).mkString(", ")} FROM events" +
       where.fold("")(p => s" WHERE ${p._2}")
     val dfFn = (s: SparkSession, d: String) => {
-      val e = Tables.events(s, d)
+      val e = FuzzExec.events(s, d)
       val f = where.fold(e)(p => e.filter(p._3))
       f.select(outs.map(_.df): _*)
     }
@@ -352,7 +352,7 @@ object TsArithFuzz {
     val sparkSql = render(kSpark, _.sparkSql, where.map(_._1))
     val duckSql = render(kDuck, _.duckSql, where.map(_._2))
     val dfFn = (s: SparkSession, d: String) => {
-      val e = Tables.events(s, d)
+      val e = FuzzExec.events(s, d)
       val f = where.fold(e)(p => e.filter(p._3))
       val agged = f.groupBy(kDf.as("g_0"))
         .agg(aggs.head.df, (aggs.tail.map(_.df) :+ count(lit(1)).as("__hn")): _*)
@@ -379,7 +379,7 @@ object TsArithFuzz {
       frames: TQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =

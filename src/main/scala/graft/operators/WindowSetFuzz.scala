@@ -159,7 +159,7 @@ object WindowSetFuzz {
       topK.fold(inner)(k => s"SELECT * FROM ($inner) __w WHERE w_0 <= $k")
     }
     def df(spark: SparkSession, dir: String): DataFrame = {
-      val base = spark.read.parquet(s"$dir/$table.parquet")
+      val base = FuzzExec.table(spark, dir, table)
       val w = Window.partitionBy(partDf).orderBy(orders.map(_.df): _*)
       val proj = base.select(
         (Seq(col(key), partDf.as("p_0")) ++
@@ -219,7 +219,7 @@ object WindowSetFuzz {
         s"CAST(count(*) AS BIGINT) AS c_n FROM $table GROUP BY $groupSql"
     }
     def df(spark: SparkSession, dir: String): DataFrame = {
-      val base = spark.read.parquet(s"$dir/$table.parquet")
+      val base = FuzzExec.table(spark, dir, table)
       val aggs = Seq(count_distinct(distDf).cast(LongType).as("c_0")) ++
         (if (withSum) Seq(sum_distinct(distDf).cast(LongType).as("c_1")) else Nil) ++
         Seq(count(lit(1)).cast(LongType).as("c_n"))
@@ -448,7 +448,7 @@ object WindowSetFuzz {
     // the DF side must project the SAME names for the typed set ops
     val rSql = s"SELECT ${selSql.mkString(", ")} FROM ${t.name} WHERE $rp"
     def side(p: Column)(spark: SparkSession, dir: String): DataFrame =
-      spark.read.parquet(s"$dir/${t.name}.parquet").filter(p)
+      FuzzExec.table(spark, dir, t.name).filter(p)
         .select(selDf.toIndexedSeq: _*)
     SetQ(id, op, lSql, rSql, side(lpd), side(rpd),
       outCols = selSql.indices.map(i => s"s_$i"))
@@ -484,7 +484,7 @@ object WindowSetFuzz {
       frames: WQuery => DataFrame): DataFrame = {
     import scala.collection.parallel.CollectionConverters._
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(8))
+      new java.util.concurrent.ForkJoinPool(FuzzExec.poolSize(spark)))
     val par = queries().par
     par.tasksupport = pool
     val rows =
