@@ -13,6 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *  - `vec_dot(array<float>, array<float>)` — the ANN/dedup dot
   *    product ([[graft.functions.VecDot]])
+  *  - `vec_dot_l` / `vec_sqdist_l` (array<bigint> × 2) — the
+  *    BIGINT-exact quantized dot / squared-L2 kernels
+  *    ([[graft.functions.VecDotL]], [[graft.functions.VecSqDistL]])
   *  - `extract_sites(string, array<int>)` — one-pass multi-position
   *    genome lookup ([[graft.functions.ExtractSites]])
   *
@@ -41,6 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
       binary("vec_dot", graft.functions.VecDot.apply) _))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot_l"),
+      new ExpressionInfo(classOf[graft.functions.VecDotL].getName, "vec_dot_l"),
+      binary("vec_dot_l", graft.functions.VecDotL.apply) _))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sqdist_l"),
+      new ExpressionInfo(classOf[graft.functions.VecSqDistL].getName, "vec_sqdist_l"),
+      binary("vec_sqdist_l", graft.functions.VecSqDistL.apply) _))
     ext.injectFunction((
       FunctionIdentifier("extract_sites"),
       new ExpressionInfo(classOf[graft.functions.ExtractSites].getName, "extract_sites"),

@@ -21,6 +21,14 @@ object GraftSession {
       // compiled classes (not data, not results), so this changes no
       // query semantics. Static conf — must be set at session build.
       .config("spark.sql.codegen.cache.maxEntries", "2048")
+      // let AQE rewrite a sort-merge join to a shuffled-hash join at
+      // runtime when every post-shuffle partition of the build side is
+      // small (guide §3.1) — drops both sort passes. Bounded by actual
+      // runtime partition sizes, so it is exactly as safe at 100 TB as
+      // locally: an oversized partition keeps the sort-merge plan.
+      // Equi-join results are strategy-independent; the oracle gate
+      // re-verified 221/221 exact with this on.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
       // some events.parquet generations store TIMESTAMP(NANOS); Spark
       // has no ns type, so read as long and convert in

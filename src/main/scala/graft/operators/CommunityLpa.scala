@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Community detection by synchronous weighted label propagation
@@ -17,9 +16,9 @@ import org.apache.spark.sql.functions._
   * cc9-built co-occurrence graph.
   *
   * Scale shape per round: one keyed join of the O(E) symmetric edge
-  * table against the O(V) label table, a two-phase (src, lab) weight
-  * sum, and a PARTITIONED window argmax — all shuffles keyed by
-  * vertex. State is the O(V) label vector (per-round localCheckpoint,
+  * table against the O(V) label table, then a two-phase (src, lab)
+  * weight sum and a struct-max argmax sharing ONE vertex-keyed
+  * exchange. State is the O(V) label vector (per-round localCheckpoint,
   * the documented iterative-graph exemption; the O(E) operand follows
   * the [[GraphEdges.pin]] policy). Synchronous LPA can 2-cycle on
   * bipartite-ish structure, so the convergence form steers on a label
@@ -34,15 +33,23 @@ object CommunityLpa {
     edges.select(col(a).as("src"), col(b).as("dst"), col(w).as("w"))
       .unionAll(edges.select(col(b).as("src"), col(a).as("dst"), col(w).as("w")))
 
-  private def round(symEdges: DataFrame, labels: DataFrame): DataFrame = {
-    val byV = Window.partitionBy(col("src")).orderBy(col("ws").desc, col("lab").asc)
+  /** One synchronous update. Argmax by (ws desc, lab asc) is computed
+    * as `max(struct(ws, -lab))` — bit-identical to the former
+    * row_number window (struct comparison is lexicographic; max of
+    * `-lab` is the smallest label) but aggregation-shaped, so it
+    * partial-aggregates map-side and needs no sort. The explicit
+    * repartition by `src` lets BOTH aggregations reuse one exchange
+    * (hash(src) clusters (src, lab) too), cutting the round from
+    * 3 shuffles (join + (src,lab) agg + src window) to 2 (join +
+    * src) at every scale. */
+  private[operators] def round(symEdges: DataFrame, labels: DataFrame): DataFrame =
     symEdges
       .join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+      .repartition(col("src"))
       .groupBy(col("src"), col("lab")).agg(sum(col("w")).as("ws"))
-      .withColumn("__rn", row_number().over(byV))
-      .filter(col("__rn") === 1)
-      .select(col("src").as("v"), col("lab"))
-  }
+      .groupBy(col("src"))
+      .agg(max(struct(col("ws"), (-col("lab")).as("nl"))).as("__m"))
+      .select(col("src").as("v"), (-col("__m")("nl")).as("lab"))
 
   private def initLabels(symEdges: DataFrame): DataFrame =
     symEdges.select(col("src").as("v")).distinct()

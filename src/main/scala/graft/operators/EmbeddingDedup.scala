@@ -70,6 +70,7 @@ object EmbeddingDedup {
   def nearDupPairsExact(embeddings: DataFrame, tNum: Long, tDen: Long,
       planes: Int = 4, tables: Int = 4, dim: Int = 64): DataFrame = {
     require(tNum >= 0 && tDen > 0, "threshold must be a non-negative rational")
+    graft.functions.VecExpressions.register(embeddings.sparkSession)
     val e = quantGuarded(embeddings, tNum, tDen)
     val cand = (0 until tables).map { t =>
       val signs = planeFamily(t, planes, dim)
@@ -82,8 +83,7 @@ object EmbeddingDedup {
     val qa = e.select(col("vec_id").as("va"), col("qv").as("qva"), col("qn").as("qna"))
     val qb = e.select(col("vec_id").as("vb"), col("qv").as("qvb"), col("qn").as("qnb"))
     cand.join(qa, "va").join(qb, "vb")
-      .withColumn("qdot",
-        aggregate(zip_with(col("qva"), col("qvb"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("qdot", call_function("vec_dot_l", col("qva"), col("qvb")))
       .filter(col("qdot") > 0 &&
         lit(tDen * tDen) * col("qdot") * col("qdot") >= lit(tNum * tNum) * col("qna") * col("qnb"))
       .select(col("va").as("vec_a"), col("vb").as("vec_b"))
@@ -100,6 +100,7 @@ object EmbeddingDedup {
       tNum: Long, tDen: Long,
       planes: Int = 4, tables: Int = 2, dim: Int = 64): DataFrame = {
     require(tNum >= 0 && tDen > 0, "threshold must be a non-negative rational")
+    graft.functions.VecExpressions.register(batch.sparkSession)
     val b = quantGuarded(batch, tNum, tDen)
     val c = quantGuarded(corpus, tNum, tDen)
     val cand = (0 until tables).map { t =>
@@ -120,8 +121,7 @@ object EmbeddingDedup {
     // corpus-derived size estimate for cand plans a SortMergeJoin that
     // shuffles every corpus row's 64-long qv array.
     qc.join(broadcast(cand.join(broadcast(qb), "batch_id")), "corpus_id")
-      .withColumn("qdot",
-        aggregate(zip_with(col("qva"), col("qvb"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("qdot", call_function("vec_dot_l", col("qva"), col("qvb")))
       .filter(col("qdot") > 0 &&
         lit(tDen * tDen) * col("qdot") * col("qdot") >= lit(tNum * tNum) * col("qna") * col("qnb"))
       .select(col("batch_id"), col("corpus_id"))

@@ -52,36 +52,18 @@ object FuzzExec {
       math.min(16, math.max(8, cores / 2))
     }
 
-  /** Session-scoped memoized table resolver — the drop-in replacement
-    * for the harnesses' scattered
-    * `spark.read.parquet(s"$dir/$t.parquet")` sites. It memoizes the
-    * resolved PLAN (an immutable DataFrame: file listing + footer
-    * schema) — never data, never results; every
-    * action still computes from parquet. The memo holds entries for
-    * one session at a time (keyed by identity): a new session resets
-    * it, so stopped test sessions cannot accumulate and a stale
-    * session's plans are never served to a new one. Callers must only
-    * pass immutable dirs (the driver testdata); harness specs that
-    * write-then-reread their own parquet keep using spark.read. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val sid = System.identityHashCode(spark)
-    var cur = tableMemo.get()
-    if (cur == null || cur._1 != sid) {
-      val fresh = (sid, new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      tableMemo.compareAndSet(cur, fresh)
-      cur = tableMemo.get()
-      if (cur._1 != sid) cur = fresh // lost a cross-session race: stay correct, skip the memo
-    }
-    cur._2.computeIfAbsent(s"$dir/$name",
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
-  }
+  /** Memoized table resolver — the drop-in replacement for the
+    * harnesses' scattered `spark.read.parquet(s"$dir/$t.parquet")`
+    * sites. Delegates to [[Tables.t]], the one session-scoped,
+    * freshness-stamped plan memo (see its scaladoc for the staleness
+    * guard), so fuzz harnesses and production gates share a single
+    * policy. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(spark, dir, name)
 
-  /** [[Tables.events]] through the memoized resolver: same
+  /** [[Tables.events]] (memoized via [[Tables.t]]): same
     * TIMESTAMP(NANOS)/(MICROS) normalization seam, one footer read per
     * session instead of one per generated query. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    Tables.normalizeEventsTs(table(spark, dir, "events"))
-
-  private val tableMemo = new java.util.concurrent.atomic.AtomicReference[
-    (Int, java.util.concurrent.ConcurrentHashMap[String, DataFrame])]()
+    Tables.events(spark, dir)
 }

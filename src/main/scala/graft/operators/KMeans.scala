@@ -37,10 +37,14 @@ object KMeans {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast(DoubleType) * lit(1000.0)).cast(LongType))
 
-  /** Integer squared L2 between two already-quantized Array[Long]s. */
+  /** Integer squared L2 between two already-quantized Array[Long]s —
+    * the native codegen kernel ([[graft.functions.VecSqDistL]]; exact
+    * HOF-twin semantics), replacing the `aggregate(zip_with(...))`
+    * form whose two interpreted lambdas per element dominated the
+    * assignment/probe scans. Callers must have run
+    * `VecExpressions.register` on the session (train/assign do). */
   def sqDistQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    call_function("vec_sqdist_l", a, b)
 
   private val centSchema = StructType(Seq(
     StructField("grp", LongType, nullable = false),
@@ -57,6 +61,7 @@ object KMeans {
     * assignments. */
   def train(spark: SparkSession, points: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
+    graft.functions.VecExpressions.register(spark)
     val sample = points.select(col("grp").cast(LongType).as("grp"),
       col("vec_id").cast(LongType).as("vec_id"), col("qv")).persist()
     try {
@@ -133,6 +138,7 @@ object KMeans {
   /** Nearest-centroid assignment (ties → lowest cent_id): adds `cell`
     * to `points` (grp, vec_id, qv, ...). Map-side: centroids broadcast. */
   def assign(points: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.VecExpressions.register(points.sparkSession)
     val w = Window.partitionBy(col("grp"), col("vec_id"))
       .orderBy(col("cd").asc, col("cent_id").asc)
     points.join(broadcast(centroids), Seq("grp"))

@@ -42,6 +42,7 @@ object SemanticDedup {
       sampleRate: Double, tNum: Long, tDen: Long,
       codebookKey: Option[String] = None, codebookSrcDir: String = ""): DataFrame = {
     require(tNum >= 0 && tDen > 0, "threshold must be a non-negative rational")
+    graft.functions.VecExpressions.register(spark)
     // same BIGINT-exactness precondition as nearDupPairsExact: guard
     // sides stay < 2⁶³ only for ~unit-scale inputs; raise, never wrap
     val qnBound = (3.03e9 / math.max(tNum, tDen)).toLong
@@ -68,8 +69,7 @@ object SemanticDedup {
       col("qv").as("qvb"), col("qn").as("qnb"))
     // within-cell pairs only; one shuffle keyed by cell
     val dropped = a.join(b, Seq("cell")).filter(col("va") < col("vb"))
-      .withColumn("qdot", aggregate(zip_with(col("qva"), col("qvb"), (x, y) => x * y),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("qdot", call_function("vec_dot_l", col("qva"), col("qvb")))
       .filter(col("qdot") > 0 &&
         lit(tDen * tDen) * col("qdot") * col("qdot") >= lit(tNum * tNum) * col("qna") * col("qnb"))
       .select(col("vb").as("vec_id")).distinct()

@@ -973,7 +973,11 @@ object TextQueries extends QueryModule {
       "q_llm2_training_export",
       "end-to-end training export: doc split, packed 64-token windows, round-robin shards",
       (s, d) => {
-        val split = Sampling.assignSplits(Tables.documents(s, d), "doc_id", fracs)
+        // cache the split frame (the packedSplits discipline): each of
+        // the three split branches references it, and the two-level
+        // prefix sum inside pack() makes two passes over its input —
+        // uncached, the corpus was scanned and tokenized 8× per split
+        val split = Sampling.assignSplits(Tables.documents(s, d), "doc_id", fracs).cache()
         fracs.map { case (name, _) =>
           val chunks = chunkFrame(split.filter(col("split") === name))
             .select(col("doc_id"), col("chunk_idx"), col("chunk_text"), col("n_chunk_tokens"))

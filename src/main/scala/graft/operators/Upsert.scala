@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Merge primitives for immutable-table rewrites — SURVEY.md §2.9.
@@ -104,23 +104,50 @@ object Upsert {
       s"scd2Apply: versioned table columns ${actual.toSeq.sorted.mkString(",")} " +
         s"must be exactly keys++compareCols++(vfrom,vto) = ${expected.toSeq.sorted.mkString(",")}; " +
         "project the table (or add the column to compareCols) before applying")
-    val history = versioned.filter(col("vto").isNotNull)
-    val open = versioned.filter(col("vto").isNull)
-    val kinds = changeKinds(
-      open.select((keys ++ compareCols).map(col): _*),
-      batch.select((keys ++ compareCols).map(col): _*),
-      keys, compareCols)
-    val changedOrNew = kinds.filter(col("change_kind") =!= "unchanged")
-    // close the open rows of CHANGED keys (new keys have nothing open)
-    val changedKeys = kinds.filter(col("change_kind") === "changed")
-      .select(keys.map(col): _*)
-    val closed = open.join(changedKeys, keys, "left_semi")
-      .withColumn("vto", lit(batchId))
-    val untouchedOpen = open.join(changedKeys, keys, "left_anti")
-    val fresh = changedOrNew.drop("change_kind")
-      .withColumn("vfrom", lit(batchId))
-      .withColumn("vto", lit(null).cast("bigint"))
-    history.unionByName(closed).unionByName(untouchedOpen).unionByName(fresh)
+    // ONE full-outer join of the whole versioned table against the
+    // batch (the join condition's `vto IS NULL` restricts matching to
+    // the OPEN slice, so history rows pass through as unmatched left
+    // rows), then per joined row EMIT the 1–2 output versions through
+    // an explode. The r15 rewrite: the previous form referenced
+    // `versioned` six times across history/closed/untouched/kinds
+    // branches, and DataFrames are trees, not DAGs — every reference
+    // re-inlined (and re-executed) the entire upstream plan, so
+    // CHAINED applies compounded ~6× per batch (two chained applies
+    // over one table scanned its source 116 times; a 10-batch chain
+    // would be 6¹⁰ — a genuine scale-killer for SCD chains). Each
+    // operand is now referenced exactly once, so chained plans grow
+    // LINEARLY, with one join per apply instead of three and no
+    // materialization at all. Batch contract (unchanged from the old
+    // form's semantics): at most one row per key per batch.
+    val data = keys ++ compareCols
+    val b = tag(batch.select(data.map(col): _*), "b_")
+    val keyCond = keys.map(k => col(k) === col(s"b_$k")).reduce(_ && _)
+    val j = versioned.join(b, keyCond && col("vto").isNull, "full")
+    val differs = compareCols
+      .map(c => !(col(c) <=> col(s"b_$c")))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    // side presence after the full join — key columns are non-null by
+    // the SCD contract (same assumption changeKinds always made)
+    val vPresent = col(keys.head).isNotNull
+    val bPresent = col(s"b_${keys.head}").isNotNull
+    def vRow(vto: Column) = struct(
+      (data.map(c => col(c).as(c)) :+ col("vfrom").as("vfrom") :+ vto.as("vto")): _*)
+    val bRow = struct(
+      (keys.map(k => col(s"b_$k").as(k)) ++
+        compareCols.map(c => col(s"b_$c").as(c)) :+
+        lit(batchId).as("vfrom") :+ lit(null).cast("bigint").as("vto")): _*)
+    val emitted = when(vPresent && bPresent,
+        // matched open row: changed → close it and append the new
+        // version; unchanged → pass it through open
+        when(differs, array(vRow(lit(batchId)), bRow))
+          .otherwise(array(vRow(col("vto")))))
+      // history rows and opens absent from the batch pass through
+      .when(vPresent, array(vRow(col("vto"))))
+      // key new to the table: appended open at batchId
+      .otherwise(array(bRow))
+    j.select(explode(emitted).as("__r"))
+      .select(versioned.columns.toSeq.map(f => col(s"__r.$f").as(f)): _*)
   }
 
   def changeKinds(existing: DataFrame, incoming: DataFrame, keys: Seq[String],

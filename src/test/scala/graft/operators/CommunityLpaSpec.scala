@@ -80,4 +80,25 @@ class CommunityLpaSpec extends SparkSpec {
     val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.values.toSet == Set(1L), s"clique must agree on label 1: $out")
   }
+
+  test("round plan: struct-max argmax, no window/sort, one post-join exchange") {
+    // the r15 rewrite replaced the row_number window (join + (src,lab)
+    // agg exchange + src window exchange = 3 shuffles/round) with a
+    // struct-max aggregation over an explicit src repartition that BOTH
+    // aggregations reuse (2 shuffles/round). Pin the shape so a
+    // refactor can't silently reintroduce the extra exchange or the
+    // whole-partition sort.
+    import org.apache.spark.sql.functions.col
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L)).flatMap { case (a, b, w) =>
+      Seq((a, b, w), (b, a, w)) }
+    val se = toDf(edges.map(t => (t._1, t._2, t._3)))
+      .select(col("a").as("src"), col("b").as("dst"), col("w"))
+    val labels = se.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+    val plan = CommunityLpa.round(se, labels)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window reappeared:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"round grew extra exchanges ($exchanges):\n$plan")
+  }
 }
